@@ -1,0 +1,24 @@
+"""ray_data_mplsh — a Ray-Data-native near-duplicate detection + clustering engine.
+
+A from-scratch re-imagining of the capability denoted by the reference repo
+``UpToEleven1102/Multi-Probe-LSH-in-C`` (`/root/reference/README.md:1` — the
+snapshot contains only its title line; the algorithm is the published
+Multi-Probe LSH of Lv et al., VLDB 2007), transplanted from online k-NN
+search into offline web-scale text dedup per ``SURVEY.md`` §0.2:
+
+    HTML -> byte-exact text -> k-shingles -> MinHash signatures (vectorized
+    NumPy on actor pools) -> LSH band keys augmented with multi-probe
+    perturbation keys -> (band_id, band_hash) shuffle with hot-bucket
+    salting -> candidate pairs -> Jaccard verification -> distributed
+    union-find (iterative star contraction) -> suffix-array substring pass
+    -> deduplicated corpus + cluster map, with lineage and resumable
+    Parquet checkpoints.
+
+Everything is built on ``ray.data.Dataset`` + ``map_batches`` over zero-copy
+Arrow batches; no ``ray.init`` is ever called inside this package.
+"""
+
+from ray_data_mplsh.config import MPLSHConfig
+
+__all__ = ["MPLSHConfig"]
+__version__ = "0.1.0"

@@ -1,0 +1,181 @@
+"""Deterministic 64-bit hash kernels, vectorized (SURVEY.md §2.7).
+
+Design notes
+------------
+* All hashes are unsigned 64-bit with silent wraparound (NumPy uint64
+  semantics).  Determinism is absolute: no wall clock, no global RNG, no
+  PYTHONHASHSEED dependence — required for order-free doc ids and
+  byte-stable resume (SURVEY.md op 9, §2.9).
+* String arrays are hashed via ``pandas.util.hash_array`` (SipHash-1-3 with
+  the fixed key ``b"0123456789123456"``) — a C-speed loop over the array,
+  no Python per-row overhead.
+* ``mix64`` is the SplitMix64 finalizer (Steele et al., public domain): a
+  bijection on uint64, used to whiten combined hashes and to build the
+  MinHash permutation family ``perm_j(x) = mix64(a_j * x + b_j mod 2^64)``
+  with odd ``a_j`` (an affine bijection composed with a bijective mixer —
+  a genuine permutation of the shingle space; SURVEY.md §A.1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+U64 = np.uint64
+#: Horner-combination multiplier (odd, from the golden ratio; any odd works).
+_POLY_P = U64(0x9E3779B97F4A7C15)
+#: Sentinel substituted for a masked band slot in multi-probe keys (op 13).
+MASK_SENTINEL = U64(0xFEEDFACECAFEBEEF)
+
+
+def mix64(x: np.ndarray | int) -> np.ndarray | np.uint64:
+    """SplitMix64 finalizer — bijective avalanche mixer on uint64."""
+    x = np.asarray(x, dtype=np.uint64)
+    x = (x ^ (x >> U64(30))) * U64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> U64(27))) * U64(0x94D049BB133111EB)
+    x = x ^ (x >> U64(31))
+    if x.ndim == 0:
+        return U64(x)
+    return x
+
+
+def hash_str_array(values) -> np.ndarray:
+    """uint64 hash per string. Accepts a pyarrow (Chunked)Array, pandas
+    Series, numpy object array, or list of str. Nulls hash like ''."""
+    import pyarrow as pa
+
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = values.to_pandas()
+    if isinstance(values, pd.Series):
+        arr = values.to_numpy(dtype=object)
+    else:
+        arr = np.asarray(values, dtype=object)
+    return pd.util.hash_array(arr, categorize=False).astype(np.uint64)
+
+
+def hash_bytes_u64(data: bytes) -> int:
+    """Single-value deterministic 64-bit hash of a byte string."""
+    return int(pd.util.hash_array(np.array([data], dtype=object),
+                                  categorize=False)[0])
+
+
+def combine_rows(mat: np.ndarray, prefix: np.ndarray | int | None = None) -> np.ndarray:
+    """Order-sensitive Horner combination along axis 1 of a (n, m) uint64
+    matrix, finalized with mix64. ``prefix`` (scalar or length-n) is folded
+    in first — used to namespace band ids / probe ranks into band hashes."""
+    mat = np.asarray(mat, dtype=np.uint64)
+    acc = np.zeros(mat.shape[0], dtype=np.uint64)
+    if prefix is not None:
+        acc = acc + np.asarray(prefix, dtype=np.uint64)
+    for j in range(mat.shape[1]):
+        acc = acc * _POLY_P + mat[:, j]
+    return mix64(acc)
+
+
+def rolling_shingle_hashes(word_hashes: np.ndarray, doc_offsets: np.ndarray,
+                           k: int) -> tuple[np.ndarray, np.ndarray]:
+    """k-word shingle hashes over a flattened word-hash array.
+
+    ``word_hashes``: uint64 array of all words of a batch, docs concatenated.
+    ``doc_offsets``: int64 array of doc start offsets (len = ndocs + 1).
+    Returns ``(shingles, shingle_offsets)`` where shingles is the flat uint64
+    array of per-doc k-shingle hashes (docs with < k words contribute 0
+    shingles) and shingle_offsets has len = ndocs + 1.
+
+    Vectorized: one Horner pass of k strided adds over the whole batch, then
+    a boolean mask removes window positions that straddle doc boundaries.
+    """
+    n = len(word_hashes)
+    ndocs = len(doc_offsets) - 1
+    if n < k:
+        return (np.empty(0, dtype=np.uint64),
+                np.zeros(ndocs + 1, dtype=np.int64))
+    m = n - k + 1  # candidate window positions
+    acc = np.zeros(m, dtype=np.uint64)
+    for j in range(k):
+        acc = acc * _POLY_P + word_hashes[j:m + j]
+    acc = mix64(acc)
+
+    # A window starting at i is valid iff i+k-1 is in the same doc as i.
+    doc_of = np.repeat(np.arange(ndocs, dtype=np.int64),
+                       np.diff(doc_offsets))
+    valid = doc_of[:m] == doc_of[k - 1:k - 1 + m]
+    shingles = acc[valid]
+    # per-doc shingle counts: max(0, words_in_doc - k + 1)
+    counts = np.maximum(np.diff(doc_offsets) - (k - 1), 0)
+    offsets = np.zeros(ndocs + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return shingles, offsets
+
+
+def make_perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """The frozen signature config (SURVEY.md §A.1): K (a_j, b_j) pairs drawn
+    once from PCG64(seed); a_j forced odd so x -> a_j*x + b_j is a bijection
+    mod 2^64."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(0, 1 << 63, num_perm, dtype=np.uint64) << U64(1) | U64(1)
+    b = rng.integers(0, (1 << 64) - 1, num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(shingles: np.ndarray, offsets: np.ndarray,
+                       a: np.ndarray, b: np.ndarray,
+                       perm_chunk: int = 32) -> np.ndarray:
+    """(ndocs, K) uint64 MinHash signatures.
+
+    ``sig[d, j] = min over shingles s of doc d of mix64(a_j*s + b_j)``.
+    Vectorized with an outer-product broadcast chunked over the K axis
+    (memory cap: len(shingles) * perm_chunk * 8 bytes per chunk) and
+    ``np.minimum.reduceat`` for the per-doc segment minima.
+
+    Docs with zero shingles get all-ones signatures (0xFFFF...), which never
+    collide on any band; callers should filter them out (op 7).
+    """
+    ndocs = len(offsets) - 1
+    K = len(a)
+    sig = np.full((ndocs, K), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if len(shingles) == 0 or ndocs == 0:
+        return sig
+    counts = np.diff(offsets)
+    nonempty = counts > 0
+    starts = offsets[:-1][nonempty]
+    for c0 in range(0, K, perm_chunk):
+        c1 = min(c0 + perm_chunk, K)
+        vals = mix64(shingles[:, None] * a[None, c0:c1] + b[None, c0:c1])
+        sig[nonempty, c0:c1] = np.minimum.reduceat(vals, starts, axis=0)
+    return sig
+
+
+# --- winnowing fingerprints for the substring pass (op 24; Schleimer et al.,
+#     "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD 2003) ---
+
+def winnow_fingerprints(text: str, k: int, w: int) -> tuple[np.ndarray, np.ndarray]:
+    """(fingerprints, positions) of a single document's text.
+
+    Character k-gram hashes at every position, then the minimum hash in each
+    window of w consecutive k-grams is selected (rightmost minimum). Any
+    substring shared between two docs with length >= k + w - 1 is guaranteed
+    to contribute at least one identical selected fingerprint to both.
+    Vectorized via a (nwin, w) sliding-window view + argmin.
+    """
+    raw = np.frombuffer(text.encode("utf-8", errors="replace"), dtype=np.uint8)
+    n = len(raw)
+    if n < k:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    m = n - k + 1
+    acc = np.zeros(m, dtype=np.uint64)
+    b = raw.astype(np.uint64)
+    for j in range(k):
+        acc = acc * _POLY_P + b[j:m + j]
+    grams = mix64(acc)
+    if m < w:
+        pos = np.array([int(np.argmin(grams))], dtype=np.int64)
+        return grams[pos], pos
+    win = np.lib.stride_tricks.sliding_window_view(grams, w)
+    # rightmost minimum per window: argmin on the reversed axis
+    rev_arg = np.argmin(win[:, ::-1], axis=1)
+    sel = (np.arange(m - w + 1, dtype=np.int64) + (w - 1 - rev_arg))
+    keep = np.ones(len(sel), dtype=bool)
+    keep[1:] = sel[1:] != sel[:-1]
+    pos = sel[keep]
+    return grams[pos], pos

@@ -1,0 +1,158 @@
+"""Suffix-array kernel for the exact-substring pass (SURVEY.md op 24).
+
+Used by both the oracle and the distributed substring stage to verify
+candidate pairs: build a suffix array + Kasai LCP over the two texts'
+concatenation and report the longest span shared across the doc boundary
+([Lee22 §3] verification step, bounded to a pair, so O((|a|+|b|) log^2)).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def suffix_array(s: np.ndarray) -> np.ndarray:
+    """Suffix array of an integer sequence via prefix doubling (argsort-based,
+    O(n log^2 n) with NumPy C-level sorts)."""
+    n = len(s)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    rank = np.asarray(s, dtype=np.int64)
+    rank = np.unique(rank, return_inverse=True)[1]
+    sa = np.argsort(rank, kind="stable")
+    k = 1
+    while k < n:
+        second = np.full(n, -1, dtype=np.int64)
+        second[:n - k] = rank[k:]
+        order = np.lexsort((second, rank))
+        key_first = rank[order]
+        key_second = second[order]
+        new_rank = np.zeros(n, dtype=np.int64)
+        changed = np.ones(n, dtype=bool)
+        changed[1:] = (key_first[1:] != key_first[:-1]) | \
+                      (key_second[1:] != key_second[:-1])
+        new_rank[order] = np.cumsum(changed) - 1
+        rank = new_rank
+        sa = order
+        if rank[sa[-1]] == n - 1:
+            break
+        k *= 2
+    return sa.astype(np.int64)
+
+
+def _lcp_kasai(s: np.ndarray, sa: np.ndarray) -> np.ndarray:
+    """lcp[i] = LCP(suffix sa[i], suffix sa[i+1]); last entry 0."""
+    n = len(s)
+    rank = np.empty(n, dtype=np.int64)
+    rank[sa] = np.arange(n)
+    lcp = np.zeros(n, dtype=np.int64)
+    h = 0
+    for i in range(n):
+        r = rank[i]
+        if r == n - 1:
+            h = 0
+            continue
+        j = sa[r + 1]
+        while i + h < n and j + h < n and s[i + h] == s[j + h]:
+            h += 1
+        lcp[r] = h
+        if h:
+            h -= 1
+    return lcp
+
+
+def _concat(a: str, b: str) -> tuple[np.ndarray, int]:
+    ab = a.encode("utf-8", errors="replace")
+    bb = b.encode("utf-8", errors="replace")
+    s = np.concatenate([
+        np.frombuffer(ab, dtype=np.uint8).astype(np.int64),
+        np.array([256], dtype=np.int64),
+        np.frombuffer(bb, dtype=np.uint8).astype(np.int64),
+    ])
+    return s, len(ab)
+
+
+def longest_cross_substring(a: str, b: str) -> int:
+    """Length of the longest substring shared between a and b, computed over
+    the suffix array of ``a + sep + b`` (sep outside both alphabets)."""
+    if not a or not b:
+        return 0
+    s, boundary = _concat(a, b)
+    sa = suffix_array(s)
+    lcp = _lcp_kasai(s, sa)
+    from_a = sa < boundary
+    cross = from_a[:-1] != from_a[1:]
+    if not cross.any():
+        return 0
+    return int(lcp[:-1][cross].max())
+
+
+def cross_match_intervals(a: str, b: str, min_len: int) -> list[tuple[int, int]]:
+    """Byte intervals of ``b`` covered by substrings of length >= min_len
+    that also occur in ``a`` ([Lee22 §3] span detection, exact).
+
+    For every position p in b, the longest prefix of b[p:] occurring in a is
+    the max over SA-adjacent a-suffixes of the running-min LCP — computed
+    with two linear sweeps over the suffix array of a+sep+b. Positions with
+    match length >= min_len contribute [p, p+len); overlaps are merged.
+    """
+    if not a or not b or len(b) < min_len:
+        return []
+    s, boundary = _concat(a, b)
+    sa = suffix_array(s)
+    lcp = _lcp_kasai(s, sa)
+    n = len(s)
+    BIG = 1 << 60
+    sa_l = sa.tolist()
+    lcp_l = lcp.tolist()
+    match = np.zeros(n, dtype=np.int64)  # per SA rank, best match vs an a-suffix
+    # sweep down: nearest a-suffix above each rank
+    run = -1
+    for r in range(n):
+        if sa_l[r] < boundary:
+            run = BIG
+        elif run > 0:
+            match[r] = run
+        if run != -1 and r < n - 1:
+            run = min(run, lcp_l[r])
+    # sweep up: nearest a-suffix below each rank
+    run = -1
+    for r in range(n - 1, -1, -1):
+        if sa_l[r] < boundary:
+            run = BIG
+        elif run > match[r]:
+            match[r] = run
+        if run != -1 and r > 0:
+            run = min(run, lcp_l[r - 1])
+    ps = sa - boundary - 1
+    sel = (ps >= 0) & (match >= min_len)
+    ivals = [(int(p), int(p + m)) for p, m in zip(ps[sel], match[sel])]
+    return merge_intervals(ivals)
+
+
+def merge_intervals(ivals: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    if not ivals:
+        return []
+    ivals = sorted(ivals)
+    out = [list(ivals[0])]
+    for s0, e0 in ivals[1:]:
+        if s0 <= out[-1][1]:
+            out[-1][1] = max(out[-1][1], e0)
+        else:
+            out.append([s0, e0])
+    return [(s0, e0) for s0, e0 in out]
+
+
+def remove_intervals(text: str, ivals: list[tuple[int, int]]) -> str:
+    """Delete byte intervals from text, then collapse whitespace runs."""
+    if not ivals:
+        return text
+    raw = text.encode("utf-8", errors="replace")
+    keep, pos = [], 0
+    for s0, e0 in ivals:
+        keep.append(raw[pos:s0])
+        pos = e0
+    keep.append(raw[pos:])
+    out = b" ".join(k for k in keep)
+    import re
+    return re.sub(r"[ \t\r\n]+", " ", out.decode("utf-8", errors="replace")).strip()

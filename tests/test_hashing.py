@@ -1,0 +1,106 @@
+"""Unit tests for the hash kernels (SURVEY.md §5 item 4)."""
+
+import numpy as np
+import pytest
+
+from ray_data_mplsh.functions.hashing import (
+    combine_rows, hash_bytes_u64, hash_str_array, make_perm_params,
+    minhash_signatures, mix64, rolling_shingle_hashes, winnow_fingerprints,
+)
+
+
+def test_mix64_bijective_and_deterministic():
+    x = np.arange(1000, dtype=np.uint64)
+    y = mix64(x)
+    assert len(np.unique(y)) == 1000          # injective on the sample
+    assert np.array_equal(y, mix64(x))        # deterministic
+
+
+def test_hash_str_array_stable_and_typed():
+    h1 = hash_str_array(["a", "b", "a"])
+    assert h1.dtype == np.uint64
+    assert h1[0] == h1[2] and h1[0] != h1[1]
+    assert np.array_equal(h1, hash_str_array(["a", "b", "a"]))
+    assert hash_bytes_u64(b"x") == hash_bytes_u64(b"x")
+
+
+def test_combine_rows_order_sensitive():
+    m = np.array([[1, 2, 3], [3, 2, 1]], dtype=np.uint64)
+    h = combine_rows(m)
+    assert h[0] != h[1]
+    # prefix namespaces
+    assert combine_rows(m, prefix=np.uint64(1))[0] != h[0]
+
+
+def test_rolling_shingles_respect_doc_boundaries():
+    # two docs of 4 words each, k=3 -> 2 shingles per doc, none straddling
+    wh = hash_str_array(list("abcdwxyz"))
+    offs = np.array([0, 4, 8], dtype=np.int64)
+    sh, soffs = rolling_shingle_hashes(wh, offs, 3)
+    assert list(soffs) == [0, 2, 4]
+    # same shingles computed doc-by-doc
+    sh_a, _ = rolling_shingle_hashes(wh[:4], np.array([0, 4]), 3)
+    sh_b, _ = rolling_shingle_hashes(wh[4:], np.array([0, 4]), 3)
+    assert np.array_equal(sh, np.concatenate([sh_a, sh_b]))
+
+
+def test_rolling_shingles_short_docs_contribute_nothing():
+    wh = hash_str_array(list("abcdef"))
+    offs = np.array([0, 2, 6], dtype=np.int64)  # doc0 has 2 words < k=3
+    sh, soffs = rolling_shingle_hashes(wh, offs, 3)
+    assert list(soffs) == [0, 0, 2]  # doc0: 2 words < k; doc1: 4 words -> 2
+
+
+def test_minhash_matches_bruteforce():
+    a, b = make_perm_params(8, seed=1)
+    sh = hash_str_array([f"s{i}" for i in range(20)])
+    offs = np.array([0, 12, 20], dtype=np.int64)
+    sig = minhash_signatures(sh, offs, a, b)
+    for j in range(8):
+        vals = mix64(sh * a[j] + b[j])
+        assert sig[0, j] == vals[:12].min()
+        assert sig[1, j] == vals[12:].min()
+
+
+def test_minhash_estimates_jaccard():
+    """MinHash estimator vs true Jaccard, |err| bounded (Chernoff at K=256)."""
+    rng = np.random.Generator(np.random.PCG64(3))
+    a, b = make_perm_params(256, seed=2)
+    base = rng.integers(0, 1 << 63, 1000, dtype=np.uint64)
+    for frac in (0.5, 0.8, 0.95):
+        keep = int(1000 * frac)
+        other = np.concatenate([base[:keep],
+                                rng.integers(0, 1 << 63, 1000 - keep,
+                                             dtype=np.uint64)])
+        sh = np.concatenate([base, other])
+        offs = np.array([0, 1000, 2000], dtype=np.int64)
+        sig = minhash_signatures(sh, offs, a, b)
+        est = float(np.mean(sig[0] == sig[1]))
+        true_j = keep / (2000 - keep)
+        assert abs(est - true_j) < 0.09, (frac, est, true_j)
+
+
+def test_minhash_empty_doc_gets_sentinel_sig():
+    a, b = make_perm_params(4, seed=1)
+    sig = minhash_signatures(np.empty(0, np.uint64),
+                             np.array([0, 0], dtype=np.int64), a, b)
+    assert (sig == np.iinfo(np.uint64).max).all()
+
+
+def test_winnowing_guarantee():
+    """Any shared substring of length >= k + w - 1 yields a shared selected
+    fingerprint (Schleimer et al. 2003, the winnowing correctness property)."""
+    rng = np.random.Generator(np.random.PCG64(5))
+    alpha = "abcdefgh"
+    mk = lambda n: "".join(rng.choice(list(alpha)) for _ in range(n))
+    shared = mk(60)  # >= 40 + 11 - 1 = 50
+    a = mk(300) + shared + mk(200)
+    b = mk(250) + shared + mk(150)
+    fa, _ = winnow_fingerprints(a, 40, 11)
+    fb, _ = winnow_fingerprints(b, 40, 11)
+    assert set(fa.tolist()) & set(fb.tolist())
+
+
+def test_winnowing_positions_sorted_unique():
+    f, p = winnow_fingerprints("abcdef" * 50, 5, 4)
+    assert (np.diff(p) > 0).all()
