@@ -3,14 +3,8 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+DuckDB. Ray is initialised by the driver BEFORE this module is imported:
+no ``ray.init()`` / ``ray.shutdown()`` here or anywhere in the library.
 """
 
 from __future__ import annotations
@@ -20,25 +14,64 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline (SURVEY.md §3.2 S0-S10) on the driver testdata
+    documents table at sf0.001 (no html column -> pipeline enters at S2,
+    doc_id plays the url role; SURVEY.md §3.3)."""
+    from ray_data_mplsh.config import MPLSHConfig
+    from ray_data_mplsh.pipelines.dedup import run_dedup
+    from ray_data_mplsh.sources import read_documents
+
+    docs = read_documents("/root/testdata/sf0.001")
+    cfg = MPLSHConfig(min_chars=10)
+    res = run_dedup(docs, cfg, extract=False, url_col="doc_id",
+                    text_col="text")
+    return res.dedup_out.select_columns(
+        ["doc_id", "url", "cluster_id", "is_canonical", "n_chars"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    from ray_data_mplsh.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = dict(QUERIES)
+    out["q_minhash_pairs"] = _q_minhash_pairs
+    out["q_dedup_documents"] = _q_dedup_documents
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB equivalents for the SQL-expressible queries. Non-expressible
+    pipelines (MinHash LSH, clustering) get the driver's rows-only check
+    and are instead gated by the oracle-equality pytest suite
+    (SURVEY.md §5 item 1)."""
+    from ray_data_mplsh.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)
+
+
+def _q_minhash_pairs(sf_dir: str) -> Any:
+    """MinHash-LSH candidate generation + Jaccard verification over the
+    documents table (ops 10-18). Not SQL-expressible -> rows-only."""
+    from ray_data_mplsh.config import MPLSHConfig
+    from ray_data_mplsh.pipelines.dedup import run_dedup
+    from ray_data_mplsh.sources import read_documents
+
+    docs = read_documents(sf_dir)
+    cfg = MPLSHConfig(min_chars=10)
+    res = run_dedup(docs, cfg, extract=False, url_col="doc_id",
+                    text_col="text", skip_substring=True)
+    return res.verified
+
+
+def _q_dedup_documents(sf_dir: str) -> Any:
+    """Full flagship dedup over the documents table. Rows-only."""
+    from ray_data_mplsh.config import MPLSHConfig
+    from ray_data_mplsh.pipelines.dedup import run_dedup
+    from ray_data_mplsh.sources import read_documents
+
+    docs = read_documents(sf_dir)
+    cfg = MPLSHConfig(min_chars=10)
+    res = run_dedup(docs, cfg, extract=False, url_col="doc_id",
+                    text_col="text")
+    return res.dedup_out.select_columns(
+        ["doc_id", "url", "cluster_id", "is_canonical"])

@@ -61,6 +61,10 @@ class MPLSHConfig:
 
     # --- physical execution (SURVEY.md §4.3) ---
     num_partitions: int = 0       # 0 = auto (2x cluster CPUs)
+    broadcast_max_docs: int = 200_000
+                                  # small-side lookups (signatures, labels) are
+                                  # broadcast via ray.put below this doc count;
+                                  # above it the hash-shuffle join path is used
     minhash_batch_size: int = 1024
     minhash_concurrency: int = 0  # 0 = auto (cluster CPUs, min 2)
 

@@ -1,0 +1,243 @@
+"""Driver-oracle query set (SURVEY.md §2.8) + text-analysis operators.
+
+Each ``q_*`` takes ``sf_dir`` and returns a Dataset / pandas / pyarrow
+result; the matching ANSI-SQL oracle lives in ORACLE_SQL (run by the
+driver via DuckDB on the same Parquet views). Computed columns carry the
+SAME names in both so the driver's order-insensitive value-hash matches.
+
+All Ray implementations are Arrow-vectorized map_batches / groupby
+pipelines — no driver-side row loops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray_data_mplsh.config import MPLSHConfig
+from ray_data_mplsh.functions.hashing import hash_str_array
+from ray_data_mplsh.stages.shuffle import (
+    default_partitions, group_runs, partition_apply,
+)
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# --- op 23: exact dedup (hash-partition + per-group first) ----------------
+
+def q_exact_dedup(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        return b.append_column("text_hash",
+                               pa.array(hash_str_array(b["text"]), pa.uint64()))
+
+    def keep_min(part: pa.Table) -> pa.Table:
+        th = part["text_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = part["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return part.drop_columns(["text_hash"])
+        # sort by (hash, id): the first row of each run is the group min
+        order = np.lexsort((ids, th))
+        sth = th[order]
+        starts = np.flatnonzero(np.concatenate(([True], sth[1:] != sth[:-1])))
+        return part.take(order[starts]).drop_columns(["text_hash"])
+
+    P = default_partitions()
+    return partition_apply(ds.map_batches(add_hash, batch_format="pyarrow"),
+                           "text_hash", keep_min, P)
+
+
+# --- op 6/25: filters and counts ------------------------------------------
+
+def q_lang_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    return _read(sf_dir, "documents", ["lang"]) \
+        .groupby("lang").aggregate(Count(alias_name="cnt"))
+
+
+def q_len_filter(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_chars"], 100)),
+        batch_format="pyarrow")
+
+
+def q_top_sources(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    agg = _read(sf_dir, "documents", ["source"]) \
+        .groupby("source").aggregate(Count(alias_name="cnt"))
+    return agg.sort(["cnt", "source"], descending=[True, False]).limit(5)
+
+
+def q_distinct_langs(sf_dir: str):
+    import ray.data
+
+    langs = _read(sf_dir, "documents", ["lang"]).unique("lang")
+    return pa.table({"lang": pa.array(sorted(langs))})
+
+
+# --- op 12b + aggregates on the events table ------------------------------
+
+def q_events_daily(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    # The value column is exact 2-decimal; sum in integer cents so the
+    # distributed sum is order-independent, then divide once at the end
+    # (identically in ORACLE_SQL) for a bit-exact value-hash.
+    def add_day(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100)), pa.int64())
+        return pa.table({"d": pc.strftime(t["ts"], format="%Y-%m-%d"),
+                         "event_type": t["event_type"], "cents": cents})
+
+    agg = ds.map_batches(add_day, batch_format="pyarrow") \
+        .groupby(["d", "event_type"]) \
+        .aggregate(Count(alias_name="cnt"), Sum("cents", alias_name="sc"))
+    return agg.map_batches(
+        lambda t: t.drop_columns(["sc"]).append_column(
+            "sv", pc.divide(pc.cast(t["sc"], pa.float64()), 100.0)),
+        batch_format="pyarrow")
+
+
+def q_events_props(sf_dir: str):
+    """JSON field extraction (op 12b): props -> k, avg value per k bucket."""
+    from ray.data.aggregate import Count, Mean
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["props", "value"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100)), pa.int64())
+        return pa.table({"k": k, "cents": cents})
+
+    agg = ds.map_batches(extract, batch_format="pyarrow") \
+        .groupby("k").aggregate(Count(alias_name="cnt"),
+                                Sum("cents", alias_name="sc"))
+    # avg = exact integer sum / (100 * count): one float division, identical
+    # on the DuckDB side, so bit-exact regardless of summation order.
+    return agg.map_batches(
+        lambda t: t.drop_columns(["sc"]).append_column(
+            "avg_value",
+            pc.divide(pc.cast(t["sc"], pa.float64()),
+                      pc.multiply(pc.cast(t["cnt"], pa.float64()), 100.0))),
+        batch_format="pyarrow")
+
+
+# --- op 17 machinery: distributed hash join -------------------------------
+
+def q_join_ord_cust(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    # Sum in integer cents: a distributed float sum is order-dependent in the
+    # low bits, so the value-hash vs the single-process oracle would flap.
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100)),
+                        pa.int64())
+        return t.drop_columns(["o_totalprice"]).append_column(
+            "price_cents", cents)
+
+    j = orders.map_batches(to_cents, batch_format="pyarrow") \
+        .join(cust, "inner", num_partitions=default_partitions(),
+              on=("o_custkey",), right_on=("c_custkey",))
+    return j.groupby("c_mktsegment").aggregate(
+        Count(alias_name="cnt"), Sum("price_cents", alias_name="s_cents"))
+
+
+# --- text analysis (training-data ops) ------------------------------------
+
+def q_token_counts(sf_dir: str):
+    """Whitespace token counting, vectorized via Arrow split."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(t["text"]),
+                                      pattern=r"\s+")
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_tokens": pc.cast(pc.list_value_length(toks),
+                                             pa.int64())})
+
+    return ds.map_batches(count_tokens, batch_format="pyarrow")
+
+
+def q_quality_scores(sf_dir: str):
+    """Quality signals: punctuation chars, alpha chars, mean word length."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def score(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        punct = pc.cast(pc.utf8_length(pc.replace_substring_regex(
+            text, r"[a-zA-Z0-9 ]", "")), pa.int64())
+        alpha = pc.cast(pc.utf8_length(pc.replace_substring_regex(
+            text, r"[^a-zA-Z]", "")), pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "n_chars": t["n_chars"],
+                         "punct_chars": punct, "alpha_chars": alpha})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ------------------------- registry ---------------------------------------
+
+QUERIES = {
+    "q_exact_dedup": q_exact_dedup,
+    "q_lang_counts": q_lang_counts,
+    "q_len_filter": q_len_filter,
+    "q_top_sources": q_top_sources,
+    "q_distinct_langs": q_distinct_langs,
+    "q_events_daily": q_events_daily,
+    "q_events_props": q_events_props,
+    "q_join_ord_cust": q_join_ord_cust,
+    "q_token_counts": q_token_counts,
+    "q_quality_scores": q_quality_scores,
+}
+
+ORACLE_SQL = {
+    "q_exact_dedup":
+        "SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text",
+    "q_lang_counts":
+        "SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang",
+    "q_len_filter":
+        "SELECT doc_id, n_chars FROM documents WHERE n_chars >= 100",
+    "q_top_sources":
+        "SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source "
+        "ORDER BY cnt DESC, source LIMIT 5",
+    "q_distinct_langs":
+        "SELECT DISTINCT lang FROM documents",
+    "q_events_daily":
+        "SELECT strftime(ts, '%Y-%m-%d') AS d, event_type, COUNT(*) AS cnt, "
+        "SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sv "
+        "FROM events GROUP BY 1, 2",
+    "q_events_props":
+        "SELECT CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT) "
+        "AS k, COUNT(*) AS cnt, "
+        "SUM(CAST(ROUND(value * 100) AS BIGINT)) / (COUNT(*) * 100.0) "
+        "AS avg_value FROM events GROUP BY 1",
+    "q_join_ord_cust":
+        "SELECT c_mktsegment, COUNT(*) AS cnt, "
+        "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS s_cents "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY c_mktsegment",
+    "q_token_counts":
+        "SELECT doc_id, array_length(string_split_regex(trim(text), '\\s+')) "
+        "AS n_tokens FROM documents",
+    "q_quality_scores":
+        "SELECT doc_id, n_chars, "
+        "length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS punct_chars, "
+        "length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars "
+        "FROM documents",
+}

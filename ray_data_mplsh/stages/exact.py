@@ -1,0 +1,45 @@
+"""S2: exact dedup — hash-partition + per-group min (SURVEY.md op 23).
+
+Adds ``text_hash`` in a vectorized pass, then one coarse-partitioned
+shuffle; inside each partition a NumPy sort groups equal hashes and the
+min doc_id becomes the representative ([Lee22 §2] pre-pass; kills bucket
+skew from identical pages before MinHash).
+
+Output = input schema + ``rep_id``: representatives have
+``rep_id == doc_id``; exact-dup members carry their representative's id
+(consumed at S8 to give every member its cluster).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray_data_mplsh.config import MPLSHConfig
+from ray_data_mplsh.functions.hashing import hash_str_array
+from ray_data_mplsh.stages.shuffle import group_runs, partition_apply
+
+
+def add_text_hash(batch: pa.Table) -> pa.Table:
+    th = hash_str_array(batch["text"])
+    return batch.append_column("text_hash", pa.array(th, pa.uint64()))
+
+
+def _assign_reps(part: pa.Table) -> pa.Table:
+    th = part["text_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    ids = part["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    order, starts = group_runs(th)
+    sorted_ids = ids[order]
+    rep = np.empty(len(ids), dtype=np.uint64)
+    # per-run min via minimum.reduceat over the sorted view
+    if len(ids):
+        run_min = np.minimum.reduceat(sorted_ids, starts[:-1])
+        sizes = np.diff(starts)
+        rep[order] = np.repeat(run_min, sizes)
+    return part.append_column("rep_id", pa.array(rep, pa.uint64()))
+
+
+def exact_dedup_stage(docs, cfg: MPLSHConfig, num_partitions: int):
+    """docs -> docs + (text_hash, rep_id)."""
+    hashed = docs.map_batches(add_text_hash, batch_format="pyarrow")
+    return partition_apply(hashed, "text_hash", _assign_reps, num_partitions)

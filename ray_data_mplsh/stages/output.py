@@ -1,0 +1,247 @@
+"""S8-S9: cluster assignment, canonical pick, suffix-array substring pass
+(SURVEY.md ops 20-24).
+
+Small-side lookups (component labels, canonical ids, span intervals) are
+broadcast once via ``ray.put`` and resolved inside ``map_batches`` with
+``np.searchsorted`` — they are orders of magnitude smaller than the corpus
+(only docs participating in dup clusters appear). Pair-text attachment for
+the substring pass follows the same broadcast-vs-join split as S6.
+
+Substring semantics ([Lee22 §3], span removal): any span >= substr_len
+bytes that also occurs in an earlier (smaller doc_id) canonical doc is cut
+from the later doc's ``final_text``; the doc is dropped (is_canonical
+False) only when >90% of its bytes were duplicated spans or the remainder
+is shorter than min_chars. Candidates come from winnowing fingerprints
+(guarantee: any shared span >= winnow_k + winnow_w - 1 = substr_len shares
+a fingerprint), grouped by the same coarse-partitioned shuffle as S5.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray_data_mplsh.config import MPLSHConfig
+from ray_data_mplsh.functions.hashing import winnow_fingerprints
+from ray_data_mplsh.functions.suffix import (
+    cross_match_intervals, merge_intervals, remove_intervals,
+)
+from ray_data_mplsh.stages.pairs import dedup_pairs, _pairs_of_runs
+from ray_data_mplsh.stages.shuffle import group_runs, partition_apply
+
+
+def _lookup_u64(sorted_keys: np.ndarray, vals: np.ndarray, q: np.ndarray,
+                default: np.ndarray) -> np.ndarray:
+    """Vectorized sorted-array lookup with per-row default."""
+    if len(sorted_keys) == 0:
+        return default
+    i = np.clip(np.searchsorted(sorted_keys, q), 0, len(sorted_keys) - 1)
+    hit = sorted_keys[i] == q
+    out = default.copy()
+    out[hit] = vals[i[hit]]
+    return out
+
+
+def gather_kv(ds, key_col: str, val_col: str) -> tuple[np.ndarray, np.ndarray]:
+    ks, vs = [], []
+    for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        ks.append(b[key_col].to_numpy(zero_copy_only=False).astype(np.uint64))
+        vs.append(b[val_col].to_numpy(zero_copy_only=False).astype(np.uint64))
+    if not ks:
+        e = np.empty(0, np.uint64)
+        return e, e
+    k = np.concatenate(ks)
+    v = np.concatenate(vs)
+    o = np.argsort(k)
+    return k[o], v[o]
+
+
+def assign_clusters(docs_with_rep, labels, cfg: MPLSHConfig):
+    """docs (.., rep_id) + labels (doc_id, cluster_id) ->
+    docs + cluster_id. cluster(doc) = labels[rep] if present else rep."""
+    import ray
+    ref = ray.put(gather_kv(labels, "doc_id", "cluster_id"))
+
+    class Assigner:
+        def __init__(self):
+            self.keys, self.vals = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rep = batch["rep_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            cid = _lookup_u64(self.keys, self.vals, rep, default=rep)
+            return batch.append_column("cluster_id", pa.array(cid, pa.uint64()))
+
+    return docs_with_rep.map_batches(Assigner, batch_format="pyarrow",
+                                     concurrency=(1, 4))
+
+
+def _cluster_min(part: pa.Table) -> pa.Table:
+    cid = part["cluster_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    did = part["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    order, starts = group_runs(cid)
+    if len(cid) == 0:
+        return pa.Table.from_arrays([pa.array([], pa.uint64()),
+                                     pa.array([], pa.uint64())],
+                                    names=["cluster_id", "canonical_id"])
+    mins = np.minimum.reduceat(did[order], starts[:-1])
+    return pa.Table.from_arrays([
+        pa.array(cid[order][starts[:-1]], pa.uint64()),
+        pa.array(mins, pa.uint64()),
+    ], names=["cluster_id", "canonical_id"])
+
+
+def mark_canonical(docs_clustered, cfg: MPLSHConfig, num_partitions: int):
+    """Adds is_canonical = (doc_id == min doc_id of cluster) (op 20)."""
+    import ray
+    slim = docs_clustered.select_columns(["doc_id", "cluster_id"])
+    mins = partition_apply(slim, "cluster_id", _cluster_min, num_partitions)
+    ref = ray.put(gather_kv(mins, "cluster_id", "canonical_id"))
+
+    class Marker:
+        def __init__(self):
+            self.keys, self.vals = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            cid = batch["cluster_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            canon = _lookup_u64(self.keys, self.vals, cid, default=cid)
+            return batch.append_column("is_canonical",
+                                       pa.array(did == canon, pa.bool_()))
+
+    return docs_clustered.map_batches(Marker, batch_format="pyarrow",
+                                      concurrency=(1, 4))
+
+
+# ------------------------- substring pass (op 24) -------------------------
+
+def _fingerprint_emitter(cfg: MPLSHConfig):
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        texts = batch["text"].to_pylist()
+        out_fp, out_id = [], []
+        for did, text in zip(ids, texts):
+            fps, _ = winnow_fingerprints(text, cfg.winnow_k, cfg.winnow_w)
+            fps = np.unique(fps)
+            out_fp.append(fps)
+            out_id.append(np.full(len(fps), did, dtype=np.uint64))
+        fp = np.concatenate(out_fp) if out_fp else np.empty(0, np.uint64)
+        di = np.concatenate(out_id) if out_id else np.empty(0, np.uint64)
+        return pa.Table.from_arrays([pa.array(fp, pa.uint64()),
+                                     pa.array(di, pa.uint64())],
+                                    names=["fp", "doc_id"])
+    return fn
+
+
+def _fp_pairs_fn(cap: int):
+    def fn(part: pa.Table) -> pa.Table:
+        fp = part["fp"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = part["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order, starts = group_runs(fp)
+        a, b = _pairs_of_runs(ids[order], starts, cap)
+        keep = a != b
+        return pa.Table.from_arrays([pa.array(a[keep], pa.uint64()),
+                                     pa.array(b[keep], pa.uint64())],
+                                    names=["a", "b"])
+    return fn
+
+
+class _SpanExtractor:
+    """Per candidate pair (x<y, texts attached): byte intervals of y covered
+    by >= substr_len spans of x — suffix-array verification per pair."""
+
+    def __init__(self, substr_len: int):
+        self.L = substr_len
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ta = batch["text_a"].to_pylist()
+        tb = batch["text_b"].to_pylist()
+        out_id, out_s, out_e = [], [], []
+        for x, y, tx, ty in zip(a, b, ta, tb):
+            # spans are always removed from the LARGER doc_id (deterministic)
+            if x > y:
+                x, y, tx, ty = y, x, ty, tx
+            for s, e in cross_match_intervals(tx, ty, self.L):
+                out_id.append(y)
+                out_s.append(s)
+                out_e.append(e)
+        return pa.Table.from_arrays([
+            pa.array(np.array(out_id, dtype=np.uint64), pa.uint64()),
+            pa.array(out_s, pa.int64()),
+            pa.array(out_e, pa.int64()),
+        ], names=["doc_id", "start", "end"])
+
+
+def substring_stage(dedup_out, cfg: MPLSHConfig, num_partitions: int):
+    """canonical docs -> final_text rewrites (op 24). Returns dedup_out with
+    ``final_text`` (null for non-canonical docs) and updated is_canonical."""
+    import ray
+
+    canon = dedup_out.filter(expr="is_canonical == True") \
+        .select_columns(["doc_id", "text"])
+    fps = canon.map_batches(_fingerprint_emitter(cfg), batch_format="pyarrow")
+    pairs = partition_apply(fps, "fp", _fp_pairs_fn(cfg.substr_bucket_cap),
+                            num_partitions)
+    pairs = dedup_pairs(pairs, num_partitions)
+
+    # attach texts (broadcast path; join path kicks in above the threshold)
+    texts_kv = {}
+    for bt in canon.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        ids = bt["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        for i, t in zip(ids, bt["text"].to_pylist()):
+            texts_kv[int(i)] = t
+    tref = ray.put(texts_kv)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        kv = ray.get(tref)
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.Table.from_arrays([
+            batch["a"], batch["b"],
+            pa.array([kv.get(int(x), "") for x in a], pa.string()),
+            pa.array([kv.get(int(x), "") for x in b], pa.string()),
+        ], names=["a", "b", "text_a", "text_b"])
+
+    spans = pairs.map_batches(attach, batch_format="pyarrow") \
+        .map_batches(_SpanExtractor, fn_constructor_args=(cfg.substr_len,),
+                     batch_format="pyarrow", concurrency=(1, 8), num_cpus=1)
+
+    # merge intervals per doc, collect to the driver (affected docs only)
+    span_map: dict[int, list[tuple[int, int]]] = {}
+    for bt in spans.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for d, s, e in zip(bt["doc_id"].to_pylist(), bt["start"].to_pylist(),
+                           bt["end"].to_pylist()):
+            span_map.setdefault(int(d), []).append((int(s), int(e)))
+    span_map = {d: merge_intervals(iv) for d, iv in span_map.items()}
+    sref = ray.put(span_map)
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        sm = ray.get(sref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        canon_f = batch["is_canonical"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        finals, keep_canon = [], []
+        for i, (did, is_c, text) in enumerate(zip(ids, canon_f, texts)):
+            if not is_c:
+                finals.append(None)
+                keep_canon.append(False)
+                continue
+            iv = sm.get(int(did))
+            if not iv:
+                finals.append(text)
+                keep_canon.append(True)
+                continue
+            new_text = remove_intervals(text, iv)
+            covered = sum(e - s for s, e in iv)
+            if covered > 0.9 * len(text) or len(new_text) < cfg.min_chars:
+                finals.append(None)
+                keep_canon.append(False)
+            else:
+                finals.append(new_text)
+                keep_canon.append(True)
+        out = batch.drop_columns(["is_canonical"])
+        out = out.append_column("is_canonical", pa.array(keep_canon, pa.bool_()))
+        return out.append_column("final_text", pa.array(finals, pa.string()))
+
+    return dedup_out.map_batches(rewrite, batch_format="pyarrow")

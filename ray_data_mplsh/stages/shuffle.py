@@ -1,0 +1,79 @@
+"""The engine's shuffle primitive: coarse key-partitioned apply.
+
+Why not ``groupby(fine_key).map_groups(fn)`` directly?  At web scale the
+band-key table has ~one group per row (most LSH buckets are singletons);
+Ray invokes the ``map_groups`` callback once per group, so a 10^9-bucket
+table would pay 10^9 Python calls. Instead we group by a COARSE partition
+key — ``hash(fine_key) % P`` with P ≈ 2x cluster CPUs — which gives one
+Python call per partition, and the callback does the fine-grained grouping
+itself with C-level NumPy sorts (SURVEY.md §4.3 "partitioning").
+
+This is still one genuine all-to-all exchange per call (Ray's sort-based
+shuffle on the partition column), it just right-sizes the Python-boundary
+granularity. Rows with equal fine keys always land in the same partition,
+so per-partition dedup/grouping is globally correct.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+
+from ray_data_mplsh.functions.hashing import mix64
+
+
+def default_partitions(requested: int = 0) -> int:
+    if requested > 0:
+        return requested
+    try:
+        import ray
+        if ray.is_initialized():
+            return max(2 * int(ray.cluster_resources().get("CPU", 8)), 16)
+    except Exception:
+        pass
+    return 16
+
+
+def partition_on(ds, key_col: str, num_partitions: int, *,
+                 salt_col: str | None = None):
+    """Add a ``_part`` column = hash(key) % P. With ``salt_col``, the salt is
+    folded in, sharding hot keys across partitions (hot-bucket salting,
+    SURVEY.md op 15); callers must then link shards explicitly."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = mix64(keys)
+        if salt_col is not None:
+            salt = batch[salt_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = mix64(h ^ mix64(salt))
+        part = (h % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column("_part", pa.array(part, pa.int32()))
+
+    return ds.map_batches(add_part, batch_format="pyarrow")
+
+
+def partition_apply(ds, key_col: str, fn: Callable[[pa.Table], pa.Table],
+                    num_partitions: int, *, salt_col: str | None = None):
+    """Shuffle ``ds`` so all rows with equal ``key_col`` are in one partition,
+    then apply ``fn`` once per partition (fn sees a pa.Table WITHOUT the
+    ``_part`` helper column and must do its own within-partition grouping)."""
+
+    def per_part(part: pa.Table) -> pa.Table:
+        return fn(part.drop_columns(["_part"]))
+
+    parted = partition_on(ds, key_col, num_partitions, salt_col=salt_col)
+    return parted.groupby("_part").map_groups(per_part, batch_format="pyarrow")
+
+
+def group_runs(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(order, run_starts) for grouping a partition by a uint64 key array:
+    ``order`` sorts the rows; ``run_starts`` indexes group starts in the
+    sorted view (terminated by len)."""
+    order = np.argsort(keys, kind="stable")
+    sk = keys[order]
+    if len(sk) == 0:
+        return order, np.zeros(1, dtype=np.int64)
+    starts = np.flatnonzero(np.concatenate(([True], sk[1:] != sk[:-1])))
+    return order, np.concatenate([starts, [len(sk)]]).astype(np.int64)

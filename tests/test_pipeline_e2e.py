@@ -1,0 +1,114 @@
+"""End-to-end distributed pipeline vs the frozen oracle + the recall gate
+(SURVEY.md §5 items 1-2, 6; BASELINE.json:14 "matching the reference's
+cluster assignments")."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from oracle.mplsh_oracle import canonicalize_url
+from ray_data_mplsh.config import MPLSHConfig
+from ray_data_mplsh.pipelines.dedup import run_dedup
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(ray_session, small_fixture):
+    import ray.data as rd
+
+    pages = rd.read_parquet(f"{small_fixture}/pages.parquet")
+    return run_dedup(pages, MPLSHConfig(), extract=True)
+
+
+def test_cluster_assignments_match_oracle(pipeline_result, small_oracle):
+    out = pipeline_result.dedup_out.to_pandas()
+    pipe = dict(zip(out["doc_id"].tolist(), out["cluster_id"].tolist()))
+    assert pipe == small_oracle.clusters
+
+
+def test_verified_pairs_match_oracle(pipeline_result, small_oracle):
+    vp = pipeline_result.verified.to_pandas()
+    pipe = set(zip(vp["a"].tolist(), vp["b"].tolist()))
+    assert pipe == set(small_oracle.verified)
+    # and the estimates agree
+    est = dict(zip(zip(vp["a"].tolist(), vp["b"].tolist()),
+                   vp["jaccard"]))
+    for k, v in small_oracle.verified.items():
+        assert abs(est[k] - v) < 1e-12
+
+
+def test_canonical_and_final_text_match_oracle(pipeline_result, small_oracle):
+    out = pipeline_result.dedup_out.to_pandas()
+    canon = out[out["is_canonical"]]
+    assert set(canon["doc_id"].tolist()) == small_oracle.canonical
+    ft = dict(zip(canon["doc_id"].tolist(), canon["final_text"]))
+    assert ft == small_oracle.dedup_text
+
+
+def test_recall_gate(pipeline_result, small_fixture):
+    """Dup-pair recall >= 0.99 at true Jaccard >= theta (BASELINE.json:2)."""
+    out = pipeline_result.dedup_out.to_pandas()
+    pairs = pq.read_table(f"{small_fixture}/gt_pairs.parquet")
+    url2c = dict(zip(out["url"], out["cluster_id"].tolist()))
+    found = missed = 0
+    for ua, ub, j in zip(pairs["url_a"].to_pylist(),
+                         pairs["url_b"].to_pylist(),
+                         pairs["true_jaccard"].to_pylist()):
+        if j < 0.8:
+            continue
+        ca = url2c.get(canonicalize_url(ua))
+        cb = url2c.get(canonicalize_url(ub))
+        if ca is not None and ca == cb:
+            found += 1
+        else:
+            missed += 1
+    recall = found / max(found + missed, 1)
+    assert recall >= 0.99, f"recall {recall} ({missed} missed)"
+
+
+def test_gt_cluster_partition_matches(pipeline_result, small_fixture):
+    """Pipeline clusters == planted GT families for high-sim kinds: every
+    exact/near_high member shares its base's cluster."""
+    out = pipeline_result.dedup_out.to_pandas()
+    pairs = pq.read_table(f"{small_fixture}/gt_pairs.parquet")
+    url2c = dict(zip(out["url"], out["cluster_id"].tolist()))
+    for ua, ub, kind, j in zip(pairs["url_a"].to_pylist(),
+                               pairs["url_b"].to_pylist(),
+                               pairs["kind"].to_pylist(),
+                               pairs["true_jaccard"].to_pylist()):
+        if kind == "exact" or (kind == "near_high" and j >= 0.9):
+            assert url2c.get(canonicalize_url(ua)) == \
+                url2c.get(canonicalize_url(ub)), (ua, ub, kind)
+
+
+def test_exact_dups_collapsed_before_minhash(pipeline_result):
+    docs = pipeline_result.docs.to_pandas()
+    n_reps = (docs["doc_id"] == docs["rep_id"]).sum()
+    assert pipeline_result.counters["n_docs_sig"] <= n_reps
+    assert n_reps < len(docs)  # fixture plants exact dups
+
+
+def test_salted_path_equivalent(ray_session, small_fixture, small_oracle):
+    """salt_shards > 1 must not change the final cluster map (op 15:
+    salting preserves connectivity via cross-shard star linking)."""
+    import ray.data as rd
+
+    pages = rd.read_parquet(f"{small_fixture}/pages.parquet")
+    cfg = MPLSHConfig(salt_shards=4)
+    res = run_dedup(pages, cfg, extract=True, skip_substring=True)
+    out = res.dedup_out.to_pandas()
+    pipe = dict(zip(out["doc_id"].tolist(), out["cluster_id"].tolist()))
+    assert pipe == small_oracle.clusters
+
+
+def test_shuffle_verify_path_equivalent(ray_session, small_fixture,
+                                        small_oracle):
+    """Forcing the shuffle sig-attach path (broadcast threshold 0) gives the
+    same verified pairs as the broadcast path."""
+    import ray.data as rd
+
+    pages = rd.read_parquet(f"{small_fixture}/pages.parquet")
+    cfg = MPLSHConfig(broadcast_max_docs=0)
+    res = run_dedup(pages, cfg, extract=True, skip_substring=True)
+    vp = res.verified.to_pandas()
+    pipe = set(zip(vp["a"].tolist(), vp["b"].tolist()))
+    assert pipe == set(small_oracle.verified)
