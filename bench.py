@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""Benchmark harness (SURVEY.md §3.4, §6).
+
+Default mode: run the headline dedup pipeline + representative queries over
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) under
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and
+print ONE JSON line.
+
+``--scaling``: evidence the north-rule two-cluster-size criterion in this
+single-node sandbox (driver instruction): run the SAME dedup job in fresh
+processes at num_cpus=8 and num_cpus=32 over the same pre-generated fixture
+corpus and report both throughputs + scaling efficiency
+``(thr_32 / thr_8) / 4``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SCALE_DIR = os.environ.get("GRAFT_SCALE_DIR", "/tmp/mplsh_scale_fixture")
+SCALE_N = int(os.environ.get("GRAFT_SCALE_N", "40000"))
+SCALE_SEED = 11
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+
+
+def _consume(result) -> int:
+    """Force execution; return row count."""
+    if hasattr(result, "materialize"):
+        return result.materialize().count()
+    if hasattr(result, "num_rows"):
+        return result.num_rows
+    return len(result)
+
+
+def run_headline(sf_dir: str) -> tuple[float, int]:
+    """Full dedup (S2-S10) over the documents table; returns (sec, docs)."""
+    from ray_data_mplsh.config import MPLSHConfig
+    from ray_data_mplsh.pipelines.dedup import run_dedup
+    from ray_data_mplsh.sources import read_documents
+
+    docs = read_documents(sf_dir)
+    t0 = time.monotonic()
+    res = run_dedup(docs, MPLSHConfig(min_chars=10), extract=False,
+                    url_col="doc_id", text_col="text")
+    n = res.dedup_out.materialize().count()
+    return time.monotonic() - t0, n
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    from ray_data_mplsh.pipelines.queries import QUERIES
+
+    times: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        t0 = time.monotonic()
+        _consume(fn(sf_dir))
+        times[name] = round(time.monotonic() - t0, 3)
+    return times
+
+
+def bench_default() -> None:
+    _init_ray(NUM_CPUS)
+    headline_s, n_docs = run_headline(SF_DIR)
+    qtimes = run_queries(SF_DIR)
+    out = {
+        "metric": "e2e_dedup_wall",
+        "value": round(headline_s, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / headline_s, 1),
+    }
+    print(json.dumps(out))
+    import ray
+
+    ray.shutdown()
+
+
+# ---------------- scaling mode (fresh process per CPU level) ---------------
+
+def _ensure_scale_fixture() -> None:
+    marker = os.path.join(SCALE_DIR, f"_DONE_{SCALE_N}_{SCALE_SEED}")
+    if os.path.exists(marker):
+        return
+    _init_ray(NUM_CPUS)
+    from ray_data_mplsh.fixtures import synth_pages
+
+    pages_dir = os.path.join(SCALE_DIR, "pages")
+    os.makedirs(pages_dir, exist_ok=True)
+    synth_pages(SCALE_N, SCALE_SEED).write_parquet(pages_dir)
+    with open(marker, "w") as f:
+        f.write("ok")
+    import ray
+
+    ray.shutdown()
+
+
+def _scale_worker(num_cpus: int) -> None:
+    """Child process: fresh Ray session at the given parallelism, full
+    dedup (incl. S1 html extraction) over the shared scale corpus."""
+    _init_ray(num_cpus)
+    from ray_data_mplsh.config import MPLSHConfig
+    from ray_data_mplsh.pipelines.dedup import run_dedup
+    from ray_data_mplsh.sources import read_pages
+
+    pages = read_pages(os.path.join(SCALE_DIR, "pages"), extract=True)
+    t0 = time.monotonic()
+    res = run_dedup(pages, MPLSHConfig(), extract=True)
+    n = res.dedup_out.materialize().count()
+    wall = time.monotonic() - t0
+    print(json.dumps({"num_cpus": num_cpus, "wall_s": round(wall, 3),
+                      "docs": n, "docs_per_sec": round(n / wall, 1)}))
+    import ray
+
+    ray.shutdown()
+
+
+def bench_scaling() -> None:
+    _ensure_scale_fixture()
+    levels = [8, 32]
+    results = []
+    for cpus in levels:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--_scale_worker", str(cpus)],
+            capture_output=True, text=True, cwd=os.path.dirname(
+                os.path.abspath(__file__)))
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() \
+            else ""
+        if proc.returncode != 0 or not line:
+            sys.stderr.write(proc.stderr[-4000:])
+            raise RuntimeError(f"scale worker (cpus={cpus}) failed")
+        results.append(json.loads(line))
+    thr = [r["docs_per_sec"] for r in results]
+    eff = (thr[1] / thr[0]) / (levels[1] / levels[0])
+    out = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {f"dedup_cpus{r['num_cpus']}": r["wall_s"]
+                    for r in results},
+        "sf": SCALE_DIR,
+        "num_cpus": levels[1],
+        "docs": results[0]["docs"],
+        "levels": results,
+    }
+    print(json.dumps(out))
+
+
+def main() -> None:
+    if "--_scale_worker" in sys.argv:
+        _scale_worker(int(sys.argv[sys.argv.index("--_scale_worker") + 1]))
+    elif "--scaling" in sys.argv:
+        bench_scaling()
+    else:
+        bench_default()
+
+
+if __name__ == "__main__":
+    main()

@@ -19,7 +19,7 @@ import pyarrow.compute as pc
 from ray_data_mplsh.config import MPLSHConfig
 from ray_data_mplsh.functions.hashing import hash_str_array
 from ray_data_mplsh.stages.shuffle import (
-    default_partitions, group_runs, partition_apply,
+    broadcast_join, default_partitions, group_runs, partition_apply,
 )
 
 
@@ -139,10 +139,15 @@ def q_events_props(sf_dir: str):
 # --- op 17 machinery: distributed hash join -------------------------------
 
 def q_join_ord_cust(sf_dir: str):
+    """Fact-dimension join: customer is the small side, so broadcast it
+    (ray.put once, map-side C++ hash join) instead of an all-to-all
+    shuffle — the scale-correct plan for a dimension lookup."""
+    import pyarrow.parquet as pq
     from ray.data.aggregate import Count, Sum
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
 
     # Sum in integer cents: a distributed float sum is order-dependent in the
     # low bits, so the value-hash vs the single-process oracle would flap.
@@ -152,9 +157,8 @@ def q_join_ord_cust(sf_dir: str):
         return t.drop_columns(["o_totalprice"]).append_column(
             "price_cents", cents)
 
-    j = orders.map_batches(to_cents, batch_format="pyarrow") \
-        .join(cust, "inner", num_partitions=default_partitions(),
-              on=("o_custkey",), right_on=("c_custkey",))
+    j = broadcast_join(orders.map_batches(to_cents, batch_format="pyarrow"),
+                       cust, left_on="o_custkey", right_on="c_custkey")
     return j.groupby("c_mktsegment").aggregate(
         Count(alias_name="cnt"), Sum("price_cents", alias_name="s_cents"))
 
@@ -191,6 +195,137 @@ def q_quality_scores(sf_dir: str):
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+# --- similarity search over embeddings (SURVEY.md: reference's k-NN core) --
+
+_KNN_NQ = 8      # queries = embeddings with vec_id < _KNN_NQ
+_KNN_K = 10
+
+
+def _load_queries(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    t = t.filter(pc.less(t["vec_id"], _KNN_NQ))
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    emb = t["embedding"].combine_chunks()
+    d = len(emb[0])
+    q = emb.values.to_numpy(zero_copy_only=False).reshape(-1, d)
+    return ids, q
+
+
+def q_knn_bruteforce(sf_dir: str):
+    """Exact cosine top-k: broadcast query matrix, per-batch matmul.
+    Output is the top-k id SET per query (cosine dropped: float bits differ
+    across summation orders; ties broken by vec_id on both sides)."""
+    from ray_data_mplsh.pipelines.similarity import knn_bruteforce
+
+    ids, q = _load_queries(sf_dir)
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    res = knn_bruteforce(emb, ids, q, k=_KNN_K)
+    return res.select(["query_id", "vec_id"])
+
+
+def q_knn_lsh(sf_dir: str):
+    """Approximate top-k via hyperplane LSH + score-ordered multi-probe
+    ([MPLSH §4]). Rows-only for the driver; recall vs brute force is gated
+    in pytest (tests/test_similarity.py)."""
+    from ray_data_mplsh.pipelines.similarity import knn_lsh
+
+    ids, q = _load_queries(sf_dir)
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_lsh(emb, ids, q, k=_KNN_K)
+
+
+def q_embedding_near_dup(sf_dir: str):
+    """Embedding-cosine near-dup pairs (rows-only; precision/recall gated
+    in pytest)."""
+    from ray_data_mplsh.pipelines.similarity import embedding_near_dup
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_near_dup(emb, threshold=0.9)
+
+
+# --- language ID (n-gram/marker heuristic with exact SQL parity) -----------
+
+_LANG_MARKERS = {
+    "en": r"\b(the|join|scan)\b",
+    "de": r"\b(merge|window|stream)\b",
+    "fr": r"\b(sort|shuffle|batch)\b",
+    "es": r"\b(hash|spill|cache)\b",
+    "pt": r"\b(agg|filter|limit)\b",
+}
+
+
+def q_lang_id(sf_dir: str):
+    """Marker-count language ID: score = #marker matches per language,
+    pred = argmax (ties -> lexicographically smallest lang). The identical
+    rule runs in ORACLE_SQL, so parity is exact; real-corpus accuracy is a
+    property of the marker lists, not of this plumbing."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    langs = sorted(_LANG_MARKERS)
+
+    def predict(t: pa.Table) -> pa.Table:
+        scores = np.stack([
+            pc.count_substring_regex(t["text"], _LANG_MARKERS[lg])
+              .to_numpy(zero_copy_only=False).astype(np.int64)
+            for lg in langs], axis=1)
+        best = np.argmax(scores, axis=1)  # first max = lexicographic tie-break
+        pred = np.array(langs, dtype=object)[best]
+        return pa.table({"doc_id": t["doc_id"],
+                         "pred_lang": pa.array(pred, pa.string())})
+
+    return ds.map_batches(predict, batch_format="pyarrow")
+
+
+# --- dedup family variants -------------------------------------------------
+
+def q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs (op 13c): 64-bit signature, 16-bit block
+    banding, score-ordered bit-flip multi-probe. Rows-only; gated by
+    tests/test_simhash.py against a brute-force Hamming oracle."""
+    from ray_data_mplsh.stages.simhash import simhash_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    cfg = MPLSHConfig(min_chars=10)
+    return simhash_pairs(docs, cfg, default_partitions())
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """Exact n-gram (k-word shingle) Jaccard over LSH candidate pairs:
+    candidates from the MinHash band shuffle, verified against the TRUE
+    shingle-set Jaccard (not the signature estimate). Rows-only."""
+    from ray_data_mplsh.config import MPLSHConfig as C
+    from ray_data_mplsh.pipelines.dedup import run_dedup
+    from ray_data_mplsh.pipelines.ngram import exact_jaccard_pairs
+    from ray_data_mplsh.sources import read_documents
+
+    docs = read_documents(sf_dir)
+    cfg = C(min_chars=10)
+    res = run_dedup(docs, cfg, extract=False, url_col="doc_id",
+                    text_col="text", skip_substring=True)
+    return exact_jaccard_pairs(res.pairs, res.docs, cfg)
+
+
+def q_fingerprints(sf_dir: str):
+    """Winnowing document fingerprints (rolling-hash k-grams, [SchleimerEtAl
+    winnowing]): per doc, the number of selected fingerprints. Rows-only;
+    the selection invariants are unit-tested in tests/test_hashing.py."""
+    from ray_data_mplsh.functions.hashing import winnow_fingerprints
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    cfg = MPLSHConfig()
+
+    def fp(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        counts = [len(winnow_fingerprints(x, cfg.winnow_k, cfg.winnow_w)[0])
+                  for x in texts]
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_fingerprints": pa.array(counts, pa.int64())})
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
 # ------------------------- registry ---------------------------------------
 
 QUERIES = {
@@ -204,6 +339,13 @@ QUERIES = {
     "q_join_ord_cust": q_join_ord_cust,
     "q_token_counts": q_token_counts,
     "q_quality_scores": q_quality_scores,
+    "q_knn_bruteforce": q_knn_bruteforce,
+    "q_knn_lsh": q_knn_lsh,
+    "q_embedding_near_dup": q_embedding_near_dup,
+    "q_lang_id": q_lang_id,
+    "q_simhash_pairs": q_simhash_pairs,
+    "q_ngram_jaccard": q_ngram_jaccard,
+    "q_fingerprints": q_fingerprints,
 }
 
 ORACLE_SQL = {
@@ -229,7 +371,8 @@ ORACLE_SQL = {
         "AS avg_value FROM events GROUP BY 1",
     "q_join_ord_cust":
         "SELECT c_mktsegment, COUNT(*) AS cnt, "
-        "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS s_cents "
+        "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS s_cents "
         "FROM orders JOIN customer ON o_custkey = c_custkey "
         "GROUP BY c_mktsegment",
     "q_token_counts":
@@ -240,4 +383,22 @@ ORACLE_SQL = {
         "length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS punct_chars, "
         "length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars "
         "FROM documents",
+    "q_knn_bruteforce":
+        f"WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+        f"FROM embeddings WHERE vec_id < {_KNN_NQ}), "
+        "s AS (SELECT q.query_id, e.vec_id, "
+        "list_cosine_similarity(q.qe, e.embedding) AS cos "
+        "FROM q CROSS JOIN embeddings e), "
+        "r AS (SELECT query_id, vec_id, ROW_NUMBER() OVER "
+        "(PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rk FROM s) "
+        f"SELECT query_id, vec_id FROM r WHERE rk <= {_KNN_K}",
+    "q_lang_id":
+        "SELECT doc_id, CASE GREATEST("
+        + ", ".join(f"len(regexp_extract_all(text, '{p}'))"
+                    for p in (_LANG_MARKERS[lg]
+                              for lg in sorted(_LANG_MARKERS))) + ") "
+        + " ".join(
+            f"WHEN len(regexp_extract_all(text, '{_LANG_MARKERS[lg]}')) "
+            f"THEN '{lg}'" for lg in sorted(_LANG_MARKERS))
+        + " END AS pred_lang FROM documents",
 }

@@ -259,6 +259,11 @@ def embedding_near_dup(embeddings, *, threshold: float = 0.95,
     buckets = embeddings.map_batches(bucketize, batch_format="pyarrow")
     pairs = partition_apply(buckets, "bucket", pair_bucket, P)
     # global pair dedup (pairs found in several tables)
-    pdf = pairs.to_pandas().drop_duplicates(["a", "b"]) \
+    pdf = pairs.to_pandas()
+    if pdf.empty:     # an empty Dataset drops its column metadata
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    pdf = pdf.drop_duplicates(["a", "b"]) \
         .sort_values(["a", "b"]).reset_index(drop=True)
     return pa.Table.from_pandas(pdf, preserve_index=False)

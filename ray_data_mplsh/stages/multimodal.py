@@ -1,0 +1,135 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns with
+typed metadata, processed by actor-pool ``map_batches`` stages.
+
+The decode kernels themselves are STUBBED — this container ships no image/
+audio libraries — but every Ray-side concern is real and tested: the media
+schema, per-actor one-time setup, small-batch sizing for large payloads,
+and the output layout. Swapping ``_decode_stub`` for a real decoder (PIL /
+torchaudio / pyav) changes no pipeline code.
+
+Media table schema (T-media):
+    media_id:uint64, media_type:string ('image'|'audio'|'video'),
+    payload:binary, width:int32, height:int32, sample_rate:int32
+
+Stages:
+    MediaDecoder      payload -> decoded dims + a feature vector
+    frame_sampler     video rows -> one row per sampled frame index
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray_data_mplsh.functions.hashing import hash_bytes_u64, mix64
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.uint64()),
+    ("media_type", pa.string()),
+    ("payload", pa.binary()),
+    ("width", pa.int32()),
+    ("height", pa.int32()),
+    ("sample_rate", pa.int32()),
+])
+
+FEATURE_DIM = 16
+
+
+def _decode_stub(payload: bytes, media_type: str) -> np.ndarray:
+    """Deterministic fake decode: a FEATURE_DIM float vector derived from
+    the payload bytes. Replace with a real decoder when the codec libs are
+    present; the signature (bytes, type) -> feature vector is the contract.
+    """
+    try:  # the real path, absent in this container
+        import PIL.Image  # noqa: F401
+        raise NotImplementedError(
+            "real image decode not wired; remove the stub when PIL exists")
+    except ImportError:
+        pass
+    h = np.uint64(hash_bytes_u64(payload[:64]))
+    seeds = mix64(np.arange(FEATURE_DIM, dtype=np.uint64) + h)
+    return (seeds.astype(np.float64) / 2**64).astype(np.float32)
+
+
+class MediaDecoder:
+    """Actor-pool stage: decode + featurize media payloads.
+
+    Setup (codec init, model load) happens ONCE per actor here in
+    ``__init__``; per-batch work is only the decode loop. Batches must be
+    SMALL (payloads are large): pass ``batch_size=decode_batch_size`` and
+    ``num_cpus=1`` at the ``map_batches`` call site.
+    """
+
+    def __init__(self, feature_dim: int = FEATURE_DIM):
+        self.feature_dim = feature_dim
+        self.decode = _decode_stub  # swap point for a real codec
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        types = batch["media_type"].to_pylist()
+        feats = np.stack([self.decode(p, t)
+                          for p, t in zip(payloads, types)]) \
+            if payloads else np.empty((0, self.feature_dim), np.float32)
+        return pa.table({
+            "media_id": batch["media_id"],
+            "media_type": batch["media_type"],
+            "width": batch["width"],
+            "height": batch["height"],
+            "feature": pa.FixedSizeListArray.from_arrays(
+                pa.array(feats.reshape(-1), pa.float32()),
+                self.feature_dim),
+        })
+
+
+def decode_media(media, *, concurrency=(1, 4), batch_size: int = 32):
+    """media Dataset (MEDIA_SCHEMA) -> decoded features. Small batch_size is
+    deliberate: batch bytes = batch_size x payload size must fit the worker
+    heap (SURVEY.md 'memory-aware')."""
+    return media.map_batches(MediaDecoder, batch_format="pyarrow",
+                             batch_size=batch_size, concurrency=concurrency,
+                             num_cpus=1)
+
+
+def frame_sampler(media, *, every_n: int = 10, max_frames: int = 8):
+    """Video rows -> one row per sampled frame index (the frame payloads
+    themselves come from the decoder in a real deployment; here the index
+    plumbing is the tested surface)."""
+
+    def sample(batch: pa.Table) -> pa.Table:
+        mask = pa.compute.equal(batch["media_type"], "video")
+        vids = batch.filter(mask)
+        n = len(vids)
+        if n == 0:
+            return pa.table({"media_id": pa.array([], pa.uint64()),
+                             "frame_idx": pa.array([], pa.int32())})
+        idx = np.arange(max_frames, dtype=np.int32) * every_n
+        ids = vids["media_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "media_id": pa.array(np.repeat(ids, max_frames), pa.uint64()),
+            "frame_idx": pa.array(np.tile(idx, n), pa.int32()),
+        })
+
+    return media.map_batches(sample, batch_format="pyarrow")
+
+
+def synth_media(n: int, seed: int = 7):
+    """Deterministic media fixture: n rows of fake payload bytes."""
+    import ray.data
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        types = ["image", "audio", "video"]
+        payloads = [
+            (mix64(np.uint64(seed) + i).tobytes() * 8) for i in ids]
+        return pa.table({
+            "media_id": pa.array(mix64(ids + np.uint64(seed)), pa.uint64()),
+            "media_type": pa.array([types[int(i) % 3] for i in ids]),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array((ids % 1920).astype(np.int32), pa.int32()),
+            "height": pa.array((ids % 1080).astype(np.int32), pa.int32()),
+            "sample_rate": pa.array(
+                np.where(ids % 3 == 1, 16000, 0).astype(np.int32),
+                pa.int32()),
+        })
+
+    return ray.data.range(n).map_batches(gen, batch_format="pyarrow")

@@ -67,6 +67,25 @@ def partition_apply(ds, key_col: str, fn: Callable[[pa.Table], pa.Table],
     return parted.groupby("_part").map_groups(per_part, batch_format="pyarrow")
 
 
+def broadcast_join(left, right: pa.Table, *, left_on: str, right_on: str,
+                   join_type: str = "inner"):
+    """Map-side join against a SMALL right table: ``ray.put`` once, every
+    task reads the shared object-store copy zero-copy and runs a C++ hash
+    join per batch (SURVEY.md §4.3 "broadcast small sides with ray.put").
+    Use only when ``right`` fits comfortably in worker heaps; the shuffle
+    path (``Dataset.join``) is the large-side fallback."""
+    import ray
+
+    ref = ray.put(right)
+
+    def bj(batch: pa.Table) -> pa.Table:
+        rt = ray.get(ref)
+        return batch.join(rt, keys=[left_on], right_keys=[right_on],
+                          join_type=join_type)
+
+    return left.map_batches(bj, batch_format="pyarrow")
+
+
 def group_runs(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(order, run_starts) for grouping a partition by a uint64 key array:
     ``order`` sorts the rows; ``run_starts`` indexes group starts in the
