@@ -55,12 +55,23 @@ class MPLSHConfig:
                                   # member shares the bucket's k-gram, so the
                                   # anchor contains it too and span extraction
                                   # vs the anchor still finds the shared region
-    winnow_k: int = 40            # char-k-gram size for winnowing fingerprints
-    winnow_w: int = 11            # winnowing window; guarantees detection of any
-                                  # shared span >= winnow_k + winnow_w - 1 = substr_len
+    winnow_k: int = 30            # char-k-gram size for winnowing fingerprints
+    winnow_w: int = 21            # winnowing window; guarantees detection of any
+                                  # shared span >= winnow_k + winnow_w - 1 = substr_len.
+                                  # Density ~2/(w+1) rows/char: w is the lever on
+                                  # the fingerprint-shuffle volume (SURVEY.md §4.3)
 
     # --- physical execution (SURVEY.md §4.3) ---
     num_partitions: int = 0       # 0 = auto (2x cluster CPUs)
+    local_state_max_rows: int = 2_000_000
+                                  # hybrid execution threshold: reduce-side
+                                  # states at most this big (pair sets, CC edge
+                                  # lists) run as one vectorized driver-side
+                                  # kernel instead of a distributed shuffle —
+                                  # a shuffle on a few MB costs more in fixed
+                                  # latency than it buys in parallelism. The
+                                  # distributed path is the >threshold route
+                                  # and stays covered by tests (force flags)
     broadcast_max_docs: int = 200_000
                                   # small-side lookups (signatures, labels) are
                                   # broadcast via ray.put below this doc count;
@@ -92,7 +103,8 @@ class MPLSHConfig:
         sem = {
             k: v for k, v in asdict(self).items()
             if k not in ("num_partitions", "minhash_batch_size",
-                         "minhash_concurrency", "ckpt_dir", "run_id")
+                         "minhash_concurrency", "ckpt_dir", "run_id",
+                         "broadcast_max_docs", "local_state_max_rows")
         }
         blob = json.dumps(sem, sort_keys=True, default=list).encode()
         return f"{hash_bytes_u64(blob):016x}"

@@ -120,13 +120,18 @@ def make_perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
 
 def minhash_signatures(shingles: np.ndarray, offsets: np.ndarray,
                        a: np.ndarray, b: np.ndarray,
-                       perm_chunk: int = 32) -> np.ndarray:
+                       perm_chunk: int = 16) -> np.ndarray:
     """(ndocs, K) uint64 MinHash signatures.
 
-    ``sig[d, j] = min over shingles s of doc d of mix64(a_j*s + b_j)``.
-    Vectorized with an outer-product broadcast chunked over the K axis
-    (memory cap: len(shingles) * perm_chunk * 8 bytes per chunk) and
-    ``np.minimum.reduceat`` for the per-doc segment minima.
+    ``sig[d, j] = min over shingles s of doc d of (a_j*s + b_j mod 2^64)``
+    — the multiply-shift MinHash family: shingle hashes are already
+    avalanche-mixed (``rolling_shingle_hashes`` finalizes with mix64, so s
+    is uniform on uint64) and odd ``a_j`` makes each map a bijection, so
+    the K affine maps give K decorrelated orderings. No further mixing:
+    the kernel is memory-bandwidth-bound at scale (31 actors share one
+    memory bus), so it runs exactly three passes per chunk — multiply,
+    add, segment-min — with in-place ops and no temporaries. Estimator
+    accuracy is gated by tests/test_hashing.py (|est - true J| bounds).
 
     Docs with zero shingles get all-ones signatures (0xFFFF...), which never
     collide on any band; callers should filter them out (op 7).
@@ -139,10 +144,13 @@ def minhash_signatures(shingles: np.ndarray, offsets: np.ndarray,
     counts = np.diff(offsets)
     nonempty = counts > 0
     starts = offsets[:-1][nonempty]
+    vals = np.empty((len(shingles), min(perm_chunk, K)), dtype=np.uint64)
     for c0 in range(0, K, perm_chunk):
         c1 = min(c0 + perm_chunk, K)
-        vals = mix64(shingles[:, None] * a[None, c0:c1] + b[None, c0:c1])
-        sig[nonempty, c0:c1] = np.minimum.reduceat(vals, starts, axis=0)
+        v = vals[:, :c1 - c0]
+        np.multiply(shingles[:, None], a[None, c0:c1], out=v)
+        np.add(v, b[None, c0:c1], out=v)
+        sig[nonempty, c0:c1] = np.minimum.reduceat(v, starts, axis=0)
     return sig
 
 

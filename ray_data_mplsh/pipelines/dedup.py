@@ -21,9 +21,7 @@ from ray_data_mplsh.stages.cc import connected_components
 from ray_data_mplsh.stages.docs import docs_stage
 from ray_data_mplsh.stages.exact import exact_dedup_stage
 from ray_data_mplsh.stages.minhash import minhash_stage
-from ray_data_mplsh.stages.output import (
-    assign_clusters, mark_canonical, substring_stage,
-)
+from ray_data_mplsh.stages.output import assign_and_mark, substring_stage
 from ray_data_mplsh.stages.pairs import pairs_stage
 from ray_data_mplsh.stages.shuffle import default_partitions
 from ray_data_mplsh.stages.verify import verify_stage
@@ -92,11 +90,12 @@ def run_dedup(pages, cfg: MPLSHConfig, *, extract: bool = True,
     else:
         labels = read_stage_or_compute(
             cfg, "labels",
-            lambda: connected_components(verified, cfg, P), counters)
+            lambda: connected_components(
+                verified, cfg, P, n_edges=counters["n_verified"]), counters)
 
-    # S8: cluster assignment for every doc (incl. exact-dup members)
-    clustered = assign_clusters(docs_rep, labels, cfg)
-    marked = mark_canonical(clustered, cfg, P)
+    # S8: cluster assignment + canonical flag, one pass (incl. exact-dup
+    # members)
+    marked = assign_and_mark(docs_rep, labels, cfg)
 
     # S9: suffix-array substring pass over canonical survivors
     if skip_substring:

@@ -148,11 +148,57 @@ def _checksum(edges) -> tuple[int, int]:
     return acc, n
 
 
+def local_cc_labels(a: np.ndarray, b: np.ndarray
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized single-node connected components: label(min-id) fixpoint
+    via edge relaxation + pointer jumping, O(E log V) NumPy work. The
+    driver-side member of the hybrid split (cfg.local_state_max_rows)."""
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    e1, e2 = inv[:len(a)], inv[len(a):]
+    lbl = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        nxt = lbl.copy()
+        np.minimum.at(nxt, e1, lbl[e2])
+        np.minimum.at(nxt, e2, lbl[e1])
+        nxt = nxt[nxt]          # pointer jumping
+        if np.array_equal(nxt, lbl):
+            break
+        lbl = nxt
+    return nodes, nodes[lbl]
+
+
 def connected_components(verified_pairs, cfg: MPLSHConfig,
-                         num_partitions: int):
+                         num_partitions: int, *, n_edges: int = -1,
+                         force_distributed: bool = False):
     """verified pairs (a, b, ...) -> labels (doc_id, cluster_id) for every
     node incident to an edge (singletons are absent; callers default them
-    to their own id)."""
+    to their own id).
+
+    Hybrid: when the edge list fits ``cfg.local_state_max_rows`` the
+    component map is computed in one vectorized driver kernel — a CC round
+    on a few MB of edges costs more in shuffle latency than it gains.
+    Above the threshold (the 10^12-doc path), iterative star contraction
+    over Dataset shuffles runs as designed ([CC-MR])."""
+    import ray.data
+
+    if not force_distributed:
+        if n_edges < 0:
+            n_edges = verified_pairs.count()
+        if n_edges <= cfg.local_state_max_rows:
+            ak, bk = [], []
+            for t in verified_pairs.select_columns(["a", "b"]).iter_batches(
+                    batch_size=65536, batch_format="pyarrow"):
+                ak.append(t["a"].to_numpy(zero_copy_only=False)
+                          .astype(np.uint64))
+                bk.append(t["b"].to_numpy(zero_copy_only=False)
+                          .astype(np.uint64))
+            a = np.concatenate(ak) if ak else np.empty(0, np.uint64)
+            b = np.concatenate(bk) if bk else np.empty(0, np.uint64)
+            nodes, lbl = local_cc_labels(a, b)
+            return ray.data.from_arrow(pa.Table.from_arrays(
+                [pa.array(nodes, pa.uint64()), pa.array(lbl, pa.uint64())],
+                names=["doc_id", "cluster_id"]))
+
     edges = verified_pairs.select_columns(["a", "b"]).map_batches(
         _orient_max_first_pairs, batch_format="pyarrow").materialize()
     prev = None

@@ -27,7 +27,8 @@ from ray_data_mplsh.functions.suffix import (
     cross_match_intervals, merge_intervals, remove_intervals,
 )
 from ray_data_mplsh.stages.pairs import dedup_pairs, _pairs_of_runs
-from ray_data_mplsh.stages.shuffle import group_runs, partition_apply
+from ray_data_mplsh.stages.shuffle import cached_get, group_runs, \
+    partition_apply, pool_size
 
 
 def _lookup_u64(sorted_keys: np.ndarray, vals: np.ndarray, q: np.ndarray,
@@ -73,6 +74,72 @@ def assign_clusters(docs_with_rep, labels, cfg: MPLSHConfig):
 
     return docs_with_rep.map_batches(Assigner, batch_format="pyarrow",
                                      concurrency=(1, 4))
+
+
+def assign_and_mark(docs_with_rep, labels, cfg: MPLSHConfig):
+    """Fused ops 19b+20: add ``cluster_id`` AND ``is_canonical`` in a SINGLE
+    pass over the corpus.
+
+    The per-cluster minimum doc_id is computed from the SLIM (doc_id,
+    rep_id) projection only — per-batch partial minima (combiner pattern:
+    pre-aggregate inside map_batches, SURVEY.md §4.3) merged driver-side —
+    so the wide text columns move exactly once, in the final annotate pass.
+    Partial-minima volume is bounded by the cluster count (itself bounded
+    by the verified-pair doc count), the same small-side bound that gates
+    every broadcast in this engine."""
+    import ray
+
+    lref = ray.put(gather_kv(labels, "doc_id", "cluster_id"))
+
+    def partial_min(batch: pa.Table) -> pa.Table:
+        keys, vals = cached_get(lref)
+        rep = batch["rep_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        cid = _lookup_u64(keys, vals, rep, default=rep)
+        order, starts = group_runs(cid)
+        mins = np.minimum.reduceat(did[order], starts[:-1]) \
+            if len(cid) else np.empty(0, np.uint64)
+        return pa.Table.from_arrays([
+            pa.array(cid[order][starts[:-1]] if len(cid) else cid,
+                     pa.uint64()),
+            pa.array(mins, pa.uint64()),
+        ], names=["cluster_id", "canonical_id"])
+
+    partial = docs_with_rep.select_columns(["doc_id", "rep_id"]) \
+        .map_batches(partial_min, batch_format="pyarrow")
+    ck, cv = [], []
+    for b in partial.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        ck.append(b["cluster_id"].to_numpy(zero_copy_only=False)
+                  .astype(np.uint64))
+        cv.append(b["canonical_id"].to_numpy(zero_copy_only=False)
+                  .astype(np.uint64))
+    if ck:
+        k = np.concatenate(ck)
+        v = np.concatenate(cv)
+        o = np.lexsort((v, k))
+        k, v = k[o], v[o]
+        first = np.concatenate(([True], k[1:] != k[:-1]))
+        k, v = k[first], v[first]  # per-cluster global min (sorted by k)
+    else:
+        k = v = np.empty(0, np.uint64)
+    cref = ray.put((k, v))
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        lk, lv = cached_get(lref)
+        ck, cv = cached_get(cref)
+        rep = batch["rep_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        cid = _lookup_u64(lk, lv, rep, default=rep)
+        canon = _lookup_u64(ck, cv, cid, default=cid)
+        out = batch.append_column("cluster_id", pa.array(cid, pa.uint64()))
+        return out.append_column("is_canonical",
+                                 pa.array(did == canon, pa.bool_()))
+
+    return docs_with_rep.map_batches(annotate, batch_format="pyarrow")
 
 
 def _cluster_min(part: pa.Table) -> pa.Table:
@@ -139,8 +206,17 @@ def _fp_pairs_fn(cap: int):
         order, starts = group_runs(fp)
         a, b = _pairs_of_runs(ids[order], starts, cap)
         keep = a != b
-        return pa.Table.from_arrays([pa.array(a[keep], pa.uint64()),
-                                     pa.array(b[keep], pa.uint64())],
+        a, b = a[keep], b[keep]
+        # combiner: docs sharing many k-grams repeat the same pair within
+        # this partition — dedup locally before the global pair shuffle
+        if len(a):
+            o = np.lexsort((b, a))
+            a, b = a[o], b[o]
+            first = np.concatenate(
+                ([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+            a, b = a[first], b[first]
+        return pa.Table.from_arrays([pa.array(a, pa.uint64()),
+                                     pa.array(b, pa.uint64())],
                                     names=["a", "b"])
     return fn
 
@@ -178,34 +254,51 @@ def substring_stage(dedup_out, cfg: MPLSHConfig, num_partitions: int):
     ``final_text`` (null for non-canonical docs) and updated is_canonical."""
     import ray
 
+    # dedup_out (the marked corpus) feeds three consumers: the fingerprint
+    # pass, the pair-text broadcast and the final rewrite. Materialize once
+    # so the upstream chain doesn't re-execute per consumer.
+    dedup_out = dedup_out.materialize()
     canon = dedup_out.filter(expr="is_canonical == True") \
-        .select_columns(["doc_id", "text"])
+        .select_columns(["doc_id", "text"]).materialize()
     fps = canon.map_batches(_fingerprint_emitter(cfg), batch_format="pyarrow")
     pairs = partition_apply(fps, "fp", _fp_pairs_fn(cfg.substr_bucket_cap),
                             num_partitions)
-    pairs = dedup_pairs(pairs, num_partitions)
+    pairs = dedup_pairs(pairs, num_partitions,
+                        local_max_rows=cfg.local_state_max_rows)
 
-    # attach texts (broadcast path; join path kicks in above the threshold)
-    texts_kv = {}
-    for bt in canon.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        ids = bt["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        for i, t in zip(ids, bt["text"].to_pylist()):
-            texts_kv[int(i)] = t
-    tref = ray.put(texts_kv)
+    # attach texts (broadcast path; join path kicks in above the threshold).
+    # Texts are broadcast as a zero-copy Arrow table + sorted id index; the
+    # per-actor __init__ deserializes ONCE (a plain fn would re-unpickle the
+    # lookup on every batch).
+    canon_tbl = pa.concat_tables(
+        list(canon.iter_batches(batch_size=65536, batch_format="pyarrow")))
+    order = pa.compute.sort_indices(canon_tbl["doc_id"])
+    tref = ray.put(canon_tbl.take(order))
 
-    def attach(batch: pa.Table) -> pa.Table:
-        kv = ray.get(tref)
+    extractor = _SpanExtractor(cfg.substr_len)
+
+    def span_worker(batch: pa.Table) -> pa.Table:
+        t = cached_get(tref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        texts = t["text"]
+
+        def text_of(x):
+            i = int(np.searchsorted(ids, x))
+            if i < len(ids) and ids[i] == x:
+                return texts[i].as_py()
+            return ""
+
         a = batch["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
         b = batch["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        return pa.Table.from_arrays([
+        withtexts = pa.Table.from_arrays([
             batch["a"], batch["b"],
-            pa.array([kv.get(int(x), "") for x in a], pa.string()),
-            pa.array([kv.get(int(x), "") for x in b], pa.string()),
+            pa.array([text_of(x) for x in a], pa.string()),
+            pa.array([text_of(x) for x in b], pa.string()),
         ], names=["a", "b", "text_a", "text_b"])
+        return extractor(withtexts)
 
-    spans = pairs.map_batches(attach, batch_format="pyarrow") \
-        .map_batches(_SpanExtractor, fn_constructor_args=(cfg.substr_len,),
-                     batch_format="pyarrow", concurrency=(1, 8), num_cpus=1)
+    spans = pairs.map_batches(span_worker, batch_format="pyarrow",
+                              batch_size=512)
 
     # merge intervals per doc, collect to the driver (affected docs only)
     span_map: dict[int, list[tuple[int, int]]] = {}
@@ -216,8 +309,10 @@ def substring_stage(dedup_out, cfg: MPLSHConfig, num_partitions: int):
     span_map = {d: merge_intervals(iv) for d, iv in span_map.items()}
     sref = ray.put(span_map)
 
-    def rewrite(batch: pa.Table) -> pa.Table:
-        sm = ray.get(sref)
+    def rewriter(batch: pa.Table) -> pa.Table:
+        return _rewrite_batch(batch, cached_get(sref), cfg)
+
+    def _rewrite_batch(batch: pa.Table, sm, cfg) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         canon_f = batch["is_canonical"].to_numpy(zero_copy_only=False)
         texts = batch["text"].to_pylist()
@@ -244,4 +339,4 @@ def substring_stage(dedup_out, cfg: MPLSHConfig, num_partitions: int):
         out = out.append_column("is_canonical", pa.array(keep_canon, pa.bool_()))
         return out.append_column("final_text", pa.array(finals, pa.string()))
 
-    return dedup_out.map_batches(rewrite, batch_format="pyarrow")
+    return dedup_out.map_batches(rewriter, batch_format="pyarrow")

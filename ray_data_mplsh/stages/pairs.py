@@ -135,7 +135,8 @@ def pairs_stage(band_keys, cfg: MPLSHConfig, num_partitions: int):
         pairs = partition_apply(band_keys, "band_hash",
                                 _emit_pairs_fn(cfg.bucket_cap),
                                 num_partitions)
-    return dedup_pairs(pairs, num_partitions)
+    return dedup_pairs(pairs, num_partitions,
+                       local_max_rows=cfg.local_state_max_rows)
 
 
 def _add_pair_key(batch: pa.Table) -> pa.Table:
@@ -150,6 +151,35 @@ def _unique_pairs(part: pa.Table) -> pa.Table:
     return part.take(np.sort(idx)).drop_columns(["pk"])
 
 
-def dedup_pairs(pairs, num_partitions: int):
+def dedup_pairs(pairs, num_partitions: int, *, local_max_rows: int = 0):
+    """Global pair dedup (op 16). With ``local_max_rows`` > 0 the pair set
+    is materialized and, if it fits, deduped in one driver-side
+    ``np.unique`` — a shuffle on a few-MB pair list costs more in fixed
+    latency than it buys (hybrid split, cfg.local_state_max_rows). The
+    shuffle path remains the route for web-scale pair volumes."""
+    if local_max_rows > 0:
+        import ray.data
+
+        mat = pairs.materialize()
+        if mat.count() <= local_max_rows:
+            ak, bk = [], []
+            for t in mat.select_columns(["a", "b"]).iter_batches(
+                    batch_size=131072, batch_format="pyarrow"):
+                ak.append(t["a"].to_numpy(zero_copy_only=False)
+                          .astype(np.uint64))
+                bk.append(t["b"].to_numpy(zero_copy_only=False)
+                          .astype(np.uint64))
+            a = np.concatenate(ak) if ak else np.empty(0, np.uint64)
+            b = np.concatenate(bk) if bk else np.empty(0, np.uint64)
+            if len(a):
+                o = np.lexsort((b, a))
+                a, b = a[o], b[o]
+                first = np.concatenate(
+                    ([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+                a, b = a[first], b[first]
+            return ray.data.from_arrow(pa.Table.from_arrays(
+                [pa.array(a, pa.uint64()), pa.array(b, pa.uint64())],
+                schema=PAIRS_SCHEMA))
+        pairs = mat
     keyed = pairs.map_batches(_add_pair_key, batch_format="pyarrow")
     return partition_apply(keyed, "pk", _unique_pairs, num_partitions)

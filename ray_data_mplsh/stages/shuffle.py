@@ -36,6 +36,42 @@ def default_partitions(requested: int = 0) -> int:
     return 16
 
 
+_GET_CACHE: dict = {}
+
+
+def cached_get(ref):
+    """Per-worker-process memoized ``ray.get``: broadcast payloads (numpy
+    arrays / Arrow tables) deserialize zero-copy, and the cache makes the
+    per-task cost of re-resolving a ref ~zero, so cheap broadcast-lookup
+    stages can be plain TASK functions (reusing warm workers) instead of
+    actor pools (which pay a fresh pool spin-up per stage). Actor pools
+    stay reserved for genuinely expensive per-actor setup (SURVEY.md §2.3).
+    """
+    import ray
+
+    try:
+        return _GET_CACHE[ref]
+    except KeyError:
+        val = ray.get(ref)
+        if len(_GET_CACHE) > 16:
+            _GET_CACHE.clear()
+        _GET_CACHE[ref] = val
+        return val
+
+
+def pool_size(cap: int = 0) -> int:
+    """Actor-pool width for a stateful stage: cluster CPUs - 1 (leave one
+    for the driver/executor), optionally capped."""
+    n = 4
+    try:
+        import ray
+        if ray.is_initialized():
+            n = max(int(ray.cluster_resources().get("CPU", 4)) - 1, 2)
+    except Exception:
+        pass
+    return min(n, cap) if cap > 0 else n
+
+
 def partition_on(ds, key_col: str, num_partitions: int, *,
                  salt_col: str | None = None):
     """Add a ``_part`` column = hash(key) % P. With ``salt_col``, the salt is

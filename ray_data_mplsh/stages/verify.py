@@ -82,12 +82,24 @@ class BroadcastVerifier:
 
 
 def verify_stage_broadcast(pairs, sigs, cfg: MPLSHConfig):
+    """Broadcast verify as plain TASKS: the (ids, matrix) payload is
+    zero-copy numpy out of the object store and cached per worker
+    (shuffle.cached_get), so warm task workers beat a fresh actor pool."""
     import ray
+
+    from ray_data_mplsh.stages.shuffle import cached_get
+
     sig_ref = ray.put(gather_sigs(sigs))
-    return pairs.map_batches(
-        BroadcastVerifier, fn_constructor_args=(sig_ref, cfg.verify_theta),
-        batch_format="pyarrow", batch_size=65536, concurrency=(1, 8),
-        num_cpus=1)
+    theta = cfg.verify_theta
+
+    def verify(batch: pa.Table) -> pa.Table:
+        v = BroadcastVerifier.__new__(BroadcastVerifier)
+        v.ids, v.mat = cached_get(sig_ref)
+        v.theta = theta
+        return v(batch)
+
+    return pairs.map_batches(verify, batch_format="pyarrow",
+                             batch_size=65536)
 
 
 def verify_stage_join(pairs, sigs, cfg: MPLSHConfig, num_partitions: int):

@@ -27,7 +27,7 @@ def _dsu_components(edges):
     return {n: find(n) for n in parent}
 
 
-def _run_cc(edges, ray_session):
+def _run_cc(edges, ray_session, force_distributed=True):
     import ray.data as rd
 
     t = pa.table({
@@ -36,7 +36,8 @@ def _run_cc(edges, ray_session):
         "jaccard": pa.array([1.0] * len(edges), pa.float64()),
     })
     cfg = MPLSHConfig()
-    labels = connected_components(rd.from_arrow(t), cfg, num_partitions=4)
+    labels = connected_components(rd.from_arrow(t), cfg, num_partitions=4,
+                                  force_distributed=force_distributed)
     df = labels.to_pandas()
     return dict(zip(df["doc_id"].astype(int), df["cluster_id"].astype(int)))
 
@@ -50,9 +51,13 @@ def test_star_contraction_matches_dsu(ray_session, seed, n_nodes, n_edges):
     edges = [(int(nodes[rng.integers(n_nodes)]),
               int(nodes[rng.integers(n_nodes)])) for _ in range(n_edges)]
     edges = [(a, b) for a, b in edges if a != b]
-    got = _run_cc(edges, ray_session)
     want = _dsu_components(edges)
+    # the distributed star-contraction path (the 10^12-doc route) ...
+    got = _run_cc(edges, ray_session, force_distributed=True)
     assert got == want
+    # ... and the driver-side hybrid kernel agree with the reference DSU
+    got_local = _run_cc(edges, ray_session, force_distributed=False)
+    assert got_local == want
 
 
 def test_star_contraction_chain(ray_session):

@@ -57,7 +57,7 @@ def test_minhash_matches_bruteforce():
     offs = np.array([0, 12, 20], dtype=np.int64)
     sig = minhash_signatures(sh, offs, a, b)
     for j in range(8):
-        vals = mix64(sh * a[j] + b[j])
+        vals = sh * a[j] + b[j]  # multiply-shift family, mod 2^64
         assert sig[0, j] == vals[:12].min()
         assert sig[1, j] == vals[12:].min()
 
