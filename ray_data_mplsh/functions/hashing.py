@@ -139,18 +139,38 @@ def minhash_signatures(shingles: np.ndarray, offsets: np.ndarray,
     ndocs = len(offsets) - 1
     K = len(a)
     sig = np.full((ndocs, K), np.iinfo(np.uint64).max, dtype=np.uint64)
-    if len(shingles) == 0 or ndocs == 0:
+    n_sh = len(shingles)
+    if n_sh == 0 or ndocs == 0:
         return sig
-    counts = np.diff(offsets)
-    nonempty = counts > 0
-    starts = offsets[:-1][nonempty]
-    vals = np.empty((len(shingles), min(perm_chunk, K)), dtype=np.uint64)
-    for c0 in range(0, K, perm_chunk):
-        c1 = min(c0 + perm_chunk, K)
-        v = vals[:, :c1 - c0]
-        np.multiply(shingles[:, None], a[None, c0:c1], out=v)
-        np.add(v, b[None, c0:c1], out=v)
-        sig[nonempty, c0:c1] = np.minimum.reduceat(v, starts, axis=0)
+    # chunk over SHINGLES as well as perms: the working buffer stays
+    # cache-sized (~8MB) no matter how long the batch's documents are, so
+    # a full actor pool doesn't saturate the memory bus
+    SH_CHUNK = 65536
+    pc_ = min(perm_chunk, K)
+    vals = np.empty((min(SH_CHUNK, n_sh), pc_), dtype=np.uint64)
+    doc_of_start = np.searchsorted(offsets, np.arange(0, n_sh, SH_CHUNK),
+                                   side="right") - 1
+    for ci, s0 in enumerate(range(0, n_sh, SH_CHUNK)):
+        s1 = min(s0 + SH_CHUNK, n_sh)
+        d0 = doc_of_start[ci]
+        # segment starts inside this chunk, clipped to the chunk window
+        d1 = int(np.searchsorted(offsets, s1, side="left"))
+        seg = np.clip(offsets[d0:d1], s0, s1) - s0
+        seg_docs = np.arange(d0, d1)
+        # equal starts = empty docs; keep the LAST doc of each run (the one
+        # the following shingles belong to), empties keep the sentinel
+        keep = np.concatenate((seg[1:] > seg[:-1], [True])) \
+            if len(seg) > 1 else np.ones(len(seg), bool)
+        seg, seg_docs = seg[keep], seg_docs[keep]
+        sh = shingles[s0:s1]
+        for c0 in range(0, K, pc_):
+            c1 = min(c0 + pc_, K)
+            v = vals[:s1 - s0, :c1 - c0]
+            np.multiply(sh[:, None], a[None, c0:c1], out=v)
+            np.add(v, b[None, c0:c1], out=v)
+            part = np.minimum.reduceat(v, seg, axis=0)
+            # fancy-indexed write-back (an out= target would be a copy)
+            sig[seg_docs, c0:c1] = np.minimum(sig[seg_docs, c0:c1], part)
     return sig
 
 

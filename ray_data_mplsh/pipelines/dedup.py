@@ -54,13 +54,15 @@ def run_dedup(pages, cfg: MPLSHConfig, *, extract: bool = True,
     t0 = time.monotonic()
 
     # S1: extract + filter + ids; S2: exact dedup
+    # exact_dedup_stage materializes the hashed corpus internally and
+    # returns a cheap broadcast-lookup map over it, so no extra
+    # materialize barrier is needed for reuse (reps -> sigs, all -> output)
     docs_rep = read_stage_or_compute(
         cfg, "docs",
         lambda: exact_dedup_stage(
             docs_stage(pages, cfg, extract=extract, url_col=url_col,
                        text_col=text_col, lang_col=lang_col), cfg, P),
         counters)
-    docs_rep = docs_rep.materialize()  # reused: reps -> sigs, all -> output
     reps = docs_rep.map_batches(_only_reps, batch_format="pyarrow")
 
     # S3: MinHash signatures (actor pool) — the expensive stage, checkpointed

@@ -39,7 +39,55 @@ def _assign_reps(part: pa.Table) -> pa.Table:
     return part.append_column("rep_id", pa.array(rep, pa.uint64()))
 
 
+def _rep_member_pairs(part: pa.Table) -> pa.Table:
+    """Per partition: (doc_id, rep_id) rows for DUP MEMBERS ONLY (rep !=
+    doc) — the broadcast-side payload of the hybrid path."""
+    th = part["text_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    ids = part["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    order, starts = group_runs(th)
+    sorted_ids = ids[order]
+    if len(ids) == 0:
+        e = np.empty(0, np.uint64)
+        return pa.Table.from_arrays([pa.array(e, pa.uint64()),
+                                     pa.array(e, pa.uint64())],
+                                    names=["doc_id", "rep_id"])
+    run_min = np.minimum.reduceat(sorted_ids, starts[:-1])
+    rep = np.repeat(run_min, np.diff(starts))
+    member = sorted_ids != rep
+    return pa.Table.from_arrays([
+        pa.array(sorted_ids[member], pa.uint64()),
+        pa.array(rep[member], pa.uint64()),
+    ], names=["doc_id", "rep_id"])
+
+
 def exact_dedup_stage(docs, cfg: MPLSHConfig, num_partitions: int):
-    """docs -> docs + (text_hash, rep_id)."""
-    hashed = docs.map_batches(add_text_hash, batch_format="pyarrow")
+    """docs -> docs + (text_hash, rep_id).
+
+    Hybrid: the shuffle runs over the SLIM (doc_id, text_hash) projection
+    only; when the dup-member map fits ``cfg.broadcast_max_docs`` it is
+    broadcast and rep_id is annotated map-side, so the wide text column
+    never crosses the wire. Above the threshold, the full sorted-shuffle
+    path co-locates equal hashes (the 10^12-doc route, where the member
+    map itself is too big for one node)."""
+    import ray
+
+    from ray_data_mplsh.stages.shuffle import cached_get, gather_kv, \
+        lookup_u64
+
+    hashed = docs.map_batches(add_text_hash,
+                              batch_format="pyarrow").materialize()
+    slim = hashed.select_columns(["doc_id", "text_hash"])
+    members = partition_apply(slim, "text_hash", _rep_member_pairs,
+                              num_partitions).materialize()
+    if members.count() <= cfg.broadcast_max_docs:
+        ref = ray.put(gather_kv(members, "doc_id", "rep_id"))
+
+        def annotate(batch: pa.Table) -> pa.Table:
+            keys, vals = cached_get(ref)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            rep = lookup_u64(keys, vals, ids, default=ids)
+            return batch.append_column("rep_id", pa.array(rep, pa.uint64()))
+
+        return hashed.map_batches(annotate, batch_format="pyarrow")
     return partition_apply(hashed, "text_hash", _assign_reps, num_partitions)

@@ -31,30 +31,9 @@ from ray_data_mplsh.stages.shuffle import cached_get, group_runs, \
     partition_apply, pool_size
 
 
-def _lookup_u64(sorted_keys: np.ndarray, vals: np.ndarray, q: np.ndarray,
-                default: np.ndarray) -> np.ndarray:
-    """Vectorized sorted-array lookup with per-row default."""
-    if len(sorted_keys) == 0:
-        return default
-    i = np.clip(np.searchsorted(sorted_keys, q), 0, len(sorted_keys) - 1)
-    hit = sorted_keys[i] == q
-    out = default.copy()
-    out[hit] = vals[i[hit]]
-    return out
+from ray_data_mplsh.stages.shuffle import gather_kv, lookup_u64
 
-
-def gather_kv(ds, key_col: str, val_col: str) -> tuple[np.ndarray, np.ndarray]:
-    ks, vs = [], []
-    for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        ks.append(b[key_col].to_numpy(zero_copy_only=False).astype(np.uint64))
-        vs.append(b[val_col].to_numpy(zero_copy_only=False).astype(np.uint64))
-    if not ks:
-        e = np.empty(0, np.uint64)
-        return e, e
-    k = np.concatenate(ks)
-    v = np.concatenate(vs)
-    o = np.argsort(k)
-    return k[o], v[o]
+_lookup_u64 = lookup_u64  # back-compat alias
 
 
 def assign_clusters(docs_with_rep, labels, cfg: MPLSHConfig):
@@ -270,22 +249,26 @@ def substring_stage(dedup_out, cfg: MPLSHConfig, num_partitions: int):
     # Texts are broadcast as a zero-copy Arrow table + sorted id index; the
     # per-actor __init__ deserializes ONCE (a plain fn would re-unpickle the
     # lookup on every batch).
+    # broadcast payload: (sorted ids, permutation, table) — sorting the id
+    # INDEX instead of .take()ing the table avoids a driver-side copy of
+    # the full canonical text column
     canon_tbl = pa.concat_tables(
         list(canon.iter_batches(batch_size=65536, batch_format="pyarrow")))
-    order = pa.compute.sort_indices(canon_tbl["doc_id"])
-    tref = ray.put(canon_tbl.take(order))
+    ids_un = canon_tbl["doc_id"].to_numpy(zero_copy_only=False) \
+        .astype(np.uint64)
+    perm = np.argsort(ids_un, kind="stable")
+    tref = ray.put((ids_un[perm], perm.astype(np.int64),
+                    canon_tbl["text"].combine_chunks()))
 
     extractor = _SpanExtractor(cfg.substr_len)
 
     def span_worker(batch: pa.Table) -> pa.Table:
-        t = cached_get(tref)
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        texts = t["text"]
+        sorted_ids, perm, texts = cached_get(tref)
 
         def text_of(x):
-            i = int(np.searchsorted(ids, x))
-            if i < len(ids) and ids[i] == x:
-                return texts[i].as_py()
+            i = int(np.searchsorted(sorted_ids, x))
+            if i < len(sorted_ids) and sorted_ids[i] == x:
+                return texts[int(perm[i])].as_py()
             return ""
 
         a = batch["a"].to_numpy(zero_copy_only=False).astype(np.uint64)

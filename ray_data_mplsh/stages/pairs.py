@@ -177,9 +177,11 @@ def dedup_pairs(pairs, num_partitions: int, *, local_max_rows: int = 0):
                 first = np.concatenate(
                     ([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
                 a, b = a[first], b[first]
-            return ray.data.from_arrow(pa.Table.from_arrays(
+            from ray_data_mplsh.stages.shuffle import from_arrow_blocks
+
+            return from_arrow_blocks(pa.Table.from_arrays(
                 [pa.array(a, pa.uint64()), pa.array(b, pa.uint64())],
-                schema=PAIRS_SCHEMA))
+                schema=PAIRS_SCHEMA), target_rows=2048)
         pairs = mat
     keyed = pairs.map_batches(_add_pair_key, batch_format="pyarrow")
     return partition_apply(keyed, "pk", _unique_pairs, num_partitions)

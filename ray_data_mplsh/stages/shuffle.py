@@ -103,6 +103,34 @@ def partition_apply(ds, key_col: str, fn: Callable[[pa.Table], pa.Table],
     return parted.groupby("_part").map_groups(per_part, batch_format="pyarrow")
 
 
+def lookup_u64(sorted_keys: np.ndarray, vals: np.ndarray, q: np.ndarray,
+               default: np.ndarray) -> np.ndarray:
+    """Vectorized sorted-array lookup with per-row default."""
+    if len(sorted_keys) == 0:
+        return default
+    i = np.clip(np.searchsorted(sorted_keys, q), 0, len(sorted_keys) - 1)
+    hit = sorted_keys[i] == q
+    out = default.copy()
+    out[hit] = vals[i[hit]]
+    return out
+
+
+def gather_kv(ds, key_col: str, val_col: str) -> tuple:
+    """Collect a (key, value) Dataset to sorted parallel uint64 arrays —
+    the broadcast-side payload for map-side lookups."""
+    ks, vs = [], []
+    for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        ks.append(b[key_col].to_numpy(zero_copy_only=False).astype(np.uint64))
+        vs.append(b[val_col].to_numpy(zero_copy_only=False).astype(np.uint64))
+    if not ks:
+        e = np.empty(0, np.uint64)
+        return e, e
+    k = np.concatenate(ks)
+    v = np.concatenate(vs)
+    o = np.argsort(k)
+    return k[o], v[o]
+
+
 def broadcast_join(left, right: pa.Table, *, left_on: str, right_on: str,
                    join_type: str = "inner"):
     """Map-side join against a SMALL right table: ``ray.put`` once, every
@@ -120,6 +148,21 @@ def broadcast_join(left, right: pa.Table, *, left_on: str, right_on: str,
                           join_type=join_type)
 
     return left.map_batches(bj, batch_format="pyarrow")
+
+
+def from_arrow_blocks(table: pa.Table, target_rows: int = 4096):
+    """``ray.data.from_arrow`` with the table pre-sliced into multiple
+    blocks. A single-block Dataset executes downstream map_batches as ONE
+    task regardless of batch_size — any driver-built table feeding a
+    parallel stage must be split first."""
+    import ray.data
+
+    n = table.num_rows
+    if n <= target_rows:
+        return ray.data.from_arrow(table)
+    slices = [table.slice(i, target_rows)
+              for i in range(0, n, target_rows)]
+    return ray.data.from_arrow(slices)
 
 
 def group_runs(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
