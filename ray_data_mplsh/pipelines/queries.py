@@ -326,6 +326,13 @@ def q_fingerprints(sf_dir: str):
     return ds.map_batches(fp, batch_format="pyarrow")
 
 
+def q_sample(sf_dir: str):
+    """Seeded sample for manual QA (op 32). Deterministic for a fixed
+    seed; rows-only (DuckDB's sampling RNG differs by construction)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return ds.random_sample(0.05, seed=42)
+
+
 # ------------------------- registry ---------------------------------------
 
 QUERIES = {
@@ -346,6 +353,7 @@ QUERIES = {
     "q_simhash_pairs": q_simhash_pairs,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_fingerprints": q_fingerprints,
+    "q_sample": q_sample,
 }
 
 ORACLE_SQL = {

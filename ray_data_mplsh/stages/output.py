@@ -36,25 +36,6 @@ from ray_data_mplsh.stages.shuffle import gather_kv, lookup_u64
 _lookup_u64 = lookup_u64  # back-compat alias
 
 
-def assign_clusters(docs_with_rep, labels, cfg: MPLSHConfig):
-    """docs (.., rep_id) + labels (doc_id, cluster_id) ->
-    docs + cluster_id. cluster(doc) = labels[rep] if present else rep."""
-    import ray
-    ref = ray.put(gather_kv(labels, "doc_id", "cluster_id"))
-
-    class Assigner:
-        def __init__(self):
-            self.keys, self.vals = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            rep = batch["rep_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            cid = _lookup_u64(self.keys, self.vals, rep, default=rep)
-            return batch.append_column("cluster_id", pa.array(cid, pa.uint64()))
-
-    return docs_with_rep.map_batches(Assigner, batch_format="pyarrow",
-                                     concurrency=(1, 4))
-
-
 def assign_and_mark(docs_with_rep, labels, cfg: MPLSHConfig):
     """Fused ops 19b+20: add ``cluster_id`` AND ``is_canonical`` in a SINGLE
     pass over the corpus.
@@ -119,43 +100,6 @@ def assign_and_mark(docs_with_rep, labels, cfg: MPLSHConfig):
                                  pa.array(did == canon, pa.bool_()))
 
     return docs_with_rep.map_batches(annotate, batch_format="pyarrow")
-
-
-def _cluster_min(part: pa.Table) -> pa.Table:
-    cid = part["cluster_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-    did = part["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-    order, starts = group_runs(cid)
-    if len(cid) == 0:
-        return pa.Table.from_arrays([pa.array([], pa.uint64()),
-                                     pa.array([], pa.uint64())],
-                                    names=["cluster_id", "canonical_id"])
-    mins = np.minimum.reduceat(did[order], starts[:-1])
-    return pa.Table.from_arrays([
-        pa.array(cid[order][starts[:-1]], pa.uint64()),
-        pa.array(mins, pa.uint64()),
-    ], names=["cluster_id", "canonical_id"])
-
-
-def mark_canonical(docs_clustered, cfg: MPLSHConfig, num_partitions: int):
-    """Adds is_canonical = (doc_id == min doc_id of cluster) (op 20)."""
-    import ray
-    slim = docs_clustered.select_columns(["doc_id", "cluster_id"])
-    mins = partition_apply(slim, "cluster_id", _cluster_min, num_partitions)
-    ref = ray.put(gather_kv(mins, "cluster_id", "canonical_id"))
-
-    class Marker:
-        def __init__(self):
-            self.keys, self.vals = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            cid = batch["cluster_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            canon = _lookup_u64(self.keys, self.vals, cid, default=cid)
-            return batch.append_column("is_canonical",
-                                       pa.array(did == canon, pa.bool_()))
-
-    return docs_clustered.map_batches(Marker, batch_format="pyarrow",
-                                      concurrency=(1, 4))
 
 
 # ------------------------- substring pass (op 24) -------------------------

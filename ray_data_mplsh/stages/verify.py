@@ -103,18 +103,40 @@ def verify_stage_broadcast(pairs, sigs, cfg: MPLSHConfig):
 
 
 def verify_stage_join(pairs, sigs, cfg: MPLSHConfig, num_partitions: int):
-    sig_a = sigs.select_columns(["doc_id", "sig"]) \
-        .rename_columns(["a", "sig_a"])
-    sig_b = sigs.select_columns(["doc_id", "sig"]) \
-        .rename_columns(["b", "sig_b"])
+    """Ray-native Dataset.join variant (op 17): signatures ride as
+    fixed_size_binary payloads — Acero's hash join rejects
+    fixed_size_list non-key fields, and the binary re-encode is a
+    zero-copy buffer view both ways."""
+    K = cfg.num_perm
+
+    def to_bin(name):
+        def f(t: pa.Table) -> pa.Table:
+            mat = sig_matrix(t)
+            buf = pa.py_buffer(np.ascontiguousarray(mat).tobytes())
+            arr = pa.Array.from_buffers(pa.binary(K * 8), len(mat),
+                                        [None, buf])
+            return pa.table({name[0]: t["doc_id"], name[1]: arr})
+        return f
+
+    sig_a = sigs.map_batches(to_bin(("a", "sig_a")), batch_format="pyarrow")
+    sig_b = sigs.map_batches(to_bin(("b", "sig_b")), batch_format="pyarrow")
     j = pairs.join(sig_a, "inner", num_partitions, on=("a",))
     j = j.join(sig_b, "inner", num_partitions, on=("b",))
+
+    def from_bin(col, t: pa.Table) -> np.ndarray:
+        arr = t[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if len(arr) == 0:
+            return np.empty((0, K), np.uint64)
+        return np.frombuffer(b"".join(arr.to_pylist()),
+                             dtype=np.uint64).reshape(-1, K)
 
     def kernel(batch: pa.Table) -> pa.Table:
         a = batch["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
         b = batch["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        return _verify_kernel(a, b, sig_matrix(batch, "sig_a"),
-                              sig_matrix(batch, "sig_b"), cfg.verify_theta)
+        return _verify_kernel(a, b, from_bin("sig_a", batch),
+                              from_bin("sig_b", batch), cfg.verify_theta)
 
     return j.map_batches(kernel, batch_format="pyarrow")
 
