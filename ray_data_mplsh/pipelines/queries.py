@@ -326,6 +326,23 @@ def q_fingerprints(sf_dir: str):
     return ds.map_batches(fp, batch_format="pyarrow")
 
 
+_BPE_PATTERN = (r"'(?:[sdmt]|ll|ve|re)| ?[\pL]+| ?[\pN]+"
+                r"| ?[^\s\pL\pN]+|\s+")
+
+
+def q_bpe_token_counts(sf_dir: str):
+    """GPT-2-style pre-tokenizer token counting: the same RE2 pattern runs
+    in pyarrow and DuckDB, so parity is exact."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def count(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t["text"], _BPE_PATTERN)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_bpe_tokens": pc.cast(n, pa.int64())})
+
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
 def q_sample(sf_dir: str):
     """Seeded sample for manual QA (op 32). Deterministic for a fixed
     seed; rows-only (DuckDB's sampling RNG differs by construction)."""
@@ -353,6 +370,7 @@ QUERIES = {
     "q_simhash_pairs": q_simhash_pairs,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_fingerprints": q_fingerprints,
+    "q_bpe_token_counts": q_bpe_token_counts,
     "q_sample": q_sample,
 }
 
@@ -377,6 +395,10 @@ ORACLE_SQL = {
         "AS k, COUNT(*) AS cnt, "
         "SUM(CAST(ROUND(value * 100) AS BIGINT)) / (COUNT(*) * 100.0) "
         "AS avg_value FROM events GROUP BY 1",
+    "q_bpe_token_counts":
+        "SELECT doc_id, len(regexp_extract_all(text, "
+        "'''(?:[sdmt]|ll|ve|re)| ?[\\pL]+| ?[\\pN]+| ?[^\\s\\pL\\pN]+|\\s+'"
+        ")) AS n_bpe_tokens FROM documents",
     "q_join_ord_cust":
         "SELECT c_mktsegment, COUNT(*) AS cnt, "
         "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
