@@ -20,5 +20,29 @@ Arrow batches; no ``ray.init`` is ever called inside this package.
 
 from ray_data_mplsh.config import MPLSHConfig
 
-__all__ = ["MPLSHConfig"]
+__all__ = ["MPLSHConfig", "run_dedup", "read_pages", "read_documents",
+           "synth_pages", "knn_bruteforce", "knn_lsh", "embedding_near_dup"]
 __version__ = "0.1.0"
+
+_LAZY = {
+    "run_dedup": ("ray_data_mplsh.pipelines.dedup", "run_dedup"),
+    "read_pages": ("ray_data_mplsh.sources", "read_pages"),
+    "read_documents": ("ray_data_mplsh.sources", "read_documents"),
+    "synth_pages": ("ray_data_mplsh.fixtures", "synth_pages"),
+    "knn_bruteforce": ("ray_data_mplsh.pipelines.similarity",
+                       "knn_bruteforce"),
+    "knn_lsh": ("ray_data_mplsh.pipelines.similarity", "knn_lsh"),
+    "embedding_near_dup": ("ray_data_mplsh.pipelines.similarity",
+                           "embedding_near_dup"),
+}
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps package import light)."""
+    try:
+        mod, attr = _LAZY[name]
+    except KeyError:
+        raise AttributeError(name) from None
+    import importlib
+
+    return getattr(importlib.import_module(mod), attr)

@@ -330,6 +330,50 @@ _BPE_PATTERN = (r"'(?:[sdmt]|ll|ve|re)| ?[\pL]+| ?[\pN]+"
                 r"| ?[^\s\pL\pN]+|\s+")
 
 
+def q_lineitem_agg(sf_dir: str):
+    """TPC-H Q1-style wide aggregate: combiner-friendly groupby over the
+    biggest fact table, money summed in exact integer cents."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+            "price_cents": pc.cast(pc.round(
+                pc.multiply(t["l_extendedprice"], 100)), pa.int64()),
+        })
+
+    return ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "l_linestatus"]) \
+        .aggregate(Count(alias_name="cnt"),
+                   Sum("qty", alias_name="sum_qty"),
+                   Sum("price_cents", alias_name="sum_price_cents"))
+
+
+def q_region_nation(sf_dir: str):
+    """Two-level broadcast join over tiny dimension tables (region ->
+    nation -> customer count)."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count
+
+    cust = _read(sf_dir, "customer", ["c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_regionkey", "n_name"])
+    region = pq.read_table(f"{sf_dir}/region.parquet",
+                           columns=["r_regionkey", "r_name"])
+    dim = nation.join(region, keys=["n_regionkey"],
+                      right_keys=["r_regionkey"])
+    j = broadcast_join(cust, dim, left_on="c_nationkey",
+                       right_on="n_nationkey")
+    return j.groupby(["r_name", "n_name"]).aggregate(
+        Count(alias_name="cnt"))
+
+
 def q_bpe_token_counts(sf_dir: str):
     """GPT-2-style pre-tokenizer token counting: the same RE2 pattern runs
     in pyarrow and DuckDB, so parity is exact."""
@@ -371,6 +415,8 @@ QUERIES = {
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_fingerprints": q_fingerprints,
     "q_bpe_token_counts": q_bpe_token_counts,
+    "q_lineitem_agg": q_lineitem_agg,
+    "q_region_nation": q_region_nation,
     "q_sample": q_sample,
 }
 
@@ -399,6 +445,17 @@ ORACLE_SQL = {
         "SELECT doc_id, len(regexp_extract_all(text, "
         "'''(?:[sdmt]|ll|ve|re)| ?[\\pL]+| ?[\\pN]+| ?[^\\s\\pL\\pN]+|\\s+'"
         ")) AS n_bpe_tokens FROM documents",
+    "q_lineitem_agg":
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, "
+        "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, "
+        "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS sum_price_cents "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus",
+    "q_region_nation":
+        "SELECT r_name, n_name, COUNT(*) AS cnt "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY r_name, n_name",
     "q_join_ord_cust":
         "SELECT c_mktsegment, COUNT(*) AS cnt, "
         "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
