@@ -227,13 +227,27 @@ def substring_stage(dedup_out, cfg: MPLSHConfig, num_partitions: int):
     spans = pairs.map_batches(span_worker, batch_format="pyarrow",
                               batch_size=512)
 
-    # merge intervals per doc, collect to the driver (affected docs only)
-    span_map: dict[int, list[tuple[int, int]]] = {}
+    # merge intervals per doc, collect to the driver (affected docs only) —
+    # vectorized: one lexsort over all interval rows, per-doc slices merged
+    dds, sss, ees = [], [], []
     for bt in spans.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        for d, s, e in zip(bt["doc_id"].to_pylist(), bt["start"].to_pylist(),
-                           bt["end"].to_pylist()):
-            span_map.setdefault(int(d), []).append((int(s), int(e)))
-    span_map = {d: merge_intervals(iv) for d, iv in span_map.items()}
+        dds.append(bt["doc_id"].to_numpy(zero_copy_only=False)
+                   .astype(np.uint64))
+        sss.append(bt["start"].to_numpy(zero_copy_only=False))
+        ees.append(bt["end"].to_numpy(zero_copy_only=False))
+    span_map: dict[int, list[tuple[int, int]]] = {}
+    if dds:
+        d = np.concatenate(dds)
+        s0 = np.concatenate(sss)
+        e0 = np.concatenate(ees)
+        o = np.lexsort((s0, d))
+        d, s0, e0 = d[o], s0[o], e0[o]
+        starts = np.flatnonzero(np.concatenate(([True], d[1:] != d[:-1])))
+        bounds = np.concatenate([starts, [len(d)]])
+        for gi in range(len(starts)):
+            lo, hi = bounds[gi], bounds[gi + 1]
+            span_map[int(d[lo])] = merge_intervals(
+                list(zip(s0[lo:hi].tolist(), e0[lo:hi].tolist())))
     sref = ray.put(span_map)
 
     def rewriter(batch: pa.Table) -> pa.Table:

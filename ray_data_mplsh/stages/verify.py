@@ -35,19 +35,24 @@ VERIFIED_SCHEMA = pa.schema([
     ("a", pa.uint64()), ("b", pa.uint64()), ("jaccard", pa.float64())])
 
 
-def gather_sigs(sigs) -> tuple[np.ndarray, np.ndarray]:
-    """Materialize a sigs Dataset to (sorted ids, matrix) — broadcast side."""
+def gather_sigs(sigs) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Materialize a sigs Dataset to (sorted ids, permutation, matrix) —
+    the broadcast-side payload. The matrix stays in iteration order; the
+    permutation indirects lookups, which avoids a full reorder copy of the
+    (n, K) matrix on the driver (it is the largest driver-touched buffer).
+    """
     ids_parts, mats = [], []
     for batch in sigs.iter_batches(batch_size=8192, batch_format="pyarrow"):
         ids_parts.append(batch["doc_id"].to_numpy(zero_copy_only=False)
                          .astype(np.uint64))
         mats.append(sig_matrix(batch))
     if not ids_parts:
-        return np.empty(0, np.uint64), np.empty((0, 0), np.uint64)
+        e = np.empty(0, np.uint64)
+        return e, np.empty(0, np.int64), np.empty((0, 0), np.uint64)
     ids = np.concatenate(ids_parts)
     mat = np.vstack(mats)
-    order = np.argsort(ids)
-    return ids[order], mat[order]
+    order = np.argsort(ids, kind="stable").astype(np.int64)
+    return ids[order], order, mat
 
 
 def _verify_kernel(a, b, mat_a, mat_b, theta):
@@ -61,11 +66,11 @@ def _verify_kernel(a, b, mat_a, mat_b, theta):
 
 
 class BroadcastVerifier:
-    """Actor-pool stage: sig lookup table fetched once per actor."""
+    """Sig lookup against the broadcast (sorted ids, perm, matrix)."""
 
     def __init__(self, sig_ref, theta: float):
         import ray
-        self.ids, self.mat = ray.get(sig_ref)  # zero-copy plasma views
+        self.ids, self.perm, self.mat = ray.get(sig_ref)  # zero-copy views
         self.theta = theta
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -77,8 +82,8 @@ class BroadcastVerifier:
         ok = (ia < len(self.ids)) & (ib < len(self.ids))
         ia, ib = np.clip(ia, 0, len(self.ids) - 1), np.clip(ib, 0, len(self.ids) - 1)
         ok &= (self.ids[ia] == a) & (self.ids[ib] == b)
-        return _verify_kernel(a[ok], b[ok], self.mat[ia[ok]], self.mat[ib[ok]],
-                              self.theta)
+        return _verify_kernel(a[ok], b[ok], self.mat[self.perm[ia[ok]]],
+                              self.mat[self.perm[ib[ok]]], self.theta)
 
 
 def verify_stage_broadcast(pairs, sigs, cfg: MPLSHConfig):
@@ -94,7 +99,7 @@ def verify_stage_broadcast(pairs, sigs, cfg: MPLSHConfig):
 
     def verify(batch: pa.Table) -> pa.Table:
         v = BroadcastVerifier.__new__(BroadcastVerifier)
-        v.ids, v.mat = cached_get(sig_ref)
+        v.ids, v.perm, v.mat = cached_get(sig_ref)
         v.theta = theta
         return v(batch)
 
