@@ -38,3 +38,31 @@ def read_documents(sf_dir: str, *, columns=None):
 def union_shards(*datasets):
     first, *rest = datasets
     return first.union(*rest) if rest else first
+
+
+def read_pages_csv(paths, **kw):
+    """CSV crawl exports (html column base64-encoded by convention)."""
+    import base64
+
+    import pyarrow as pa
+    import ray.data
+
+    ds = ray.data.read_csv(paths, **kw)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        if "html" in batch.column_names and \
+                pa.types.is_string(batch["html"].type):
+            raw = [base64.b64decode(x) if x else b""
+                   for x in batch["html"].to_pylist()]
+            i = batch.schema.get_field_index("html")
+            batch = batch.set_column(i, "html", pa.array(raw, pa.binary()))
+        return batch
+
+    return ds.map_batches(decode, batch_format="pyarrow")
+
+
+def read_pages_json(paths, **kw):
+    """JSONL crawl exports (one page object per line)."""
+    import ray.data
+
+    return ray.data.read_json(paths, **kw)
