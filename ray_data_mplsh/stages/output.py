@@ -196,8 +196,12 @@ def substring_stage(dedup_out, cfg: MPLSHConfig, num_partitions: int):
     # broadcast payload: (sorted ids, permutation, table) — sorting the id
     # INDEX instead of .take()ing the table avoids a driver-side copy of
     # the full canonical text column
-    canon_tbl = pa.concat_tables(
-        list(canon.iter_batches(batch_size=65536, batch_format="pyarrow")))
+    canon_batches = list(canon.iter_batches(batch_size=65536,
+                                            batch_format="pyarrow"))
+    if not canon_batches:   # empty corpus: no canonical docs, no spans
+        canon_batches = [pa.table({"doc_id": pa.array([], pa.uint64()),
+                                   "text": pa.array([], pa.string())})]
+    canon_tbl = pa.concat_tables(canon_batches)
     ids_un = canon_tbl["doc_id"].to_numpy(zero_copy_only=False) \
         .astype(np.uint64)
     perm = np.argsort(ids_un, kind="stable")
