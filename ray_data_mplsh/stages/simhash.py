@@ -137,11 +137,6 @@ def simhash_pairs(docs, cfg: MPLSHConfig, num_partitions: int,
     sigs = docs.select_columns(["doc_id", "text"]).map_batches(
         SimHasher, fn_constructor_args=(cfg,), batch_format="pyarrow",
         batch_size=cfg.minhash_batch_size, concurrency=(1, 4), num_cpus=1)
-    bands = sigs.map_batches(make_simhash_band_emitter(cfg),
-                             batch_format="pyarrow")
-
-    # attach sig to each band row (cheap: 8 bytes), pair within buckets
-    sig_small = sigs.select_columns(["doc_id", "simhash"])
 
     def attach_pairs(part: pa.Table) -> pa.Table:
         bh = part["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -183,13 +178,8 @@ def simhash_pairs(docs, cfg: MPLSHConfig, num_partitions: int,
                          "b": pa.array(b[keep], pa.uint64()),
                          "hamming": pa.array(ham[keep].astype(np.int64))})
 
-    # band rows already carry doc_id; join sig by riding it through the
-    # emitter would duplicate work — instead do a compact broadcast-free
-    # merge: union band rows with (doc_id-keyed) sig rows is overkill at
-    # 8 bytes/doc, so re-emit bands WITH simhash column directly.
-    def add_sig_cols(batch: pa.Table) -> pa.Table:
-        return batch
-
+    # bands re-emitted WITH the 8-byte simhash column riding along — no
+    # join needed to verify Hamming distance inside the pair shuffle
     bands_with_sig = sigs.map_batches(
         _emit_with_sig(cfg), batch_format="pyarrow")
     pairs = partition_apply(bands_with_sig, "band_hash", attach_pairs,
