@@ -77,9 +77,12 @@ def _dedup_edges(u: np.ndarray, v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     u, v = u[keep], v[keep]
     if len(u) == 0:
         return u, v
-    key = mix64(u * np.uint64(0x9E3779B97F4A7C15)) ^ mix64(v)
-    _, idx = np.unique(key, return_index=True)
-    return u[idx], v[idx]
+    # exact (u, v) dedup: a hashed-key collision would silently drop an
+    # edge and could split a component
+    o = np.lexsort((v, u))
+    u, v = u[o], v[o]
+    first = np.concatenate(([True], (u[1:] != u[:-1]) | (v[1:] != v[:-1])))
+    return u[first], v[first]
 
 
 def _large_star(part: pa.Table) -> pa.Table:

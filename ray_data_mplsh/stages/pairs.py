@@ -72,11 +72,15 @@ def _emit_pairs_fn(cap: int):
         a, b = _pairs_of_runs(ids[order], starts, cap)
         keep = a != b
         a, b = a[keep], b[keep]
-        # local dedup (cheap; global dedup happens in dedup_pairs)
+        # local dedup (cheap; global dedup happens in dedup_pairs) —
+        # exact lexsort, not a hashed key (a key collision would DROP a
+        # distinct pair)
         if len(a):
-            key = mix64(a) ^ mix64(b)
-            _, idx = np.unique(key, return_index=True)
-            a, b = a[idx], b[idx]
+            o = np.lexsort((b, a))
+            a, b = a[o], b[o]
+            first = np.concatenate(
+                ([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+            a, b = a[first], b[first]
         return pa.Table.from_arrays([pa.array(a, pa.uint64()),
                                      pa.array(b, pa.uint64())],
                                     schema=PAIRS_SCHEMA)
@@ -146,9 +150,16 @@ def _add_pair_key(batch: pa.Table) -> pa.Table:
 
 
 def _unique_pairs(part: pa.Table) -> pa.Table:
-    pk = part["pk"].to_numpy(zero_copy_only=False)
-    _, idx = np.unique(pk, return_index=True)
-    return part.take(np.sort(idx)).drop_columns(["pk"])
+    # exact (a, b) dedup — pk is only the shuffle key (collisions there
+    # merely co-locate; deduping BY pk could drop a distinct pair)
+    a = part["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    b = part["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    if len(a) == 0:
+        return part.drop_columns(["pk"])
+    o = np.lexsort((b, a))
+    first = np.concatenate(
+        ([True], (a[o][1:] != a[o][:-1]) | (b[o][1:] != b[o][:-1])))
+    return part.take(np.sort(o[first])).drop_columns(["pk"])
 
 
 def dedup_pairs(pairs, num_partitions: int, *, local_max_rows: int = 0):
