@@ -111,6 +111,15 @@ def run_dedup(pages, cfg: MPLSHConfig, *, extract: bool = True,
     out = read_stage_or_compute(cfg, "dedup_out", lambda: out, counters)
 
     counters["wall_s"] = time.monotonic() - t0
+    if cfg.ckpt_dir:
+        import json
+        import os
+
+        run_dir = os.path.join(cfg.ckpt_dir, cfg.run_id)
+        os.makedirs(run_dir, exist_ok=True)
+        with open(os.path.join(run_dir, "metrics.json"), "w") as f:
+            json.dump({"config_digest": cfg.digest(), **counters}, f,
+                      indent=1)
     return DedupResult(docs=docs_rep, sigs=sigs, pairs=pairs,
                        verified=verified, labels=labels, dedup_out=out,
                        counters=counters)

@@ -40,6 +40,11 @@ def test_resume_is_byte_identical_and_skips_stages(
     assert c2.get("docs_resumed") and c2.get("sigs_resumed") \
         and c2.get("dedup_out_resumed"), c2
     pd.testing.assert_frame_equal(out1, out2)
+    # metrics.json written with the config digest
+    import json
+    with open(os.path.join(ckpt, "r1", "metrics.json")) as f:
+        m = json.load(f)
+    assert m["config_digest"] == cfg.digest() and "wall_s" in m
 
 
 def test_partial_resume_after_lost_stage(ray_session, small_fixture,
