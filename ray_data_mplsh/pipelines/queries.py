@@ -237,6 +237,16 @@ def q_knn_lsh(sf_dir: str):
     return knn_lsh(emb, ids, q, k=_KNN_K)
 
 
+def q_knn_ivf(sf_dir: str):
+    """IVF-flat ANN (the centroid-probing scale path; rows-only — recall
+    vs brute force gated in pytest)."""
+    from ray_data_mplsh.pipelines.similarity import knn_ivf
+
+    ids, q = _load_queries(sf_dir)
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_ivf(emb, ids, q, k=_KNN_K)
+
+
 def q_embedding_near_dup(sf_dir: str):
     """Embedding-cosine near-dup pairs (rows-only; precision/recall gated
     in pytest)."""
@@ -409,6 +419,7 @@ QUERIES = {
     "q_quality_scores": q_quality_scores,
     "q_knn_bruteforce": q_knn_bruteforce,
     "q_knn_lsh": q_knn_lsh,
+    "q_knn_ivf": q_knn_ivf,
     "q_embedding_near_dup": q_embedding_near_dup,
     "q_lang_id": q_lang_id,
     "q_simhash_pairs": q_simhash_pairs,

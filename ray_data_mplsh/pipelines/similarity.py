@@ -192,6 +192,88 @@ def knn_lsh(embeddings, query_ids: np.ndarray, queries: np.ndarray,
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def knn_ivf(embeddings, query_ids: np.ndarray, queries: np.ndarray,
+            k: int = 10, *, n_centroids: int = 32, n_probe: int = 4,
+            seed: int = 0xC0FFEE, train_sample: int = 2048):
+    """IVF-flat ANN: seeded-sample k-means-lite centroids, inverted lists
+    by nearest centroid, queries scan only the ``n_probe`` nearest lists.
+
+    Scale shape: the centroid matrix is tiny and broadcast; assignment is
+    one matmul per batch; each batch contributes candidates only for the
+    queries probing its vectors' centroids. Exact re-rank driver-side.
+    """
+    import ray
+
+    # train: deterministic sample -> a few Lloyd iterations, all driver-side
+    sample = embeddings.random_sample(1.0, seed=seed) \
+        .limit(train_sample).to_pandas()
+    m0 = _normalize(np.stack([np.asarray(e, np.float32)
+                              for e in sample["embedding"]]))
+    rng = np.random.Generator(np.random.PCG64(seed))
+    cent = m0[rng.choice(len(m0), size=min(n_centroids, len(m0)),
+                         replace=False)]
+    for _ in range(5):
+        assign = np.argmax(m0 @ cent.T, axis=1)
+        for c in range(len(cent)):
+            mask = assign == c
+            if mask.any():
+                v = m0[mask].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+
+    qm = _normalize(np.asarray(queries, np.float32))
+    qids = np.asarray(query_ids, np.int64)
+    probes = np.argsort(-(qm @ cent.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    want: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for c in probes[qi]:
+            want.setdefault(int(c), []).append(qi)
+    ref = ray.put((cent, want, qids, qm))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        from ray_data_mplsh.stages.shuffle import cached_get
+
+        cent_, want_, qids_, qm_ = cached_get(ref)
+        m = _normalize(_emb_matrix(batch).astype(np.float32))
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if m.size == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        assign = np.argmax(m @ cent_.T, axis=1)
+        out_q, out_v, out_c = [], [], []
+        for c, qis in want_.items():
+            mask = assign == c
+            if not mask.any():
+                continue
+            sub, sub_ids = m[mask], ids[mask]
+            scores = sub @ qm_[qis].T           # (n_sub, n_qis)
+            for j, qi in enumerate(qis):
+                out_q.append(np.full(len(sub_ids), qids_[qi], np.int64))
+                out_v.append(sub_ids)
+                out_c.append(scores[:, j].astype(np.float64))
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         "vec_id": pa.array(np.concatenate(out_v)),
+                         "cosine": pa.array(np.concatenate(out_c))})
+
+    cand = embeddings.map_batches(scan, batch_format="pyarrow",
+                                  batch_size=4096).to_pandas()
+    if cand.empty:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    out = cand.drop_duplicates(["query_id", "vec_id"]) \
+        .sort_values(["query_id", "cosine", "vec_id"],
+                     ascending=[True, False, True]) \
+        .groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def embedding_near_dup(embeddings, *, threshold: float = 0.95,
                        n_bits: int = 10, n_tables: int = 6,
                        seed: int = 0xC0FFEE, num_partitions: int = 0,

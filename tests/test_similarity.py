@@ -104,6 +104,20 @@ def test_knn_lsh_multiprobe_beats_exact_only(emb_data):
     assert r8 >= r1, (r1, r8)
 
 
+def test_knn_ivf_recall_vs_bruteforce(emb_data):
+    from ray_data_mplsh.pipelines.similarity import knn_ivf
+
+    ds, tbl, m, ids, _ = emb_data
+    nq, k = 10, 10
+    q = m[:nq]
+    exact = _brute_topk(m, ids, q, k)
+    res = knn_ivf(ds, np.arange(nq), q, k=k, n_centroids=16,
+                  n_probe=8).to_pandas()
+    hits = sum(len(set(res[res.query_id == j].vec_id) & set(exact[j]))
+               for j in range(nq))
+    assert hits / (nq * k) >= 0.8, f"IVF recall {hits/(nq*k):.2f}"
+
+
 def test_embedding_near_dup_finds_planted(emb_data):
     from ray_data_mplsh.pipelines.similarity import embedding_near_dup
 
