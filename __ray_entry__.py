@@ -6,12 +6,12 @@ sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB. Ray is initialised by the driver BEFORE this module is imported:
 no ``ray.init()`` / ``ray.shutdown()`` here or anywhere in the library.
 
-Query inventory (23 entries; * = bit-exact DuckDB oracle, rest rows-only
+Query inventory (24 entries; * = bit-exact DuckDB oracle, rest rows-only
 with pytest gates — see SURVEY.md Appendix B):
   dedup family: q_exact_dedup*, q_dedup_documents, q_minhash_pairs,
     q_simhash_pairs, q_ngram_jaccard, q_embedding_near_dup
   similarity search: q_knn_bruteforce* (list_cosine_similarity oracle),
-    q_knn_lsh (multi-probe ANN)
+    q_knn_lsh (multi-probe ANN), q_knn_ivf (IVF-flat)
   text analysis: q_lang_id*, q_token_counts*, q_bpe_token_counts*,
     q_quality_scores*, q_fingerprints
   relational/aggregates: q_lang_counts*, q_len_filter*, q_top_sources*,
