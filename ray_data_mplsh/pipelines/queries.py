@@ -397,6 +397,52 @@ def q_bpe_token_counts(sf_dir: str):
     return ds.map_batches(count, batch_format="pyarrow")
 
 
+def q_events_sliding(sf_dir: str):
+    """3-day sliding-window aggregate (windows end on days that have
+    events): composed as a flat-map row->windows expansion + groupby —
+    the windowed-aggregate pattern Ray Data lacks natively. Counts and
+    exact integer-cent sums match the DuckDB range-join oracle."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    # the (small) set of distinct event days, broadcast for label filtering
+    import pyarrow.parquet as pq
+
+    tall = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts"])
+    days = np.unique(tall["ts"].cast(pa.date32()).to_numpy(
+        zero_copy_only=False)).astype("datetime64[D]")
+    days_i = set(days.astype(np.int64).tolist())
+
+    def expand(t: pa.Table) -> pa.Table:
+        d = t["ts"].cast(pa.date32()).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100)), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        outs_d, outs_e, outs_c = [], [], []
+        for off in range(3):     # windows ending at d, d+1, d+2 cover row
+            lbl = d + off
+            keep = np.array([x in days_i for x in lbl.tolist()])
+            outs_d.append(lbl[keep])
+            outs_e.append(et[keep])
+            outs_c.append(cents[keep])
+        lbl = np.concatenate(outs_d)
+        return pa.table({
+            "wd": pa.array(lbl.astype("datetime64[D]"), pa.date32()),
+            "event_type": pa.array(np.concatenate(outs_e)),
+            "cents": pa.array(np.concatenate(outs_c), pa.int64()),
+        })
+
+    agg = ds.map_batches(expand, batch_format="pyarrow") \
+        .groupby(["wd", "event_type"]) \
+        .aggregate(Count(alias_name="cnt"), Sum("cents", alias_name="sc"))
+    return agg.map_batches(
+        lambda t: t.drop_columns(["sc"]).append_column(
+            "sv", pc.divide(pc.cast(t["sc"], pa.float64()), 100.0)),
+        batch_format="pyarrow")
+
+
 def q_sample(sf_dir: str):
     """Seeded sample for manual QA (op 32). Deterministic for a fixed
     seed; rows-only (DuckDB's sampling RNG differs by construction)."""
@@ -428,6 +474,7 @@ QUERIES = {
     "q_bpe_token_counts": q_bpe_token_counts,
     "q_lineitem_agg": q_lineitem_agg,
     "q_region_nation": q_region_nation,
+    "q_events_sliding": q_events_sliding,
     "q_sample": q_sample,
 }
 
@@ -467,6 +514,13 @@ ORACLE_SQL = {
         "FROM customer JOIN nation ON c_nationkey = n_nationkey "
         "JOIN region ON n_regionkey = r_regionkey "
         "GROUP BY r_name, n_name",
+    "q_events_sliding":
+        "SELECT w.d AS wd, e.event_type, COUNT(*) AS cnt, "
+        "SUM(CAST(ROUND(e.value * 100) AS BIGINT)) / 100.0 AS sv "
+        "FROM events e JOIN "
+        "(SELECT DISTINCT CAST(ts AS DATE) AS d FROM events) w "
+        "ON CAST(e.ts AS DATE) BETWEEN w.d - 2 AND w.d "
+        "GROUP BY 1, 2",
     "q_join_ord_cust":
         "SELECT c_mktsegment, COUNT(*) AS cnt, "
         "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
