@@ -397,6 +397,29 @@ def q_bpe_token_counts(sf_dir: str):
     return ds.map_batches(count, batch_format="pyarrow")
 
 
+def q_asof_event_order(sf_dir: str):
+    """As-of join (custom operator): for every event, the user's most
+    recent order at or before the event time. Right side pre-aggregated to
+    one row per (custkey, orderdate) with MAX(o_orderkey) so ties are
+    deterministic — identical rule in the DuckDB ASOF oracle."""
+    from ray.data.aggregate import Max
+
+    from ray_data_mplsh.pipelines.asof import asof_join
+
+    events = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_orderkey"]) \
+        .groupby(["o_custkey", "o_orderdate"]) \
+        .aggregate(Max("o_orderkey", alias_name="ok"))
+    out = asof_join(events, orders,
+                    left_key="user_id", left_ts="ts", left_id="event_id",
+                    right_key="o_custkey", right_ts="o_orderdate",
+                    right_val="ok", num_partitions=default_partitions())
+    return out.map_batches(
+        lambda t: t.rename_columns(["event_id", "o_orderkey"]),
+        batch_format="pyarrow")
+
+
 def q_events_sliding(sf_dir: str):
     """3-day sliding-window aggregate (windows end on days that have
     events): composed as a flat-map row->windows expansion + groupby —
@@ -475,6 +498,7 @@ QUERIES = {
     "q_lineitem_agg": q_lineitem_agg,
     "q_region_nation": q_region_nation,
     "q_events_sliding": q_events_sliding,
+    "q_asof_event_order": q_asof_event_order,
     "q_sample": q_sample,
 }
 
@@ -514,6 +538,12 @@ ORACLE_SQL = {
         "FROM customer JOIN nation ON c_nationkey = n_nationkey "
         "JOIN region ON n_regionkey = r_regionkey "
         "GROUP BY r_name, n_name",
+    "q_asof_event_order":
+        "WITH r AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS ok "
+        "FROM orders GROUP BY 1, 2) "
+        "SELECT e.event_id, r.ok AS o_orderkey FROM events e "
+        "ASOF LEFT JOIN r "
+        "ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate",
     "q_events_sliding":
         "SELECT w.d AS wd, e.event_type, COUNT(*) AS cnt, "
         "SUM(CAST(ROUND(e.value * 100) AS BIGINT)) / 100.0 AS sv "
