@@ -87,3 +87,63 @@ def asof_join(left, right, *, left_key: str, left_ts: str, left_id: str,
         })
 
     return partition_apply(unioned, "k", resolve, num_partitions)
+
+
+def range_join_count(left, right, *, left_key: str, left_ts: str,
+                     left_id: str, right_key: str, right_ts: str,
+                     window_us: int, num_partitions: int):
+    """Temporal range join, aggregated: for every left row, COUNT of right
+    rows with the same key and ``left_ts - window < right_ts <= left_ts``.
+    Same physical plan as ``asof_join`` (tagged union, one key shuffle,
+    sorted searchsorted runs); the count is two binary searches per row."""
+
+    def prep_left(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": t[left_key].cast(pa.uint64()),
+            "t": t[left_ts].cast(pa.timestamp("us")).cast(pa.int64()),
+            "rid": t[left_id].cast(pa.int64()),
+            "side": pa.array(np.zeros(t.num_rows, np.int8), pa.int8()),
+        })
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": t[right_key].cast(pa.uint64()),
+            "t": t[right_ts].cast(pa.timestamp("us")).cast(pa.int64()),
+            "rid": pa.nulls(t.num_rows, pa.int64()),
+            "side": pa.array(np.ones(t.num_rows, np.int8), pa.int8()),
+        })
+
+    unioned = left.map_batches(prep_left, batch_format="pyarrow") \
+        .union(right.map_batches(prep_right, batch_format="pyarrow"))
+
+    def resolve(part: pa.Table) -> pa.Table:
+        k = part["k"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ts = part["t"].to_numpy(zero_copy_only=False).astype(np.int64)
+        side = part["side"].to_numpy(zero_copy_only=False)
+        rid = part["rid"].to_numpy(zero_copy_only=False)
+        is_l = side == 0
+        lk, lt, lrid = k[is_l], ts[is_l], rid[is_l]
+        rk, rt = k[~is_l], ts[~is_l]
+        cnt = np.zeros(len(lk), np.int64)
+        if len(rk):
+            ro = np.lexsort((rt, rk))
+            rk, rt = rk[ro], rt[ro]
+            _, r_starts = group_runs(rk)
+            lo = np.lexsort((lt, lk))
+            slk, slt = lk[lo], lt[lo]
+            for gi in range(len(r_starts) - 1):
+                s, e = r_starts[gi], r_starts[gi + 1]
+                a = np.searchsorted(slk, rk[s], side="left")
+                b = np.searchsorted(slk, rk[s], side="right")
+                if a == b:
+                    continue
+                hi = np.searchsorted(rt[s:e], slt[a:b], side="right")
+                lo_i = np.searchsorted(rt[s:e], slt[a:b] - window_us,
+                                       side="right")
+                cnt[lo[a:b]] = hi - lo_i
+        return pa.table({
+            "left_id": pa.array(lrid.astype(np.int64), pa.int64()),
+            "cnt": pa.array(cnt, pa.int64()),
+        })
+
+    return partition_apply(unioned, "k", resolve, num_partitions)

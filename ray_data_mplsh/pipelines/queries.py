@@ -420,6 +420,24 @@ def q_asof_event_order(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_range_join_events(sf_dir: str):
+    """Temporal range join (custom operator): per event, the count of the
+    SAME user's events in the trailing 7 days (inclusive of self; lower
+    bound exclusive — ``ts2 > ts - 7d AND ts2 <= ts``)."""
+    from ray_data_mplsh.pipelines.asof import range_join_count
+
+    left = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    right = _read(sf_dir, "events", ["ts", "user_id"])
+    out = range_join_count(
+        left, right, left_key="user_id", left_ts="ts",
+        left_id="event_id", right_key="user_id", right_ts="ts",
+        window_us=7 * 86400 * 10**6,
+        num_partitions=default_partitions())
+    return out.map_batches(
+        lambda t: t.rename_columns(["event_id", "n_events_7d"]),
+        batch_format="pyarrow")
+
+
 def q_events_sliding(sf_dir: str):
     """3-day sliding-window aggregate (windows end on days that have
     events): composed as a flat-map row->windows expansion + groupby —
@@ -499,6 +517,7 @@ QUERIES = {
     "q_region_nation": q_region_nation,
     "q_events_sliding": q_events_sliding,
     "q_asof_event_order": q_asof_event_order,
+    "q_range_join_events": q_range_join_events,
     "q_sample": q_sample,
 }
 
@@ -544,6 +563,11 @@ ORACLE_SQL = {
         "SELECT e.event_id, r.ok AS o_orderkey FROM events e "
         "ASOF LEFT JOIN r "
         "ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate",
+    "q_range_join_events":
+        "SELECT e.event_id, COUNT(e2.ts) AS n_events_7d "
+        "FROM events e LEFT JOIN events e2 ON e.user_id = e2.user_id "
+        "AND e2.ts > e.ts - INTERVAL 7 DAY AND e2.ts <= e.ts "
+        "GROUP BY e.event_id",
     "q_events_sliding":
         "SELECT w.d AS wd, e.event_type, COUNT(*) AS cnt, "
         "SUM(CAST(ROUND(e.value * 100) AS BIGINT)) / 100.0 AS sv "
