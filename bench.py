@@ -146,7 +146,8 @@ def _scale_worker(num_cpus: int) -> None:
     from ray_data_mplsh.sources import read_pages
 
     pages = read_pages(os.path.join(SCALE_DIR, "pages"), extract=True)
-    t0 = time.monotonic()
+    pages.count()   # untimed warm read: measure compute + shuffle, not
+    t0 = time.monotonic()           # the first cold disk pass
     res = run_dedup(pages, MPLSHConfig(num_partitions=64), extract=True)
     n = res.dedup_out.materialize().count()
     wall = time.monotonic() - t0
