@@ -146,8 +146,16 @@ def _scale_worker(num_cpus: int) -> None:
     from ray_data_mplsh.sources import read_pages
 
     pages = read_pages(os.path.join(SCALE_DIR, "pages"), extract=True)
-    pages.count()   # untimed warm read: measure compute + shuffle, not
-    t0 = time.monotonic()           # the first cold disk pass
+    # untimed warm read: measure compute + shuffle, not the first cold
+    # disk pass. A bare .count() resolves from parquet metadata without
+    # touching data blocks, so force a real scan (the lambda is opaque to
+    # the optimizer — no projection pushdown, every column is read).
+    import pyarrow as _pa
+    import ray.data as _rd
+    _rd.read_parquet(os.path.join(SCALE_DIR, "pages")).map_batches(
+        lambda t: _pa.table({"n": _pa.array([t.num_rows])}),
+        batch_format="pyarrow").count()
+    t0 = time.monotonic()
     res = run_dedup(pages, MPLSHConfig(num_partitions=64), extract=True)
     n = res.dedup_out.materialize().count()
     wall = time.monotonic() - t0

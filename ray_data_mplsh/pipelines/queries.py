@@ -453,7 +453,7 @@ def q_events_sliding(sf_dir: str):
     tall = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts"])
     days = np.unique(tall["ts"].cast(pa.date32()).to_numpy(
         zero_copy_only=False)).astype("datetime64[D]")
-    days_i = set(days.astype(np.int64).tolist())
+    days_i = np.sort(days.astype(np.int64))
 
     def expand(t: pa.Table) -> pa.Table:
         d = t["ts"].cast(pa.date32()).to_numpy(zero_copy_only=False) \
@@ -464,7 +464,7 @@ def q_events_sliding(sf_dir: str):
         outs_d, outs_e, outs_c = [], [], []
         for off in range(3):     # windows ending at d, d+1, d+2 cover row
             lbl = d + off
-            keep = np.array([x in days_i for x in lbl.tolist()])
+            keep = np.isin(lbl, days_i)
             outs_d.append(lbl[keep])
             outs_e.append(et[keep])
             outs_c.append(cents[keep])

@@ -16,6 +16,20 @@ Inside a partition, a NumPy sort groups buckets:
   star-linking the per-shard minima through a second, tiny shuffle keyed
   on the unsalted band_hash.
 
+Recall caveat (documented bound, not a bug): star pairing (hot buckets
+over ``bucket_cap``, and all cross-shard links when ``salt_shards > 1``)
+preserves connectivity only THROUGH the anchor edges, and those edges
+must still pass the est-Jaccard verification gate. An anchor that is not
+similar enough to a member can split a component that member-member edges
+would have held together. This matches the single-process oracle for the
+unsalted case (the oracle stars identically), but salted cross-shard star
+links have no oracle analogue: connectivity there is conditional on
+anchor edges surviving verification. The alternative — exempting star
+links from the Jaccard gate — would trade this recall loss for precision
+loss (unverified transitive merges); the recall gate (§2.5 op 29, >=0.99
+on the fixture) is the guard that the configured cap/salt settings keep
+the loss negligible.
+
 A second shuffle on the pair key then deduplicates pairs found via
 multiple bands/probes (op 16) — same pair always lands in one partition,
 so a per-partition unique is globally exact.

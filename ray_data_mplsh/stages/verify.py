@@ -216,17 +216,23 @@ def verify_stage_shuffle(pairs, sigs, cfg: MPLSHConfig, num_partitions: int):
     att = partition_apply(u, "key", attach, num_partitions)
 
     def combine(part: pa.Table) -> pa.Table:
-        pk = part["pk"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        # pk is ONLY the routing key: distinct pairs may collide on the
+        # 64-bit mix at the 10^12-doc scale target, so pair identity is the
+        # exact (a, b) — sub-group on it and demand exactly one side-0 and
+        # one side-1 row per pair before emitting.
         side = part["side"].to_numpy(zero_copy_only=False)
         a = part["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
         b = part["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
         mat = sig_matrix(part)
-        order = np.lexsort((side, pk))
-        spk = pk[order]
-        starts = np.flatnonzero(np.concatenate(([True], spk[1:] != spk[:-1])))
-        starts = np.concatenate([starts, [len(spk)]])
+        order = np.lexsort((side, b, a))
+        sa, sb, ss = a[order], b[order], side[order]
+        new = np.concatenate(([True], (sa[1:] != sa[:-1]) |
+                              (sb[1:] != sb[:-1])))
+        starts = np.flatnonzero(new)
+        starts = np.concatenate([starts, [len(sa)]])
         sizes = np.diff(starts)
-        full = starts[:-1][sizes == 2]   # both sides present
+        full = starts[:-1][sizes == 2]   # exactly two rows for this (a, b)
+        full = full[(ss[full] == 0) & (ss[full + 1] == 1)]  # one per side
         i0 = order[full]
         i1 = order[full + 1]
         return _verify_kernel(a[i0], b[i0], mat[i0], mat[i1],
