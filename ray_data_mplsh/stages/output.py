@@ -172,30 +172,13 @@ class _SpanExtractor:
         ], names=["doc_id", "start", "end"])
 
 
-def substring_stage(dedup_out, cfg: MPLSHConfig, num_partitions: int):
-    """canonical docs -> final_text rewrites (op 24). Returns dedup_out with
-    ``final_text`` (null for non-canonical docs) and updated is_canonical."""
+def _attach_texts_broadcast(pairs, canon, cfg: MPLSHConfig):
+    """Small-corpus path: the canonical (id, text) table is put in the
+    object store ONCE (sorted-id index + permutation, so the driver never
+    copies the text column) and every span task resolves both sides with
+    searchsorted. Bounded by cfg.broadcast_max_docs."""
     import ray
 
-    # dedup_out (the marked corpus) feeds three consumers: the fingerprint
-    # pass, the pair-text broadcast and the final rewrite. Materialize once
-    # so the upstream chain doesn't re-execute per consumer.
-    dedup_out = dedup_out.materialize()
-    canon = dedup_out.filter(expr="is_canonical == True") \
-        .select_columns(["doc_id", "text"]).materialize()
-    fps = canon.map_batches(_fingerprint_emitter(cfg), batch_format="pyarrow")
-    pairs = partition_apply(fps, "fp", _fp_pairs_fn(cfg.substr_bucket_cap),
-                            num_partitions)
-    pairs = dedup_pairs(pairs, num_partitions,
-                        local_max_rows=cfg.local_state_max_rows)
-
-    # attach texts (broadcast path; join path kicks in above the threshold).
-    # Texts are broadcast as a zero-copy Arrow table + sorted id index; the
-    # per-actor __init__ deserializes ONCE (a plain fn would re-unpickle the
-    # lookup on every batch).
-    # broadcast payload: (sorted ids, permutation, table) — sorting the id
-    # INDEX instead of .take()ing the table avoids a driver-side copy of
-    # the full canonical text column
     canon_batches = list(canon.iter_batches(batch_size=65536,
                                             batch_format="pyarrow"))
     if not canon_batches:   # empty corpus: no canonical docs, no spans
@@ -208,9 +191,7 @@ def substring_stage(dedup_out, cfg: MPLSHConfig, num_partitions: int):
     tref = ray.put((ids_un[perm], perm.astype(np.int64),
                     canon_tbl["text"].combine_chunks()))
 
-    extractor = _SpanExtractor(cfg.substr_len)
-
-    def span_worker(batch: pa.Table) -> pa.Table:
+    def attach(batch: pa.Table) -> pa.Table:
         sorted_ids, perm, texts = cached_get(tref)
 
         def text_of(x):
@@ -221,17 +202,135 @@ def substring_stage(dedup_out, cfg: MPLSHConfig, num_partitions: int):
 
         a = batch["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
         b = batch["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        withtexts = pa.Table.from_arrays([
+        return pa.Table.from_arrays([
             batch["a"], batch["b"],
             pa.array([text_of(x) for x in a], pa.string()),
             pa.array([text_of(x) for x in b], pa.string()),
         ], names=["a", "b", "text_a", "text_b"])
-        return extractor(withtexts)
 
-    spans = pairs.map_batches(span_worker, batch_format="pyarrow",
-                              batch_size=512)
+    return pairs.map_batches(attach, batch_format="pyarrow", batch_size=512)
 
-    # merge intervals per doc, collect to the driver (affected docs only) —
+
+def _attach_texts_shuffle(pairs, canon, num_partitions: int):
+    """Scale path (n_canon > cfg.broadcast_max_docs): attach pair texts via
+    a pair-keyed exchange — the verify_stage_shuffle pattern — so NO driver
+    materialization and no full-corpus broadcast ever happens. Each text is
+    shipped once per pair occurrence; the pair hash ``pk`` is ONLY the
+    routing key (identity is the exact (a, b), same collision rule as
+    stages/verify.py combine)."""
+    from ray_data_mplsh.functions.hashing import mix64
+
+    def mk_requests(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(a)
+        return pa.Table.from_arrays([
+            pa.array(np.concatenate([a, b]), pa.uint64()),   # attach key
+            pa.array(np.concatenate([a, a]), pa.uint64()),
+            pa.array(np.concatenate([b, b]), pa.uint64()),
+            pa.array(np.concatenate([np.zeros(n, np.int8),
+                                     np.ones(n, np.int8)]), pa.int8()),
+            pa.nulls(2 * n, pa.string()),
+        ], names=["key", "a", "b", "side", "text"])
+
+    def mk_text_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(ids)
+        z = pa.array(np.zeros(n, np.uint64), pa.uint64())
+        txt = batch["text"].combine_chunks()
+        return pa.Table.from_arrays([
+            pa.array(ids, pa.uint64()), z, z,
+            pa.array(np.full(n, 2, np.int8), pa.int8()), txt,
+        ], names=["key", "a", "b", "side", "text"])
+
+    u = pairs.select_columns(["a", "b"]) \
+        .map_batches(mk_requests, batch_format="pyarrow") \
+        .union(canon.map_batches(mk_text_rows, batch_format="pyarrow"))
+
+    def attach(part: pa.Table) -> pa.Table:
+        side = part["side"].to_numpy(zero_copy_only=False)
+        key = part["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        is_txt = side == 2
+        txt_keys = key[is_txt]
+        order = np.argsort(txt_keys, kind="stable")
+        txt_keys = txt_keys[order]
+        texts = part.filter(pa.array(is_txt))["text"].combine_chunks() \
+            .take(pa.array(order))
+        reqs = part.filter(pa.array(~is_txt))
+        q = key[~is_txt]
+        i = np.clip(np.searchsorted(txt_keys, q), 0,
+                    max(len(txt_keys) - 1, 0))
+        hit = (txt_keys[i] == q) if len(txt_keys) else np.zeros(len(q), bool)
+        reqs = reqs.filter(pa.array(hit))
+        a = reqs["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = reqs["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table({
+            "pk": pa.array(mix64(a) ^ mix64(b), pa.uint64()),
+            "a": reqs["a"], "b": reqs["b"], "side": reqs["side"],
+            "text": texts.take(pa.array(i[hit])),
+        })
+
+    att = partition_apply(u, "key", attach, num_partitions)
+
+    def combine(part: pa.Table) -> pa.Table:
+        side = part["side"].to_numpy(zero_copy_only=False)
+        a = part["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = part["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((side, b, a))
+        sa, sb, ss = a[order], b[order], side[order]
+        new = np.concatenate(([True], (sa[1:] != sa[:-1]) |
+                              (sb[1:] != sb[:-1])))
+        starts = np.flatnonzero(new)
+        starts = np.concatenate([starts, [len(sa)]])
+        full = starts[:-1][np.diff(starts) == 2]
+        full = full[(ss[full] == 0) & (ss[full + 1] == 1)]
+        i0, i1 = order[full], order[full + 1]
+        texts = part["text"].combine_chunks()
+        return pa.table({
+            "a": pa.array(a[i0], pa.uint64()),
+            "b": pa.array(b[i0], pa.uint64()),
+            "text_a": texts.take(pa.array(i0)),
+            "text_b": texts.take(pa.array(i1)),
+        })
+
+    return partition_apply(att, "pk", combine, num_partitions)
+
+
+def substring_stage(dedup_out, cfg: MPLSHConfig, num_partitions: int):
+    """canonical docs -> final_text rewrites (op 24). Returns dedup_out with
+    ``final_text`` (null for non-canonical docs) and updated is_canonical.
+
+    Pair-text attachment is gated on ``cfg.broadcast_max_docs`` exactly
+    like S6 verification: broadcast below the threshold, pair-keyed
+    shuffle (``_attach_texts_shuffle``) above it — both proven
+    byte-identical by tests/test_suffix.py."""
+    import ray
+
+    # dedup_out (the marked corpus) feeds three consumers: the fingerprint
+    # pass, the pair-text attach and the final rewrite. Materialize once
+    # so the upstream chain doesn't re-execute per consumer.
+    dedup_out = dedup_out.materialize()
+    canon = dedup_out.filter(expr="is_canonical == True") \
+        .select_columns(["doc_id", "text"]).materialize()
+    n_canon = canon.count()
+    fps = canon.map_batches(_fingerprint_emitter(cfg), batch_format="pyarrow")
+    pairs = partition_apply(fps, "fp", _fp_pairs_fn(cfg.substr_bucket_cap),
+                            num_partitions)
+    pairs = dedup_pairs(pairs, num_partitions,
+                        local_max_rows=cfg.local_state_max_rows)
+
+    if n_canon <= cfg.broadcast_max_docs:
+        withtexts = _attach_texts_broadcast(pairs, canon, cfg)
+    else:
+        withtexts = _attach_texts_shuffle(pairs, canon, num_partitions)
+
+    extractor = _SpanExtractor(cfg.substr_len)
+    spans = withtexts.map_batches(extractor, batch_format="pyarrow",
+                                  batch_size=512)
+
+    # merge intervals per doc, collect to the driver (docs carrying dup
+    # spans only — orders of magnitude smaller than the corpus; the
+    # broadcast payload is 4 parallel numpy arrays, zero-copy on read) —
     # vectorized: one lexsort over all interval rows, per-doc slices merged
     dds, sss, ees = [], [], []
     for bt in spans.iter_batches(batch_size=65536, batch_format="pyarrow"):
@@ -239,7 +338,6 @@ def substring_stage(dedup_out, cfg: MPLSHConfig, num_partitions: int):
                    .astype(np.uint64))
         sss.append(bt["start"].to_numpy(zero_copy_only=False))
         ees.append(bt["end"].to_numpy(zero_copy_only=False))
-    span_map: dict[int, list[tuple[int, int]]] = {}
     if dds:
         d = np.concatenate(dds)
         s0 = np.concatenate(sss)
@@ -247,33 +345,53 @@ def substring_stage(dedup_out, cfg: MPLSHConfig, num_partitions: int):
         o = np.lexsort((s0, d))
         d, s0, e0 = d[o], s0[o], e0[o]
         starts = np.flatnonzero(np.concatenate(([True], d[1:] != d[:-1])))
-        bounds = np.concatenate([starts, [len(d)]])
+        bounds = np.concatenate([starts, [len(d)]]).astype(np.int64)
+        mids, moffs, ms, me = [], [0], [], []
         for gi in range(len(starts)):
             lo, hi = bounds[gi], bounds[gi + 1]
-            span_map[int(d[lo])] = merge_intervals(
+            merged = merge_intervals(
                 list(zip(s0[lo:hi].tolist(), e0[lo:hi].tolist())))
-    sref = ray.put(span_map)
+            mids.append(d[lo])
+            moffs.append(moffs[-1] + len(merged))
+            ms.extend(x for x, _ in merged)
+            me.extend(x for _, x in merged)
+        span_ids = np.array(mids, np.uint64)
+        span_offs = np.array(moffs, np.int64)
+        span_s = np.array(ms, np.int64)
+        span_e = np.array(me, np.int64)
+    else:
+        span_ids = np.empty(0, np.uint64)
+        span_offs = np.zeros(1, np.int64)
+        span_s = span_e = np.empty(0, np.int64)
+    sref = ray.put((span_ids, span_offs, span_s, span_e))
 
     def rewriter(batch: pa.Table) -> pa.Table:
         return _rewrite_batch(batch, cached_get(sref), cfg)
 
     def _rewrite_batch(batch: pa.Table, sm, cfg) -> pa.Table:
+        sp_ids, sp_offs, sp_s, sp_e = sm
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         canon_f = batch["is_canonical"].to_numpy(zero_copy_only=False)
+        # vectorized span lookup: row -> slice into the interval arrays
+        pos = np.clip(np.searchsorted(sp_ids, ids), 0,
+                      max(len(sp_ids) - 1, 0))
+        has_spans = (sp_ids[pos] == ids) if len(sp_ids) \
+            else np.zeros(len(ids), bool)
         texts = batch["text"].to_pylist()
         finals, keep_canon = [], []
-        for i, (did, is_c, text) in enumerate(zip(ids, canon_f, texts)):
+        for i, (is_c, text) in enumerate(zip(canon_f, texts)):
             if not is_c:
                 finals.append(None)
                 keep_canon.append(False)
                 continue
-            iv = sm.get(int(did))
-            if not iv:
+            if not has_spans[i]:
                 finals.append(text)
                 keep_canon.append(True)
                 continue
+            lo, hi = sp_offs[pos[i]], sp_offs[pos[i] + 1]
+            iv = list(zip(sp_s[lo:hi].tolist(), sp_e[lo:hi].tolist()))
             new_text = remove_intervals(text, iv)
-            covered = sum(e - s for s, e in iv)
+            covered = int(np.sum(sp_e[lo:hi] - sp_s[lo:hi]))
             if covered > 0.9 * len(text) or len(new_text) < cfg.min_chars:
                 finals.append(None)
                 keep_canon.append(False)

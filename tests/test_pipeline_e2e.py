@@ -139,3 +139,24 @@ def test_shuffle_verify_path_equivalent(ray_session, small_fixture,
     vp = res.verified.to_pandas()
     pipe = set(zip(vp["a"].tolist(), vp["b"].tolist()))
     assert pipe == set(small_oracle.verified)
+
+
+def test_shuffle_substring_path_equivalent(pipeline_result, ray_session,
+                                           small_fixture, small_oracle):
+    """Forcing the pair-keyed shuffle text-attach in the substring stage
+    (broadcast threshold 0) yields byte-identical final_text to the
+    broadcast path — the scale path never materializes canonical texts on
+    the driver."""
+    import ray.data as rd
+
+    pages = rd.read_parquet(f"{small_fixture}/pages.parquet")
+    cfg = MPLSHConfig(broadcast_max_docs=0)
+    res = run_dedup(pages, cfg, extract=True)
+    out = res.dedup_out.to_pandas()
+    canon = out[out["is_canonical"]]
+    ft = dict(zip(canon["doc_id"].tolist(), canon["final_text"]))
+    base = pipeline_result.dedup_out.to_pandas()
+    base_c = base[base["is_canonical"]]
+    base_ft = dict(zip(base_c["doc_id"].tolist(), base_c["final_text"]))
+    assert ft == base_ft
+    assert ft == small_oracle.dedup_text
