@@ -2,13 +2,22 @@
 verifies candidate pairs against TRUE shingle sets instead of the MinHash
 signature estimate (SURVEY.md §2.4 op 18 exact variant).
 
-Shape: shingle sets are computed once per doc in a batch map, broadcast via
-``ray.put`` when the doc count is small (the common case after exact dedup
-collapses a partition's candidates), and each pair's Jaccard is an
-``np.intersect1d`` over two sorted uint64 arrays. Above
-``cfg.broadcast_max_docs`` the caller should fall back to the shuffle-join
-verify path (stages/verify.py) — exact sets at that scale belong in a
-pair-keyed shuffle, not a broadcast.
+Two physical plans, gated on ``cfg.broadcast_max_docs`` like every other
+small-side lookup in this engine:
+
+* **broadcast** (n_docs <= threshold): the per-doc sorted shingle sets are
+  shipped ONCE as three parallel arrays (sorted doc ids, offsets, flat
+  values — zero-copy numpy out of the object store) and each pair batch
+  resolves both sides with searchsorted.
+* **shuffle** (scale path): variable-length shingle sets ride a pair-keyed
+  two-hop exchange (doc-keyed attach, then exact-(a,b) combine with the
+  pair hash as routing key only — same identity rule as
+  stages/verify.py) with no driver materialization and no size cap.
+
+Both paths share one vectorized Jaccard kernel: per batch of pairs, the
+two sides' elements are tagged with their pair index and lexsorted once;
+adjacent duplicates within a pair count the intersection (sets are unique
+per doc), so there is NO per-pair Python loop.
 """
 
 from __future__ import annotations
@@ -22,6 +31,9 @@ from ray_data_mplsh.functions.hashing import (
     hash_str_array, rolling_shingle_hashes,
 )
 
+PAIR_JACCARD_SCHEMA = pa.schema([
+    ("a", pa.uint64()), ("b", pa.uint64()), ("jaccard", pa.float64())])
+
 
 def shingle_sets_batch(batch: pa.Table, k: int) -> list[np.ndarray]:
     """Sorted unique shingle-hash array per doc in the batch."""
@@ -32,11 +44,42 @@ def shingle_sets_batch(batch: pa.Table, k: int) -> list[np.ndarray]:
             for i in range(len(soffs) - 1)]
 
 
-def exact_jaccard_pairs(pairs, docs, cfg: MPLSHConfig, *,
-                        min_jaccard: float = 0.0):
-    """(a, b) candidate pairs + docs (doc_id, text) -> (a, b, jaccard) with
-    the exact shingle-set Jaccard, keeping pairs >= min_jaccard."""
-    import ray
+def _gather_lists(offs: np.ndarray, vals: np.ndarray, rows: np.ndarray
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized gather of list-array slices: (flat values, lengths)."""
+    starts = offs[rows].astype(np.int64)
+    lens = (offs[rows + 1].astype(np.int64) - starts)
+    cum = np.concatenate(([0], np.cumsum(lens)))
+    idx = np.arange(cum[-1], dtype=np.int64) \
+        - np.repeat(cum[:-1], lens) + np.repeat(starts, lens)
+    return vals[idx], lens
+
+
+def pair_jaccard_kernel(vals_a: np.ndarray, lens_a: np.ndarray,
+                        vals_b: np.ndarray, lens_b: np.ndarray
+                        ) -> np.ndarray:
+    """Exact Jaccard for n pairs of UNIQUE-element sets, no Python loop:
+    tag every element with its pair index, lexsort (pair, value) once,
+    count adjacent equal (pair, value) rows — each is one intersection
+    element (uniqueness within a side makes runs length <= 2)."""
+    n = len(lens_a)
+    if n == 0:
+        return np.empty(0, np.float64)
+    tag = np.concatenate([np.repeat(np.arange(n, dtype=np.int64), lens_a),
+                          np.repeat(np.arange(n, dtype=np.int64), lens_b)])
+    v = np.concatenate([vals_a, vals_b])
+    o = np.lexsort((v, tag))
+    st, sv = tag[o], v[o]
+    if len(st) == 0:
+        return np.zeros(n, np.float64)
+    dup = (st[1:] == st[:-1]) & (sv[1:] == sv[:-1])
+    inter = np.bincount(st[1:][dup], minlength=n)
+    union = lens_a + lens_b - inter
+    return np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+
+
+def _sets_stage(docs, cfg: MPLSHConfig):
+    """docs (doc_id, text) -> Dataset (doc_id, shingles list<uint64>)."""
 
     def to_sets(batch: pa.Table) -> pa.Table:
         sets = shingle_sets_batch(batch, cfg.k_shingle)
@@ -53,49 +96,177 @@ def exact_jaccard_pairs(pairs, docs, cfg: MPLSHConfig, *,
                 pa.array(flat, pa.uint64())),
         })
 
-    sets_tbl = docs.select_columns(["doc_id", "text"]) \
-        .map_batches(to_sets, batch_format="pyarrow").materialize()
-    n_docs = sets_tbl.count()
-    if n_docs > cfg.broadcast_max_docs:
-        raise NotImplementedError(
-            "exact_jaccard_pairs broadcast path is capped at "
-            f"{cfg.broadcast_max_docs} docs; use the signature verify "
-            "(stages/verify.py shuffle path) beyond that")
+    return docs.select_columns(["doc_id", "text"]) \
+        .map_batches(to_sets, batch_format="pyarrow")
 
-    # build the lookup driver-side (bounded by broadcast_max_docs)
-    lookup: dict[int, np.ndarray] = {}
-    for b in sets_tbl.iter_batches(batch_format="pyarrow"):
-        ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        sh = b["shingles"]
-        if isinstance(sh, pa.ChunkedArray):
-            sh = sh.combine_chunks()
-        offs = sh.offsets.to_numpy(zero_copy_only=False)
-        vals = sh.values.to_numpy(zero_copy_only=False).astype(np.uint64)
-        for i, did in enumerate(ids):
-            lookup[int(did)] = vals[offs[i]:offs[i + 1]]
-    ref = ray.put(lookup)
 
-    class PairJaccard:
-        def __init__(self):
-            self.sets = ray.get(ref)
+def _list_parts(col) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets, values) of a list<uint64> column as numpy."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return np.zeros(1, np.int64), np.empty(0, np.uint64)
+    return (col.offsets.to_numpy(zero_copy_only=False).astype(np.int64),
+            col.values.to_numpy(zero_copy_only=False).astype(np.uint64))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a = batch["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            b = batch["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            jac = np.empty(len(a), np.float64)
-            for i in range(len(a)):
-                sa = self.sets.get(int(a[i]))
-                sb = self.sets.get(int(b[i]))
-                if sa is None or sb is None or (len(sa) == 0 and
-                                                len(sb) == 0):
-                    jac[i] = 0.0
-                    continue
-                inter = len(np.intersect1d(sa, sb, assume_unique=True))
-                jac[i] = inter / (len(sa) + len(sb) - inter)
-            keep = jac >= min_jaccard
-            return pa.table({"a": pa.array(a[keep], pa.uint64()),
-                             "b": pa.array(b[keep], pa.uint64()),
-                             "jaccard": pa.array(jac[keep])})
+
+def _jaccard_broadcast(pairs, sets_tbl, min_jaccard: float):
+    """Sets broadcast as (sorted ids, offs, flat) — resolved per batch with
+    searchsorted, scored with the shared vectorized kernel."""
+    import ray
+
+    from ray_data_mplsh.stages.shuffle import cached_get
+
+    ids_l, offs_l, vals_l = [], [], []
+    for b in sets_tbl.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        ids_l.append(b["doc_id"].to_numpy(zero_copy_only=False)
+                     .astype(np.uint64))
+        o, v = _list_parts(b["shingles"])
+        offs_l.append(np.diff(o))
+        vals_l.append(v)
+    if ids_l:
+        ids = np.concatenate(ids_l)
+        lens = np.concatenate(offs_l)
+        vals = np.concatenate(vals_l)
+        order = np.argsort(ids, kind="stable")
+        # reorder the flat values to match sorted-id row order
+        offs_un = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+        svals, slens = _gather_lists(offs_un, vals, order)
+        ids = ids[order]
+        offs = np.concatenate(([0], np.cumsum(slens))).astype(np.int64)
+        vals = svals
+    else:
+        ids = np.empty(0, np.uint64)
+        offs = np.zeros(1, np.int64)
+        vals = np.empty(0, np.uint64)
+    ref = ray.put((ids, offs, vals))
+
+    def score(batch: pa.Table) -> pa.Table:
+        sids, soffs, svals = cached_get(ref)
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ia = np.clip(np.searchsorted(sids, a), 0, max(len(sids) - 1, 0))
+        ib = np.clip(np.searchsorted(sids, b), 0, max(len(sids) - 1, 0))
+        ok = np.zeros(len(a), bool) if not len(sids) else \
+            (sids[ia] == a) & (sids[ib] == b)
+        va, la = _gather_lists(soffs, svals, ia[ok])
+        vb, lb = _gather_lists(soffs, svals, ib[ok])
+        jac = pair_jaccard_kernel(va, la, vb, lb)
+        keep = jac >= min_jaccard
+        return pa.Table.from_arrays([
+            pa.array(a[ok][keep], pa.uint64()),
+            pa.array(b[ok][keep], pa.uint64()),
+            pa.array(jac[keep], pa.float64()),
+        ], schema=PAIR_JACCARD_SCHEMA)
 
     return pairs.select_columns(["a", "b"]).map_batches(
-        PairJaccard, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+        score, batch_format="pyarrow", batch_size=65536)
+
+
+def _jaccard_shuffle(pairs, sets_tbl, min_jaccard: float,
+                     num_partitions: int):
+    """Scale path: shingle sets attached by a doc-keyed exchange, pairs
+    combined by exact (a, b) under a hash-routed partition — the
+    verify_stage_shuffle pattern with variable-length list payloads."""
+    from ray_data_mplsh.functions.hashing import mix64
+    from ray_data_mplsh.stages.shuffle import partition_apply
+
+    empty_list = pa.list_(pa.uint64())
+
+    def mk_requests(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(a)
+        return pa.Table.from_arrays([
+            pa.array(np.concatenate([a, b]), pa.uint64()),
+            pa.array(np.concatenate([a, a]), pa.uint64()),
+            pa.array(np.concatenate([b, b]), pa.uint64()),
+            pa.array(np.concatenate([np.zeros(n, np.int8),
+                                     np.ones(n, np.int8)]), pa.int8()),
+            pa.nulls(2 * n, empty_list),
+        ], names=["key", "a", "b", "side", "shingles"])
+
+    def mk_set_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(ids)
+        z = pa.array(np.zeros(n, np.uint64), pa.uint64())
+        sh = batch["shingles"].combine_chunks()
+        if sh.type != empty_list:
+            sh = sh.cast(empty_list)
+        return pa.Table.from_arrays([
+            pa.array(ids, pa.uint64()), z, z,
+            pa.array(np.full(n, 2, np.int8), pa.int8()), sh,
+        ], names=["key", "a", "b", "side", "shingles"])
+
+    u = pairs.select_columns(["a", "b"]) \
+        .map_batches(mk_requests, batch_format="pyarrow") \
+        .union(sets_tbl.map_batches(mk_set_rows, batch_format="pyarrow"))
+
+    def attach(part: pa.Table) -> pa.Table:
+        side = part["side"].to_numpy(zero_copy_only=False)
+        key = part["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        is_set = side == 2
+        set_keys = key[is_set]
+        order = np.argsort(set_keys, kind="stable")
+        set_keys = set_keys[order]
+        sets = part.filter(pa.array(is_set))["shingles"].combine_chunks() \
+            .take(pa.array(order))
+        reqs = part.filter(pa.array(~is_set))
+        q = key[~is_set]
+        i = np.clip(np.searchsorted(set_keys, q), 0,
+                    max(len(set_keys) - 1, 0))
+        hit = (set_keys[i] == q) if len(set_keys) \
+            else np.zeros(len(q), bool)
+        reqs = reqs.filter(pa.array(hit))
+        a = reqs["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = reqs["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table({
+            "pk": pa.array(mix64(a) ^ mix64(b), pa.uint64()),
+            "a": reqs["a"], "b": reqs["b"], "side": reqs["side"],
+            "shingles": sets.take(pa.array(i[hit])),
+        })
+
+    att = partition_apply(u, "key", attach, num_partitions)
+
+    def combine(part: pa.Table) -> pa.Table:
+        side = part["side"].to_numpy(zero_copy_only=False)
+        a = part["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = part["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((side, b, a))
+        sa, sb, ss = a[order], b[order], side[order]
+        new = np.concatenate(([True], (sa[1:] != sa[:-1]) |
+                              (sb[1:] != sb[:-1])))
+        starts = np.flatnonzero(new)
+        starts = np.concatenate([starts, [len(sa)]])
+        full = starts[:-1][np.diff(starts) == 2]
+        full = full[(ss[full] == 0) & (ss[full + 1] == 1)]
+        i0, i1 = order[full], order[full + 1]
+        offs, vals = _list_parts(part["shingles"])
+        va, la = _gather_lists(offs, vals, i0)
+        vb, lb = _gather_lists(offs, vals, i1)
+        jac = pair_jaccard_kernel(va, la, vb, lb)
+        keep = jac >= min_jaccard
+        return pa.Table.from_arrays([
+            pa.array(a[i0][keep], pa.uint64()),
+            pa.array(b[i0][keep], pa.uint64()),
+            pa.array(jac[keep], pa.float64()),
+        ], schema=PAIR_JACCARD_SCHEMA)
+
+    return partition_apply(att, "pk", combine, num_partitions)
+
+
+def exact_jaccard_pairs(pairs, docs, cfg: MPLSHConfig, *,
+                        min_jaccard: float = 0.0, num_partitions: int = 0,
+                        force_shuffle: bool = False):
+    """(a, b) candidate pairs + docs (doc_id, text) -> (a, b, jaccard) with
+    the exact shingle-set Jaccard, keeping pairs >= min_jaccard. No doc
+    cap: above ``cfg.broadcast_max_docs`` (or with ``force_shuffle``) the
+    sets ride the pair-keyed exchange instead of a broadcast."""
+    from ray_data_mplsh.stages.shuffle import default_partitions
+
+    P = default_partitions(num_partitions)
+    sets_tbl = _sets_stage(docs, cfg).materialize()
+    n_docs = sets_tbl.count()
+    if force_shuffle or n_docs > cfg.broadcast_max_docs:
+        return _jaccard_shuffle(pairs, sets_tbl, min_jaccard, P)
+    return _jaccard_broadcast(pairs, sets_tbl, min_jaccard)
