@@ -30,6 +30,7 @@ from ray_data_mplsh.functions.extract import tokenize_batch
 from ray_data_mplsh.functions.hashing import (
     hash_str_array, rolling_shingle_hashes,
 )
+from ray_data_mplsh.stages.shuffle import gather_slices as _gather_lists
 
 PAIR_JACCARD_SCHEMA = pa.schema([
     ("a", pa.uint64()), ("b", pa.uint64()), ("jaccard", pa.float64())])
@@ -42,17 +43,6 @@ def shingle_sets_batch(batch: pa.Table, k: int) -> list[np.ndarray]:
     sh, soffs = rolling_shingle_hashes(wh, offs, k)
     return [np.unique(sh[soffs[i]:soffs[i + 1]])
             for i in range(len(soffs) - 1)]
-
-
-def _gather_lists(offs: np.ndarray, vals: np.ndarray, rows: np.ndarray
-                  ) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized gather of list-array slices: (flat values, lengths)."""
-    starts = offs[rows].astype(np.int64)
-    lens = (offs[rows + 1].astype(np.int64) - starts)
-    cum = np.concatenate(([0], np.cumsum(lens)))
-    idx = np.arange(cum[-1], dtype=np.int64) \
-        - np.repeat(cum[:-1], lens) + np.repeat(starts, lens)
-    return vals[idx], lens
 
 
 def pair_jaccard_kernel(vals_a: np.ndarray, lens_a: np.ndarray,

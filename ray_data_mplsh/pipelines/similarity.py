@@ -22,10 +22,35 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray_data_mplsh.functions.hashing import mix64
 from ray_data_mplsh.functions.perturb import perturbation_sets
-from ray_data_mplsh.stages.shuffle import group_runs, partition_apply
+from ray_data_mplsh.stages.shuffle import (
+    gather_slices, group_runs, partition_apply,
+)
+
+
+def _topk_per_query(q: np.ndarray, v: np.ndarray, c: np.ndarray, k: int
+                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-batch top-k trim: keep the k best-scoring candidates per query
+    so the driver merge stays O(batches * k * nq) regardless of how many
+    candidates a batch produced. Vectorized (one lexsort + rank-in-run)."""
+    if len(q) == 0:
+        return q, v, c
+    o = np.lexsort((v, -c, q))
+    qs, vs = q[o], v[o]
+    # drop exact (q, v) duplicates (same candidate via several LSH tables;
+    # their cosines are identical so duplicates are adjacent in this order)
+    uniq = np.concatenate(([True], (qs[1:] != qs[:-1]) |
+                           (vs[1:] != vs[:-1])))
+    o, qs = o[uniq], qs[uniq]
+    new = np.concatenate(([True], qs[1:] != qs[:-1]))
+    starts = np.flatnonzero(new)
+    run_id = np.cumsum(new) - 1
+    rank = np.arange(len(qs)) - starts[run_id]
+    sel = o[rank < k]
+    return q[sel], v[sel], c[sel]
 
 
 def _emb_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
@@ -104,6 +129,25 @@ def _hyperplanes(d: int, n_bits: int, seed: int) -> np.ndarray:
     return rng.standard_normal((d, n_bits)).astype(np.float32)
 
 
+_PLANES_CACHE: dict = {}
+
+
+def _planes_cached(d: int, n_bits: int, n_tables: int, seed: int
+                   ) -> np.ndarray:
+    """Per-worker memoized (T, d, bits) hyperplane tensor (seeded, so every
+    worker regenerates the identical planes)."""
+    key = (d, n_bits, n_tables, seed)
+    try:
+        return _PLANES_CACHE[key]
+    except KeyError:
+        if len(_PLANES_CACHE) > 8:
+            _PLANES_CACHE.clear()
+        val = np.stack([_hyperplanes(d, n_bits, seed + t)
+                        for t in range(n_tables)])
+        _PLANES_CACHE[key] = val
+        return val
+
+
 def _vec_simhash(m: np.ndarray, planes: np.ndarray
                  ) -> tuple[np.ndarray, np.ndarray]:
     """(bucket codes uint64, margins (n, n_bits)) for normalized vectors."""
@@ -148,39 +192,62 @@ def knn_lsh(embeddings, query_ids: np.ndarray, queries: np.ndarray,
                     flip |= np.uint64(1) << np.uint64(b)
                 codes.append(code[qi] ^ flip)
             for c in codes[:n_probes]:
-                probe_keys.append((t, int(c), int(qids[qi])))
-    want = {}
-    for t, c, q in probe_keys:
-        want.setdefault((t, c), []).append(q)
-    want_ref = ray.put(want)
+                probe_keys.append((t, int(c), qi))
+    # pack the wanted (table, code) keys into one sorted uint64 array with
+    # offsets into a flat query-position list — the prober resolves a whole
+    # batch with ONE searchsorted per table, no dict, no per-row loop
+    pk = np.array([(t << n_bits) | c for t, c, _ in probe_keys], np.uint64)
+    qp = np.array([qi for _, _, qi in probe_keys], np.int64)
+    o = np.argsort(pk, kind="stable")
+    pk, qp = pk[o], qp[o]
+    new = np.concatenate(([True], pk[1:] != pk[:-1])) if len(pk) else \
+        np.empty(0, bool)
+    uk = pk[new]
+    uoffs = np.concatenate(
+        [np.flatnonzero(new), [len(pk)]]).astype(np.int64)
+    want_ref = ray.put((uk, uoffs, qp))
     planes_ref = ray.put(np.stack(planes))       # (T, d, bits)
     q_ref = ray.put((qids, qm))
 
     class Prober:
         def __init__(self):
-            self.want = ray.get(want_ref)
+            self.uk, self.uoffs, self.qp = ray.get(want_ref)
             self.planes = ray.get(planes_ref)
             self.qids, self.qm = ray.get(q_ref)
-            self.qpos = {int(q): i for i, q in enumerate(self.qids)}
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             m = _normalize(_emb_matrix(batch).astype(np.float32))
             ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
             out_q, out_v, out_c = [], [], []
-            if m.size:
+            if m.size and len(self.uk):
                 for t in range(self.planes.shape[0]):
                     code, _ = _vec_simhash(m, self.planes[t])
-                    for i, c in enumerate(code.tolist()):
-                        qs = self.want.get((t, c))
-                        if not qs:
-                            continue
-                        for q in qs:
-                            out_q.append(q)
-                            out_v.append(ids[i])
-                            out_c.append(float(m[i] @ self.qm[self.qpos[q]]))
-            return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                             "vec_id": pa.array(out_v, pa.int64()),
-                             "cosine": pa.array(out_c, pa.float64())})
+                    key = (np.uint64(t << n_bits) | code)
+                    pos = np.clip(np.searchsorted(self.uk, key), 0,
+                                  len(self.uk) - 1)
+                    hit = self.uk[pos] == key
+                    rows = np.flatnonzero(hit)
+                    if not len(rows):
+                        continue
+                    qsel, lens = gather_slices(self.uoffs, self.qp,
+                                               pos[rows])
+                    row_rep = np.repeat(rows, lens)
+                    cos = np.einsum("ij,ij->i", m[row_rep],
+                                    self.qm[qsel]).astype(np.float64)
+                    out_q.append(self.qids[qsel])
+                    out_v.append(ids[row_rep])
+                    out_c.append(cos)
+            if out_q:
+                oq = np.concatenate(out_q)
+                ov = np.concatenate(out_v)
+                oc = np.concatenate(out_c)
+                oq, ov, oc = _topk_per_query(oq, ov, oc, k)
+            else:
+                oq = ov = np.empty(0, np.int64)
+                oc = np.empty(0, np.float64)
+            return pa.table({"query_id": pa.array(oq, pa.int64()),
+                             "vec_id": pa.array(ov, pa.int64()),
+                             "cosine": pa.array(oc, pa.float64())})
 
     cand = embeddings.map_batches(Prober, batch_format="pyarrow",
                                   batch_size=4096, concurrency=(1, 4),
@@ -257,9 +324,12 @@ def knn_ivf(embeddings, query_ids: np.ndarray, queries: np.ndarray,
             return pa.table({"query_id": pa.array([], pa.int64()),
                              "vec_id": pa.array([], pa.int64()),
                              "cosine": pa.array([], pa.float64())})
-        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
-                         "vec_id": pa.array(np.concatenate(out_v)),
-                         "cosine": pa.array(np.concatenate(out_c))})
+        oq, ov, oc = _topk_per_query(np.concatenate(out_q),
+                                     np.concatenate(out_v),
+                                     np.concatenate(out_c), k)
+        return pa.table({"query_id": pa.array(oq),
+                         "vec_id": pa.array(ov),
+                         "cosine": pa.array(oc)})
 
     cand = embeddings.map_batches(scan, batch_format="pyarrow",
                                   batch_size=4096).to_pandas()
@@ -284,7 +354,6 @@ def embedding_near_dup(embeddings, *, threshold: float = 0.95,
     from ray_data_mplsh.stages.shuffle import default_partitions
 
     P = default_partitions(num_partitions)
-    state = {"planes": None}
 
     def bucketize(batch: pa.Table) -> pa.Table:
         m = _normalize(_emb_matrix(batch).astype(np.float32))
@@ -294,9 +363,14 @@ def embedding_near_dup(embeddings, *, threshold: float = 0.95,
                              "vec_id": pa.array([], pa.int64()),
                              "embedding": batch["embedding"]})
         d = m.shape[1]
+        # hyperplanes are seeded-deterministic; memoize the stacked (T, d,
+        # bits) tensor per worker process so it is generated once per
+        # worker, not once per batch (no broadcast needed — regeneration
+        # from the seed is exact and cheaper than object-store traffic)
+        planes = _planes_cached(d, n_bits, n_tables, seed)
         outs = []
         for t in range(n_tables):
-            code, _ = _vec_simhash(m, _hyperplanes(d, n_bits, seed + t))
+            code, _ = _vec_simhash(m, planes[t])
             outs.append(mix64(code + np.uint64(t << 48)))
         bucket = np.concatenate(outs)
         rep = pa.table({
@@ -340,12 +414,21 @@ def embedding_near_dup(embeddings, *, threshold: float = 0.95,
 
     buckets = embeddings.map_batches(bucketize, batch_format="pyarrow")
     pairs = partition_apply(buckets, "bucket", pair_bucket, P)
-    # global pair dedup (pairs found in several tables)
-    pdf = pairs.to_pandas()
-    if pdf.empty:     # an empty Dataset drops its column metadata
+    # global pair dedup (the same pair surfaces in several tables) runs on
+    # the pair-keyed shuffle like every other pair producer — only the
+    # final (deduped, thresholded) pair set reaches the driver. dedup_pairs
+    # keys on the exact (a, b); the cosine column rides along (identical on
+    # every duplicate, so keeping the first row is exact).
+    from ray_data_mplsh.stages.pairs import dedup_pairs
+
+    deduped = dedup_pairs(pairs, P, local_max_rows=0)
+    parts = [bt for bt in deduped.iter_batches(batch_size=65536,
+                                               batch_format="pyarrow")]
+    if not parts or sum(t.num_rows for t in parts) == 0:
         return pa.table({"a": pa.array([], pa.int64()),
                          "b": pa.array([], pa.int64()),
                          "cosine": pa.array([], pa.float64())})
-    pdf = pdf.drop_duplicates(["a", "b"]) \
-        .sort_values(["a", "b"]).reset_index(drop=True)
-    return pa.Table.from_pandas(pdf, preserve_index=False)
+    out = pa.concat_tables(parts)
+    order = pc.sort_indices(
+        out, sort_keys=[("a", "ascending"), ("b", "ascending")])
+    return out.take(order)

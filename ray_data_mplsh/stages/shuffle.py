@@ -165,6 +165,18 @@ def from_arrow_blocks(table: pa.Table, target_rows: int = 4096):
     return ray.data.from_arrow(slices)
 
 
+def gather_slices(offs: np.ndarray, vals: np.ndarray, rows: np.ndarray
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized gather of list-array slices for the given rows:
+    (flat values in row order, per-row lengths). No Python loop."""
+    starts = offs[rows].astype(np.int64)
+    lens = (offs[rows + 1].astype(np.int64) - starts)
+    cum = np.concatenate(([0], np.cumsum(lens)))
+    idx = np.arange(cum[-1], dtype=np.int64) \
+        - np.repeat(cum[:-1], lens) + np.repeat(starts, lens)
+    return vals[idx], lens
+
+
 def group_runs(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(order, run_starts) for grouping a partition by a uint64 key array:
     ``order`` sorts the rows; ``run_starts`` indexes group starts in the
