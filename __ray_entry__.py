@@ -6,7 +6,7 @@ sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB. Ray is initialised by the driver BEFORE this module is imported:
 no ``ray.init()`` / ``ray.shutdown()`` here or anywhere in the library.
 
-Query inventory (27 entries; * = bit-exact DuckDB oracle, rest rows-only
+Query inventory (29 entries; * = bit-exact DuckDB oracle, rest rows-only
 with pytest gates — see SURVEY.md Appendix B):
   dedup family: q_exact_dedup*, q_dedup_documents, q_minhash_pairs,
     q_simhash_pairs, q_ngram_jaccard, q_embedding_near_dup
@@ -16,10 +16,22 @@ with pytest gates — see SURVEY.md Appendix B):
     q_quality_scores*, q_fingerprints
   relational/aggregates: q_lang_counts*, q_len_filter*, q_top_sources*,
     q_distinct_langs*, q_events_daily*, q_events_props*,
-    q_join_ord_cust*, q_lineitem_agg*, q_region_nation*, q_sample
+    q_join_ord_cust*, q_lineitem_agg*, q_region_nation*,
+    q_sample* (multiplicative-hash deterministic sample),
+    q_quantiles* (distributed exact percentiles vs quantile_disc),
+    q_top_docs_per_lang* (grouped top-k vs ROW_NUMBER)
   custom operators: q_events_sliding* (sliding-window aggregate),
     q_asof_event_order* (distributed as-of join vs DuckDB ASOF),
     q_range_join_events* (temporal range join, trailing-window counts)
+
+Rows-only rationale (driver contract permits omitting SQL for
+non-expressible ops): q_minhash_pairs / q_dedup_documents /
+q_simhash_pairs / q_ngram_jaccard depend on LSH candidate generation
+(custom 64-bit hashes + banding) that SQL cannot reproduce;
+q_knn_lsh / q_knn_ivf / q_embedding_near_dup are approximate by design
+(probe/centroid-dependent candidate sets); q_fingerprints is winnowing
+(rolling-hash argmin windows). Each is pytest-gated instead: brute-force
+Hamming / DSU / recall / kernel-invariant oracles.
 """
 
 from __future__ import annotations

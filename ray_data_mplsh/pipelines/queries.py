@@ -485,10 +485,63 @@ def q_events_sliding(sf_dir: str):
 
 
 def q_sample(sf_dir: str):
-    """Seeded sample for manual QA (op 32). Deterministic for a fixed
-    seed; rows-only (DuckDB's sampling RNG differs by construction)."""
+    """Deterministic 1-in-20 sample (op 32) via a multiplicative hash both
+    engines compute identically (Knuth constant mod 2^32) — bit-exact vs
+    the DuckDB oracle, unlike RNG sampling whose stream is
+    engine-specific. The hash is uniform enough for QA sampling and needs
+    no broadcast state."""
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
-    return ds.random_sample(0.05, seed=42)
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((ids % np.uint64(2**32)) * np.uint64(2654435761)) \
+            % np.uint64(2**32)
+        return t.filter(pa.array(h % np.uint64(20) == 0))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def q_quantiles(sf_dir: str):
+    """Distributed EXACT percentiles of document length (op: quantile
+    sketch family, the pretraining length/quality-gate primitive):
+    value-count combiner + one tiny groupby — matches DuckDB
+    quantile_disc bit-exactly (same ceil(q*n)-1 rank rule)."""
+    from ray_data_mplsh.pipelines.sketch import exact_quantiles
+
+    ds = _read(sf_dir, "documents", ["n_chars"])
+    return exact_quantiles(ds, "n_chars", [0.25, 0.5, 0.75, 0.9, 0.99])
+
+
+def q_top_docs_per_lang(sf_dir: str):
+    """Grouped top-k (op 31, grouped variant): the 3 longest docs per
+    language, ties broken by doc_id ASC — one lang-keyed partition
+    exchange, vectorized rank-in-run per partition, bit-exact vs
+    ROW_NUMBER() OVER in DuckDB."""
+    from ray_data_mplsh.functions.hashing import hash_str_array
+    from ray_data_mplsh.stages.shuffle import partition_apply
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "lang_h", pa.array(hash_str_array(t["lang"]), pa.uint64()))
+
+    def topk(part: pa.Table) -> pa.Table:
+        lang = np.asarray(part["lang"].to_pylist(), dtype=object)
+        nc = part["n_chars"].to_numpy(zero_copy_only=False)
+        did = part["doc_id"].to_numpy(zero_copy_only=False)
+        _, inv = np.unique(lang, return_inverse=True)
+        o = np.lexsort((did, -nc, inv))
+        gi = inv[o]
+        new = np.concatenate(([True], gi[1:] != gi[:-1]))
+        starts = np.flatnonzero(new)
+        run_id = np.cumsum(new) - 1
+        rank = np.arange(len(gi)) - starts[run_id]
+        sel = o[rank < 3]
+        return part.take(pa.array(np.sort(sel))).drop_columns(["lang_h"])
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
+    return partition_apply(keyed_ds, "lang_h", topk, default_partitions())
 
 
 # ------------------------- registry ---------------------------------------
@@ -519,6 +572,8 @@ QUERIES = {
     "q_asof_event_order": q_asof_event_order,
     "q_range_join_events": q_range_join_events,
     "q_sample": q_sample,
+    "q_quantiles": q_quantiles,
+    "q_top_docs_per_lang": q_top_docs_per_lang,
 }
 
 ORACLE_SQL = {
@@ -598,6 +653,20 @@ ORACLE_SQL = {
         "r AS (SELECT query_id, vec_id, ROW_NUMBER() OVER "
         "(PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rk FROM s) "
         f"SELECT query_id, vec_id FROM r WHERE rk <= {_KNN_K}",
+    "q_sample":
+        "SELECT doc_id, lang, n_chars FROM documents "
+        "WHERE ((doc_id % 4294967296) * 2654435761::HUGEINT) "
+        "% 4294967296 % 20 = 0",
+    "q_quantiles":
+        " UNION ALL ".join(
+            f"SELECT {q}::DOUBLE AS q, quantile_disc(n_chars, {q}) "
+            f"AS value FROM documents"
+            for q in (0.25, 0.5, 0.75, 0.9, 0.99)),
+    "q_top_docs_per_lang":
+        "SELECT doc_id, lang, n_chars FROM ("
+        "SELECT doc_id, lang, n_chars, ROW_NUMBER() OVER "
+        "(PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk "
+        "FROM documents) WHERE rk <= 3",
     "q_lang_id":
         "SELECT doc_id, CASE GREATEST("
         + ", ".join(f"len(regexp_extract_all(text, '{p}'))"

@@ -51,3 +51,142 @@ def approx_distinct(ds, column: str, k: int = 1024) -> float:
              for b in ds.map_batches(partial, batch_format="pyarrow")
              .iter_batches(batch_size=k, batch_format="pyarrow")]
     return kmv_estimate(_kmv_merge(parts, k), k)
+
+
+# ---------------- quantiles (the percentile-gating primitive) --------------
+
+def exact_quantiles(ds, column: str, qs: list[float]) -> pa.Table:
+    """EXACT distributed quantiles for a bounded-cardinality column
+    (lengths, scores — the pretraining quality-gate case): per-batch
+    value-count partials (combiner pattern) -> one small
+    ``groupby(value).sum`` shuffle -> a tiny sorted CDF on the driver.
+
+    The shuffle volume is O(distinct values x partitions), independent of
+    row count, so this is the scale path whenever the domain is bounded.
+    Rank rule matches DuckDB ``quantile_disc``: the value at sorted-multiset
+    index ``ceil(q*n) - 1`` (clamped), computed with the same IEEE double
+    multiply so oracle parity is exact.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[column].to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(vals),
+                         "c": pa.array(cnts, pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("v").aggregate(Sum("c", alias_name="c"))
+    vs, cs = [], []
+    for b in agg.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        vs.append(b["v"].to_numpy(zero_copy_only=False))
+        cs.append(b["c"].to_numpy(zero_copy_only=False))
+    v = np.concatenate(vs)
+    c = np.concatenate(cs).astype(np.int64)
+    o = np.argsort(v, kind="stable")
+    v, c = v[o], c[o]
+    cum = np.cumsum(c)
+    n = int(cum[-1])
+    out_v = []
+    for q in qs:
+        r = min(max(int(np.ceil(q * n)) - 1, 0), n - 1)
+        out_v.append(v[int(np.searchsorted(cum, r + 1))])
+    return pa.table({"q": pa.array([float(q) for q in qs], pa.float64()),
+                     "value": pa.array(np.array(out_v))})
+
+
+class QuantileSketch:
+    """Mergeable KLL-lite quantile sketch for UNBOUNDED domains (continuous
+    scores): level i holds items of weight 2^i; an over-full level sorts
+    and keeps alternating elements (seeded offset), pushing them up one
+    level. eps ~ O(log(n/k)/k) rank error; tested in tests/test_sketch.py.
+    Per-batch partials serialize as (level, value) rows — a combiner-style
+    aggregate like KMV, no shuffle of raw data."""
+
+    def __init__(self, k: int = 256, seed: int = 0):
+        self.k = k
+        self.levels: list[np.ndarray] = [np.empty(0, np.float64)]
+        self._rng = np.random.Generator(np.random.PCG64(seed))
+
+    def add(self, arr: np.ndarray) -> "QuantileSketch":
+        self.levels[0] = np.concatenate(
+            [self.levels[0], np.asarray(arr, np.float64)])
+        self._compress()
+        return self
+
+    def _compress(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            if len(self.levels[i]) > self.k:
+                buf = np.sort(self.levels[i])
+                off = int(self._rng.integers(0, 2))
+                kept = buf[off::2]
+                self.levels[i] = np.empty(0, np.float64)
+                if i + 1 == len(self.levels):
+                    self.levels.append(np.empty(0, np.float64))
+                self.levels[i + 1] = np.concatenate(
+                    [self.levels[i + 1], kept])
+            i += 1
+
+    def merge(self, other: "QuantileSketch") -> "QuantileSketch":
+        for i, buf in enumerate(other.levels):
+            while len(self.levels) <= i:
+                self.levels.append(np.empty(0, np.float64))
+            self.levels[i] = np.concatenate([self.levels[i], buf])
+        self._compress()
+        return self
+
+    def to_table(self) -> pa.Table:
+        lv = np.concatenate([np.full(len(b), i, np.int8)
+                             for i, b in enumerate(self.levels)]) \
+            if self.levels else np.empty(0, np.int8)
+        vals = np.concatenate(self.levels) if self.levels \
+            else np.empty(0, np.float64)
+        return pa.table({"level": pa.array(lv, pa.int8()),
+                         "value": pa.array(vals, pa.float64())})
+
+    @classmethod
+    def from_table(cls, t: pa.Table, k: int = 256,
+                   seed: int = 0) -> "QuantileSketch":
+        sk = cls(k=k, seed=seed)
+        lv = t["level"].to_numpy(zero_copy_only=False)
+        vals = t["value"].to_numpy(zero_copy_only=False)
+        for i in range(int(lv.max()) + 1 if len(lv) else 1):
+            sk._ensure(i)
+            sk.levels[i] = vals[lv == i].astype(np.float64)
+        return sk
+
+    def _ensure(self, i: int) -> None:
+        while len(self.levels) <= i:
+            self.levels.append(np.empty(0, np.float64))
+
+    def quantile(self, q: float) -> float:
+        vals = np.concatenate(self.levels)
+        w = np.concatenate([np.full(len(b), 1 << i, np.int64)
+                            for i, b in enumerate(self.levels)])
+        if not len(vals):
+            return float("nan")
+        o = np.argsort(vals, kind="stable")
+        vals, w = vals[o], w[o]
+        cum = np.cumsum(w)
+        n = int(cum[-1])
+        r = min(max(int(np.ceil(q * n)) - 1, 0), n - 1)
+        return float(vals[int(np.searchsorted(cum, r + 1))])
+
+
+def approx_quantiles(ds, column: str, qs: list[float], k: int = 256,
+                     seed: int = 0) -> list[float]:
+    """Distributed approximate quantiles over an unbounded column: one
+    KLL-lite partial per batch streams out as (level, value) rows, the
+    driver merges #batches tiny sketches. No shuffle of raw values."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        sk = QuantileSketch(k=k, seed=seed)
+        sk.add(t[column].to_numpy(zero_copy_only=False))
+        return sk.to_table()
+
+    merged = QuantileSketch(k=k, seed=seed)
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_size=65536, batch_format="pyarrow"):
+        merged.merge(QuantileSketch.from_table(b, k=k, seed=seed))
+    return [merged.quantile(q) for q in qs]
