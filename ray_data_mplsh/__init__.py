@@ -20,12 +20,15 @@ Arrow batches; no ``ray.init`` is ever called inside this package.
 
 from ray_data_mplsh.config import MPLSHConfig
 
-__all__ = ["MPLSHConfig", "run_dedup", "read_pages", "read_documents",
-           "synth_pages", "knn_bruteforce", "knn_lsh", "embedding_near_dup"]
-__version__ = "0.1.0"
+__all__ = ["MPLSHConfig", "run_dedup", "run_dedup_incremental",
+           "read_pages", "read_documents", "synth_pages", "knn_bruteforce",
+           "knn_lsh", "embedding_near_dup"]
+__version__ = "0.2.0"
 
 _LAZY = {
     "run_dedup": ("ray_data_mplsh.pipelines.dedup", "run_dedup"),
+    "run_dedup_incremental": ("ray_data_mplsh.pipelines.incremental",
+                              "run_dedup_incremental"),
     "read_pages": ("ray_data_mplsh.sources", "read_pages"),
     "read_documents": ("ray_data_mplsh.sources", "read_documents"),
     "synth_pages": ("ray_data_mplsh.fixtures", "synth_pages"),

@@ -1,0 +1,68 @@
+"""Incremental dedup: folding a new shard into a checkpointed base run
+must produce the same duplicate-cluster PARTITION and canonical picks as
+a from-scratch joint run (labels may differ only through base-rep
+adoption, which is partition-preserving)."""
+
+import dataclasses
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from ray_data_mplsh.config import MPLSHConfig
+from ray_data_mplsh.pipelines.dedup import run_dedup
+from ray_data_mplsh.pipelines.incremental import run_dedup_incremental
+
+
+def _partition_and_canon(res):
+    out = res.dedup_out.to_pandas()
+    groups: dict = {}
+    for did, cid in zip(out["doc_id"].tolist(), out["cluster_id"].tolist()):
+        groups.setdefault(cid, set()).add(did)
+    canon = set(out[out["is_canonical"]]["doc_id"].tolist())
+    return {frozenset(v) for v in groups.values()}, canon
+
+
+def _shards(small_fixture):
+    import ray.data as rd
+
+    from ray_data_mplsh.stages.shuffle import from_arrow_blocks
+
+    pages = pq.read_table(f"{small_fixture}/pages.parquet")
+    n = pages.num_rows
+    cut = (2 * n) // 3
+    s1 = from_arrow_blocks(pages.slice(0, cut), target_rows=32)
+    s2 = from_arrow_blocks(pages.slice(cut), target_rows=32)
+    joint = rd.read_parquet(f"{small_fixture}/pages.parquet")
+    return s1, s2, joint
+
+
+def test_incremental_equals_joint(ray_session, small_fixture, tmp_path):
+    s1, s2, joint = _shards(small_fixture)
+    cfg = MPLSHConfig(ckpt_dir=str(tmp_path), run_id="base")
+    run_dedup(s1, cfg, extract=True, skip_substring=True)
+
+    inc_cfg = dataclasses.replace(cfg, run_id="incr")
+    inc = run_dedup_incremental(s2, inc_cfg, base_run_id="base",
+                                extract=True, skip_substring=True)
+    ref = run_dedup(joint, MPLSHConfig(), extract=True, skip_substring=True)
+
+    inc_part, inc_canon = _partition_and_canon(inc)
+    ref_part, ref_canon = _partition_and_canon(ref)
+    assert inc_part == ref_part
+    assert inc_canon == ref_canon
+    # the base's expensive signature stage was NOT recomputed: only the
+    # new shard's reps were signed
+    assert inc.counters["n_new_sigs"] < joint.count()
+    assert inc.counters["base_resumed"]
+
+
+def test_incremental_requires_valid_base(ray_session, small_fixture,
+                                         tmp_path):
+    _, s2, _ = _shards(small_fixture)
+    cfg = MPLSHConfig(ckpt_dir=str(tmp_path), run_id="incr")
+    with pytest.raises(ValueError, match="no valid"):
+        run_dedup_incremental(s2, cfg, base_run_id="missing", extract=True)
+    with pytest.raises(ValueError, match="ckpt_dir"):
+        run_dedup_incremental(s2, MPLSHConfig(), base_run_id="x",
+                              extract=True)
