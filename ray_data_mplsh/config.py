@@ -76,6 +76,14 @@ class MPLSHConfig:
                                   # small-side lookups (signatures, labels) are
                                   # broadcast via ray.put below this doc count;
                                   # above it the hash-shuffle join path is used
+    substr_broadcast_max_bytes: int = 128 << 20
+                                  # the substring pass broadcasts canonical
+                                  # TEXTS (not fixed-width sigs), so its
+                                  # broadcast-vs-shuffle gate is also byte-
+                                  # based: above this total text volume the
+                                  # pair-keyed shuffle attach is used even
+                                  # when the doc count is under
+                                  # broadcast_max_docs
     minhash_batch_size: int = 1024
     minhash_concurrency: int = 0  # 0 = warm-task schedule (default; params
                                   # memoized per worker); >0 = explicit
@@ -107,7 +115,8 @@ class MPLSHConfig:
             k: v for k, v in asdict(self).items()
             if k not in ("num_partitions", "minhash_batch_size",
                          "minhash_concurrency", "ckpt_dir", "run_id",
-                         "broadcast_max_docs", "local_state_max_rows")
+                         "broadcast_max_docs", "local_state_max_rows",
+                         "substr_broadcast_max_bytes")
         }
         blob = json.dumps(sem, sort_keys=True, default=list).encode()
         return f"{hash_bytes_u64(blob):016x}"

@@ -313,13 +313,23 @@ def substring_stage(dedup_out, cfg: MPLSHConfig, num_partitions: int):
     canon = dedup_out.filter(expr="is_canonical == True") \
         .select_columns(["doc_id", "text"]).materialize()
     n_canon = canon.count()
+    # byte-based gate in addition to the doc-count gate: the broadcast
+    # payload here is TEXT, so 100k short docs and 100k long docs are very
+    # different broadcasts. n_chars rides the corpus schema — summing it is
+    # a cheap column scan, no text touched.
+    if "n_chars" in dedup_out.schema().names:
+        canon_bytes = dedup_out.filter(expr="is_canonical == True") \
+            .sum("n_chars") or 0
+    else:
+        canon_bytes = 0
     fps = canon.map_batches(_fingerprint_emitter(cfg), batch_format="pyarrow")
     pairs = partition_apply(fps, "fp", _fp_pairs_fn(cfg.substr_bucket_cap),
                             num_partitions)
     pairs = dedup_pairs(pairs, num_partitions,
                         local_max_rows=cfg.local_state_max_rows)
 
-    if n_canon <= cfg.broadcast_max_docs:
+    if n_canon <= cfg.broadcast_max_docs and \
+            canon_bytes <= cfg.substr_broadcast_max_bytes:
         withtexts = _attach_texts_broadcast(pairs, canon, cfg)
     else:
         withtexts = _attach_texts_shuffle(pairs, canon, num_partitions)

@@ -160,3 +160,19 @@ def test_shuffle_substring_path_equivalent(pipeline_result, ray_session,
     base_ft = dict(zip(base_c["doc_id"].tolist(), base_c["final_text"]))
     assert ft == base_ft
     assert ft == small_oracle.dedup_text
+
+
+def test_substring_byte_gate_forces_shuffle(ray_session, small_fixture,
+                                            small_oracle):
+    """The BYTE-based substring gate (substr_broadcast_max_bytes=0) routes
+    text attach through the shuffle path even when the doc count is under
+    broadcast_max_docs — same byte-identical final_text."""
+    import ray.data as rd
+
+    pages = rd.read_parquet(f"{small_fixture}/pages.parquet")
+    cfg = MPLSHConfig(substr_broadcast_max_bytes=0)
+    res = run_dedup(pages, cfg, extract=True)
+    out = res.dedup_out.to_pandas()
+    canon = out[out["is_canonical"]]
+    ft = dict(zip(canon["doc_id"].tolist(), canon["final_text"]))
+    assert ft == small_oracle.dedup_text
