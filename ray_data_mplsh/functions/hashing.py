@@ -174,6 +174,103 @@ def minhash_signatures(shingles: np.ndarray, offsets: np.ndarray,
     return sig
 
 
+# --- O(n) rolling polynomial window hashes ---------------------------------
+
+def _inv_u64(a: np.uint64) -> np.uint64:
+    """Multiplicative inverse of an odd a mod 2^64 (Newton iteration)."""
+    x = a
+    for _ in range(6):
+        x = x * (U64(2) - a * x)
+    return x
+
+
+_POLY_Q = _inv_u64(_POLY_P)          # P is odd -> invertible mod 2^64
+_POW_CACHE: dict = {}
+
+
+def _pows(base: np.uint64, n: int, key: str) -> np.ndarray:
+    """Grow-only cached [base^0 .. base^(n-1)] mod 2^64 (per process)."""
+    cur = _POW_CACHE.get(key)
+    if cur is None or len(cur) < n:
+        size = max(n, 2 * len(cur) if cur is not None else n, 4096)
+        out = np.empty(size, np.uint64)
+        out[0] = U64(1)
+        np.cumprod(np.full(size - 1, base, np.uint64), out=out[1:])
+        _POW_CACHE[key] = out
+        cur = out
+    return cur[:n]
+
+
+def poly_window_hashes(b: np.ndarray, k: int) -> np.ndarray:
+    """Horner hash ``sum b[j] P^(k-1-j)`` of EVERY length-k window of the
+    uint64 array ``b`` — bit-identical to the k-pass Horner loop but O(n)
+    via prefix sums: with Q = P^-1 mod 2^64,
+    ``S[i] = sum_{j<i} b[j] Q^j`` gives
+    ``window(i) = (S[i+k] - S[i]) * P^(i+k-1)`` (all mod 2^64)."""
+    n = len(b)
+    if n < k:
+        return np.empty(0, np.uint64)
+    m = n - k + 1
+    if k <= 8:                       # few passes: plain Horner is cheaper
+        acc = np.zeros(m, dtype=np.uint64)
+        for j in range(k):
+            acc = acc * _POLY_P + b[j:m + j]
+        return acc
+    qp = _pows(_POLY_Q, n, "Q")
+    pp = _pows(_POLY_P, n + k, "P")
+    s = np.empty(n + 1, np.uint64)
+    s[0] = U64(0)
+    np.cumsum(b * qp, out=s[1:])
+    return (s[k:k + m] - s[0:m]) * pp[k - 1:k - 1 + m]
+
+
+def rightmost_window_argmin(g: np.ndarray, w: int) -> np.ndarray:
+    """Absolute index of the RIGHTMOST minimum of every length-w window of
+    ``g`` (uint64). O(m) two-block algorithm (block size w: each window is
+    a block suffix + the next block's prefix); bit-equal to the
+    sliding_window_view reversed-argmin reference (tests fuzz this)."""
+    m = len(g)
+    nwin = m - w + 1
+    if nwin <= 0:
+        raise ValueError("need len(g) >= w")
+    if w == 1:
+        return np.arange(m, dtype=np.int64)
+    nb = (m + w - 1) // w
+    pad = nb * w - m
+    vals = np.concatenate(
+        [g, np.full(pad, U64(0xFFFFFFFFFFFFFFFF))]).reshape(nb, w)
+    col = np.arange(w, dtype=np.int64)
+    # prefix rightmost argmin (ties -> later index wins: update on <=)
+    pre_min = np.minimum.accumulate(vals, axis=1)
+    pre_arg = np.maximum.accumulate(
+        np.where(vals <= pre_min, col[None, :], -1), axis=1)
+    # suffix rightmost argmin (scanning right-to-left, the existing -- i.e.
+    # righter -- candidate wins ties: update on strict <)
+    rv = vals[:, ::-1]
+    rcum = np.minimum.accumulate(rv, axis=1)
+    upd_r = np.concatenate(
+        [np.ones((nb, 1), bool), rcum[:, 1:] < rcum[:, :-1]], axis=1)
+    arg_r = np.maximum.accumulate(np.where(upd_r, col[None, :], -1), axis=1)
+    suf_arg = (w - 1 - arg_r)[:, ::-1]          # per suffix start offset
+    suf_min = rcum[:, ::-1]
+    # combine per window start i = q*w + r
+    i = np.arange(nwin, dtype=np.int64)
+    q, r = i // w, i % w
+    base = q * w
+    aligned = r == 0
+    out = np.empty(nwin, np.int64)
+    out[aligned] = base[aligned] + suf_arg[q[aligned], 0]
+    na = ~aligned
+    qn, rn = q[na], r[na]
+    a_min = suf_min[qn, rn]
+    b_min = pre_min[qn + 1, rn - 1]
+    use_b = b_min <= a_min                      # right part wins ties
+    res = np.where(use_b, (qn + 1) * w + pre_arg[qn + 1, rn - 1],
+                   qn * w + suf_arg[qn, rn])
+    out[na] = res
+    return out
+
+
 # --- winnowing fingerprints for the substring pass (op 24; Schleimer et al.,
 #     "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD 2003) ---
 
@@ -191,18 +288,11 @@ def winnow_fingerprints(text: str, k: int, w: int) -> tuple[np.ndarray, np.ndarr
     if n < k:
         return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
     m = n - k + 1
-    acc = np.zeros(m, dtype=np.uint64)
-    b = raw.astype(np.uint64)
-    for j in range(k):
-        acc = acc * _POLY_P + b[j:m + j]
-    grams = mix64(acc)
+    grams = mix64(poly_window_hashes(raw.astype(np.uint64), k))
     if m < w:
         pos = np.array([int(np.argmin(grams))], dtype=np.int64)
         return grams[pos], pos
-    win = np.lib.stride_tricks.sliding_window_view(grams, w)
-    # rightmost minimum per window: argmin on the reversed axis
-    rev_arg = np.argmin(win[:, ::-1], axis=1)
-    sel = (np.arange(m - w + 1, dtype=np.int64) + (w - 1 - rev_arg))
+    sel = rightmost_window_argmin(grams, w)
     keep = np.ones(len(sel), dtype=bool)
     keep[1:] = sel[1:] != sel[:-1]
     pos = sel[keep]

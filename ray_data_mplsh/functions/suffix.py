@@ -88,19 +88,13 @@ def longest_cross_substring(a: str, b: str) -> int:
 
 
 def _byte_gram_hashes(raw: np.ndarray, k: int) -> np.ndarray:
-    """uint64 Horner+mix hash of every length-k byte window (vectorized:
-    k strided adds over the array)."""
-    from ray_data_mplsh.functions.hashing import _POLY_P, mix64
+    """uint64 Horner+mix hash of every length-k byte window — O(n) via the
+    shared prefix-sum rolling hash (bit-identical to the k-pass Horner)."""
+    from ray_data_mplsh.functions.hashing import mix64, poly_window_hashes
 
-    n = len(raw)
-    if n < k:
+    if len(raw) < k:
         return np.empty(0, np.uint64)
-    m = n - k + 1
-    b = raw.astype(np.uint64)
-    acc = np.zeros(m, dtype=np.uint64)
-    for j in range(k):
-        acc = acc * _POLY_P + b[j:m + j]
-    return mix64(acc)
+    return mix64(poly_window_hashes(raw.astype(np.uint64), k))
 
 
 def cross_match_intervals(a: str, b: str, min_len: int) -> list[tuple[int, int]]:

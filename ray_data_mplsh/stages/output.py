@@ -318,8 +318,9 @@ def substring_stage(dedup_out, cfg: MPLSHConfig, num_partitions: int):
     # different broadcasts. n_chars rides the corpus schema — summing it is
     # a cheap column scan, no text touched.
     if "n_chars" in dedup_out.schema().names:
-        canon_bytes = dedup_out.filter(expr="is_canonical == True") \
-            .sum("n_chars") or 0
+        canon_bytes = dedup_out \
+            .select_columns(["is_canonical", "n_chars"]) \
+            .filter(expr="is_canonical == True").sum("n_chars") or 0
     else:
         canon_bytes = 0
     fps = canon.map_batches(_fingerprint_emitter(cfg), batch_format="pyarrow")

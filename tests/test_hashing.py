@@ -104,3 +104,33 @@ def test_winnowing_guarantee():
 def test_winnowing_positions_sorted_unique():
     f, p = winnow_fingerprints("abcdef" * 50, 5, 4)
     assert (np.diff(p) > 0).all()
+
+
+# --- O(n) kernel rewrites: bit-equality vs the reference formulations ------
+
+def test_poly_window_hashes_equals_horner():
+    from ray_data_mplsh.functions.hashing import _POLY_P, poly_window_hashes
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    for n, k in [(5, 5), (60, 30), (500, 50), (10000, 30), (257, 9)]:
+        b = rng.integers(0, 256, n).astype(np.uint64)
+        m = n - k + 1
+        acc = np.zeros(m, np.uint64)
+        for j in range(k):
+            acc = acc * _POLY_P + b[j:m + j]
+        assert np.array_equal(poly_window_hashes(b, k), acc), (n, k)
+
+
+def test_rightmost_window_argmin_equals_sliding_view():
+    from ray_data_mplsh.functions.hashing import rightmost_window_argmin
+
+    rng = np.random.Generator(np.random.PCG64(12))
+    for n, w in [(21, 21), (40, 21), (500, 21), (1000, 7), (64, 8),
+                 (100, 1), (37, 5)]:
+        # small alphabet -> plenty of ties to exercise the tie rule
+        g = rng.integers(0, 4, n).astype(np.uint64)
+        got = rightmost_window_argmin(g, w)
+        win = np.lib.stride_tricks.sliding_window_view(g, w)
+        rev = np.argmin(win[:, ::-1], axis=1)
+        want = np.arange(n - w + 1, dtype=np.int64) + (w - 1 - rev)
+        assert np.array_equal(got, want), (n, w)
