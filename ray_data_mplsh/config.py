@@ -63,27 +63,36 @@ class MPLSHConfig:
 
     # --- physical execution (SURVEY.md §4.3) ---
     num_partitions: int = 0       # 0 = auto (2x cluster CPUs)
-    local_state_max_rows: int = 2_000_000
+    local_state_max_rows: int = 6_000_000
                                   # hybrid execution threshold: reduce-side
                                   # states at most this big (pair sets, CC edge
                                   # lists) run as one vectorized driver-side
                                   # kernel instead of a distributed shuffle —
-                                  # a shuffle on a few MB costs more in fixed
-                                  # latency than it buys in parallelism. The
+                                  # a shuffle on a tens-of-MB pair list costs
+                                  # more in fixed latency than it buys in
+                                  # parallelism (6M rows = 96MB driver-side,
+                                  # np.unique in <1s; raised from 2M after the
+                                  # 150k-doc bench showed its 2.8M winnow pair
+                                  # list just over the old cap). The
                                   # distributed path is the >threshold route
                                   # and stays covered by tests (force flags)
     broadcast_max_docs: int = 200_000
                                   # small-side lookups (signatures, labels) are
                                   # broadcast via ray.put below this doc count;
                                   # above it the hash-shuffle join path is used
-    substr_broadcast_max_bytes: int = 128 << 20
+    substr_broadcast_max_bytes: int = 1 << 30
                                   # the substring pass broadcasts canonical
                                   # TEXTS (not fixed-width sigs), so its
                                   # broadcast-vs-shuffle gate is also byte-
                                   # based: above this total text volume the
                                   # pair-keyed shuffle attach is used even
                                   # when the doc count is under
-                                  # broadcast_max_docs
+                                  # broadcast_max_docs. The default is a
+                                  # driver/object-store safety bound; below
+                                  # it the one-shot broadcast is measurably
+                                  # faster than two text-bearing exchanges
+                                  # (single-node bench: 509MB broadcast beat
+                                  # the shuffle attach by ~30s per run)
     minhash_batch_size: int = 1024
     minhash_concurrency: int = 0  # 0 = warm-task schedule (default; params
                                   # memoized per worker); >0 = explicit
