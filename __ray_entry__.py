@@ -6,7 +6,7 @@ sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB. Ray is initialised by the driver BEFORE this module is imported:
 no ``ray.init()`` / ``ray.shutdown()`` here or anywhere in the library.
 
-Query inventory (29 entries; * = bit-exact DuckDB oracle, rest rows-only
+Query inventory (30 entries; * = bit-exact DuckDB oracle, rest rows-only
 with pytest gates — see SURVEY.md Appendix B):
   dedup family: q_exact_dedup*, q_dedup_documents, q_minhash_pairs,
     q_simhash_pairs, q_ngram_jaccard, q_embedding_near_dup
@@ -19,7 +19,8 @@ with pytest gates — see SURVEY.md Appendix B):
     q_join_ord_cust*, q_lineitem_agg*, q_region_nation*,
     q_sample* (multiplicative-hash deterministic sample),
     q_quantiles* (distributed exact percentiles vs quantile_disc),
-    q_top_docs_per_lang* (grouped top-k vs ROW_NUMBER)
+    q_top_docs_per_lang* (grouped top-k vs ROW_NUMBER),
+    q_stratified_sample* (per-group deterministic hash sample)
   custom operators: q_events_sliding* (sliding-window aggregate),
     q_asof_event_order* (distributed as-of join vs DuckDB ASOF),
     q_range_join_events* (temporal range join, trailing-window counts)

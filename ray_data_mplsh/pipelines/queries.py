@@ -544,6 +544,38 @@ def q_top_docs_per_lang(sf_dir: str):
     return partition_apply(keyed_ds, "lang_h", topk, default_partitions())
 
 
+def q_stratified_sample(sf_dir: str):
+    """Stratified deterministic sample: 2 docs per language, picked by the
+    smallest multiplicative hash (ties by doc_id) — the per-group QA
+    sample a training-data pipeline draws, bit-exact vs ROW_NUMBER in
+    DuckDB with the identical hash expression."""
+    from ray_data_mplsh.functions.hashing import hash_str_array
+    from ray_data_mplsh.stages.shuffle import partition_apply
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "lang_h", pa.array(hash_str_array(t["lang"]), pa.uint64()))
+
+    def pick(part: pa.Table) -> pa.Table:
+        lang = np.asarray(part["lang"].to_pylist(), dtype=object)
+        did = part["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((did % np.uint64(2**32)) * np.uint64(2654435761)) \
+            % np.uint64(2**32)
+        _, inv = np.unique(lang, return_inverse=True)
+        o = np.lexsort((did, h, inv))
+        gi = inv[o]
+        new = np.concatenate(([True], gi[1:] != gi[:-1]))
+        starts = np.flatnonzero(new)
+        rank = np.arange(len(gi)) - starts[np.cumsum(new) - 1]
+        sel = o[rank < 2]
+        return part.take(pa.array(np.sort(sel))).drop_columns(["lang_h"])
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
+    return partition_apply(keyed_ds, "lang_h", pick, default_partitions())
+
+
 # ------------------------- registry ---------------------------------------
 
 QUERIES = {
@@ -574,6 +606,7 @@ QUERIES = {
     "q_sample": q_sample,
     "q_quantiles": q_quantiles,
     "q_top_docs_per_lang": q_top_docs_per_lang,
+    "q_stratified_sample": q_stratified_sample,
 }
 
 ORACLE_SQL = {
@@ -667,6 +700,11 @@ ORACLE_SQL = {
         "SELECT doc_id, lang, n_chars, ROW_NUMBER() OVER "
         "(PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk "
         "FROM documents) WHERE rk <= 3",
+    "q_stratified_sample":
+        "SELECT doc_id, lang FROM ("
+        "SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang "
+        "ORDER BY ((doc_id % 4294967296) * 2654435761::HUGEINT) "
+        "% 4294967296, doc_id) AS rk FROM documents) WHERE rk <= 2",
     "q_lang_id":
         "SELECT doc_id, CASE GREATEST("
         + ", ".join(f"len(regexp_extract_all(text, '{p}'))"

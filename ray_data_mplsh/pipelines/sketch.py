@@ -190,3 +190,59 @@ def approx_quantiles(ds, column: str, qs: list[float], k: int = 256,
             .iter_batches(batch_size=65536, batch_format="pyarrow"):
         merged.merge(QuantileSketch.from_table(b, k=k, seed=seed))
     return [merged.quantile(q) for q in qs]
+
+
+# ---------------- heavy hitters (Misra-Gries / space-saving) ---------------
+
+def _mg_merge(keys_l: list[np.ndarray], cnts_l: list[np.ndarray],
+              k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Merge Misra-Gries summaries: sum counts per key, then subtract the
+    (k+1)-th largest count from all and keep the positive top k (the
+    standard mergeable-MG reduction; error stays <= n/(k+1))."""
+    keys = np.concatenate(keys_l) if keys_l else np.empty(0, object)
+    cnts = np.concatenate(cnts_l) if cnts_l else np.empty(0, np.int64)
+    if len(keys) == 0:
+        return keys, cnts
+    order = np.argsort(keys, kind="stable")
+    keys, cnts = keys[order], cnts[order]
+    new = np.concatenate(([True], keys[1:] != keys[:-1]))
+    gid = np.cumsum(new) - 1
+    summed = np.bincount(gid, weights=cnts).astype(np.int64)
+    ukeys = keys[new]
+    if len(ukeys) > k:
+        kth = np.partition(summed, len(summed) - k - 1)[len(summed) - k - 1]
+        summed = summed - kth
+        keep = summed > 0
+        ukeys, summed = ukeys[keep], summed[keep]
+    return ukeys, summed
+
+
+def approx_top_k(ds, column: str, k: int = 10, counters: int = 256
+                 ) -> pa.Table:
+    """Approximate heavy hitters over an unbounded-cardinality column:
+    per-batch Misra-Gries summaries (``counters`` cells) stream out as
+    tiny (key, count) tables; the driver merges #batches summaries.
+    Counts are LOWER bounds with error <= n/(counters+1); any item with
+    true frequency above that bound is guaranteed present (tested on a
+    Zipf stream). Exact top-k (q_top_sources) remains the bounded-domain
+    path; this is the 10^12-distinct-URLs path.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t[column]
+        vals = np.asarray(col.to_pylist(), dtype=object)
+        uk, uc = np.unique(vals, return_counts=True)
+        uk2, uc2 = _mg_merge([uk], [uc.astype(np.int64)], counters)
+        return pa.table({"key": pa.array(uk2.astype(str)),
+                         "cnt": pa.array(uc2, pa.int64())})
+
+    keys_l, cnts_l = [], []
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_size=65536, batch_format="pyarrow"):
+        keys_l.append(np.asarray(b["key"].to_pylist(), dtype=object))
+        cnts_l.append(b["cnt"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+    uk, uc = _mg_merge(keys_l, cnts_l, counters)
+    order = np.lexsort((uk, -uc))[:k]
+    return pa.table({"key": pa.array(uk[order].astype(str)),
+                     "cnt_lower_bound": pa.array(uc[order], pa.int64())})

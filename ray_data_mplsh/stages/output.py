@@ -317,7 +317,8 @@ def substring_stage(dedup_out, cfg: MPLSHConfig, num_partitions: int):
     # payload here is TEXT, so 100k short docs and 100k long docs are very
     # different broadcasts. n_chars rides the corpus schema — summing it is
     # a cheap column scan, no text touched.
-    if "n_chars" in dedup_out.schema().names:
+    schema = dedup_out.schema()      # None for a fully empty corpus
+    if schema is not None and "n_chars" in schema.names:
         canon_bytes = dedup_out \
             .select_columns(["is_canonical", "n_chars"]) \
             .filter(expr="is_canonical == True").sum("n_chars") or 0
