@@ -229,10 +229,16 @@ def approx_top_k(ds, column: str, k: int = 10, counters: int = 256
     """
 
     def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         col = t[column]
-        vals = np.asarray(col.to_pylist(), dtype=object)
-        uk, uc = np.unique(vals, return_counts=True)
-        uk2, uc2 = _mg_merge([uk], [uc.astype(np.int64)], counters)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vc = pc.value_counts(col)            # C-level exact batch counts
+        uk = np.asarray(vc.field("values").to_pylist(), dtype=object)
+        uc = vc.field("counts").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uk2, uc2 = _mg_merge([uk], [uc], counters)
         return pa.table({"key": pa.array(uk2.astype(str)),
                          "cnt": pa.array(uc2, pa.int64())})
 
