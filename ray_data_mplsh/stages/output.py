@@ -193,26 +193,19 @@ def _attach_texts_broadcast(pairs, canon, cfg: MPLSHConfig):
 
     def attach(batch: pa.Table) -> pa.Table:
         sorted_ids, perm, texts = cached_get(tref)
+
+        def text_of(x):
+            i = int(np.searchsorted(sorted_ids, x))
+            if i < len(sorted_ids) and sorted_ids[i] == x:
+                return texts[int(perm[i])].as_py()
+            return ""
+
         a = batch["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
         b = batch["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
-
-        def resolve(x):
-            i = np.clip(np.searchsorted(sorted_ids, x), 0,
-                        max(len(sorted_ids) - 1, 0))
-            hit = (sorted_ids[i] == x) if len(sorted_ids) \
-                else np.zeros(len(x), bool)
-            return i, hit
-
-        ia, ha = resolve(a)
-        ib, hb = resolve(b)
-        # pairs referencing a non-canonical id (shouldn't happen: pairs
-        # come from canon fingerprints) are dropped — equivalent to the
-        # old empty-text placeholder, which produced no spans either
-        ok = ha & hb
         return pa.Table.from_arrays([
-            pa.array(a[ok], pa.uint64()), pa.array(b[ok], pa.uint64()),
-            texts.take(pa.array(perm[ia[ok]])),
-            texts.take(pa.array(perm[ib[ok]])),
+            batch["a"], batch["b"],
+            pa.array([text_of(x) for x in a], pa.string()),
+            pa.array([text_of(x) for x in b], pa.string()),
         ], names=["a", "b", "text_a", "text_b"])
 
     return pairs.map_batches(attach, batch_format="pyarrow", batch_size=512)
@@ -388,8 +381,6 @@ def substring_stage(dedup_out, cfg: MPLSHConfig, num_partitions: int):
         return _rewrite_batch(batch, cached_get(sref), cfg)
 
     def _rewrite_batch(batch: pa.Table, sm, cfg) -> pa.Table:
-        import pyarrow.compute as pc
-
         sp_ids, sp_offs, sp_s, sp_e = sm
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         canon_f = batch["is_canonical"].to_numpy(zero_copy_only=False)
@@ -398,35 +389,29 @@ def substring_stage(dedup_out, cfg: MPLSHConfig, num_partitions: int):
                       max(len(sp_ids) - 1, 0))
         has_spans = (sp_ids[pos] == ids) if len(sp_ids) \
             else np.zeros(len(ids), bool)
-        needs = canon_f & has_spans
-        text_col = batch["text"]
-        if isinstance(text_col, pa.ChunkedArray):
-            text_col = text_col.combine_chunks()
-        # fast vector path for the common rows (canonical without spans ->
-        # final = text; non-canonical -> null); the Python loop touches
-        # ONLY rows with spans to cut
-        keep_canon = canon_f.copy()
-        rewrites: dict[int, str | None] = {}
-        for i in np.flatnonzero(needs):
-            text = text_col[int(i)].as_py()
+        texts = batch["text"].to_pylist()
+        finals, keep_canon = [], []
+        for i, (is_c, text) in enumerate(zip(canon_f, texts)):
+            if not is_c:
+                finals.append(None)
+                keep_canon.append(False)
+                continue
+            if not has_spans[i]:
+                finals.append(text)
+                keep_canon.append(True)
+                continue
             lo, hi = sp_offs[pos[i]], sp_offs[pos[i] + 1]
             iv = list(zip(sp_s[lo:hi].tolist(), sp_e[lo:hi].tolist()))
             new_text = remove_intervals(text, iv)
             covered = int(np.sum(sp_e[lo:hi] - sp_s[lo:hi]))
             if covered > 0.9 * len(text) or len(new_text) < cfg.min_chars:
-                keep_canon[i] = False
-                rewrites[int(i)] = None
+                finals.append(None)
+                keep_canon.append(False)
             else:
-                rewrites[int(i)] = new_text
-        keep_arr = pa.array(keep_canon, pa.bool_())
-        finals = pc.if_else(keep_arr, text_col, pa.scalar(None, pa.string()))
-        if rewrites:
-            finals = finals.to_pylist()
-            for i, txt in rewrites.items():
-                finals[i] = txt
-            finals = pa.array(finals, pa.string())
+                finals.append(new_text)
+                keep_canon.append(True)
         out = batch.drop_columns(["is_canonical"])
-        out = out.append_column("is_canonical", keep_arr)
-        return out.append_column("final_text", finals)
+        out = out.append_column("is_canonical", pa.array(keep_canon, pa.bool_()))
+        return out.append_column("final_text", pa.array(finals, pa.string()))
 
     return dedup_out.map_batches(rewriter, batch_format="pyarrow")
