@@ -6,7 +6,7 @@ sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB. Ray is initialised by the driver BEFORE this module is imported:
 no ``ray.init()`` / ``ray.shutdown()`` here or anywhere in the library.
 
-Query inventory (30 entries; * = bit-exact DuckDB oracle, rest rows-only
+Query inventory (32 entries; * = bit-exact DuckDB oracle, rest rows-only
 with pytest gates — see SURVEY.md Appendix B):
   dedup family: q_exact_dedup*, q_dedup_documents, q_minhash_pairs,
     q_simhash_pairs, q_ngram_jaccard, q_embedding_near_dup
@@ -31,8 +31,10 @@ q_simhash_pairs / q_ngram_jaccard depend on LSH candidate generation
 (custom 64-bit hashes + banding) that SQL cannot reproduce;
 q_knn_lsh / q_knn_ivf / q_embedding_near_dup are approximate by design
 (probe/centroid-dependent candidate sets); q_fingerprints is winnowing
-(rolling-hash argmin windows). Each is pytest-gated instead: brute-force
-Hamming / DSU / recall / kernel-invariant oracles.
+(rolling-hash argmin windows); q_kmv_distinct / q_heavy_hitters are
+sketches whose outputs are estimates/lower bounds by contract. Each is
+pytest-gated instead: brute-force Hamming / DSU / recall /
+kernel-invariant / error-bound oracles.
 """
 
 from __future__ import annotations

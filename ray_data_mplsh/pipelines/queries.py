@@ -544,6 +544,29 @@ def q_top_docs_per_lang(sf_dir: str):
     return partition_apply(keyed_ds, "lang_h", topk, default_partitions())
 
 
+def q_kmv_distinct(sf_dir: str):
+    """KMV approximate COUNT(DISTINCT source): combiner-style sketch, no
+    shuffle. Rows-only (approximate by construction; error-bound gated in
+    tests/test_sketch.py); returned as one (column, estimate) row."""
+    from ray_data_mplsh.pipelines.sketch import approx_distinct
+
+    ds = _read(sf_dir, "documents", ["source"])
+    est = approx_distinct(ds, "source", k=1024)
+    return pa.table({"column": pa.array(["source"]),
+                     "estimate": pa.array([float(est)], pa.float64())})
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Misra-Gries approximate top-5 sources with lower-bound counts —
+    the unbounded-cardinality path next to the exact q_top_sources.
+    Rows-only (counts are lower bounds; guarantees gated in
+    tests/test_sinks.py)."""
+    from ray_data_mplsh.pipelines.sketch import approx_top_k
+
+    ds = _read(sf_dir, "documents", ["source"])
+    return approx_top_k(ds, "source", k=5, counters=64)
+
+
 def q_stratified_sample(sf_dir: str):
     """Stratified deterministic sample: 2 docs per language, picked by the
     smallest multiplicative hash (ties by doc_id) — the per-group QA
@@ -607,6 +630,8 @@ QUERIES = {
     "q_quantiles": q_quantiles,
     "q_top_docs_per_lang": q_top_docs_per_lang,
     "q_stratified_sample": q_stratified_sample,
+    "q_kmv_distinct": q_kmv_distinct,
+    "q_heavy_hitters": q_heavy_hitters,
 }
 
 ORACLE_SQL = {
