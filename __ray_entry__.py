@@ -6,14 +6,17 @@ sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB. Ray is initialised by the driver BEFORE this module is imported:
 no ``ray.init()`` / ``ray.shutdown()`` here or anywhere in the library.
 
-Query inventory (32 entries; * = bit-exact DuckDB oracle, rest rows-only
+Query inventory (35 entries; * = bit-exact DuckDB oracle, rest rows-only
 with pytest gates — see SURVEY.md Appendix B):
   dedup family: q_exact_dedup*, q_dedup_documents, q_minhash_pairs,
-    q_simhash_pairs, q_ngram_jaccard, q_embedding_near_dup
+    q_simhash_pairs, q_ngram_jaccard, q_embedding_near_dup,
+    q_allpair_jaccard* (deterministic pair set -> list_intersect oracle)
   similarity search: q_knn_bruteforce* (list_cosine_similarity oracle),
     q_knn_lsh (multi-probe ANN), q_knn_ivf (IVF-flat)
   text analysis: q_lang_id*, q_token_counts*, q_bpe_token_counts*,
-    q_quality_scores*, q_fingerprints
+    q_quality_scores*, q_fingerprints, q_word_stats* (per-doc word
+    frequency / modal word), q_doc_freq* (corpus df table, combiner
+    partials before the groupby)
   relational/aggregates: q_lang_counts*, q_len_filter*, q_top_sources*,
     q_distinct_langs*, q_events_daily*, q_events_props*,
     q_join_ord_cust*, q_lineitem_agg*, q_region_nation*,
@@ -28,7 +31,9 @@ with pytest gates — see SURVEY.md Appendix B):
 Rows-only rationale (driver contract permits omitting SQL for
 non-expressible ops): q_minhash_pairs / q_dedup_documents /
 q_simhash_pairs / q_ngram_jaccard depend on LSH candidate generation
-(custom 64-bit hashes + banding) that SQL cannot reproduce;
+(custom 64-bit hashes + banding) that SQL cannot reproduce
+(q_allpair_jaccard* covers the same exact-Jaccard kernel with a
+deterministic pair set, closing the oracle gap for the scoring math);
 q_knn_lsh / q_knn_ivf / q_embedding_near_dup are approximate by design
 (probe/centroid-dependent candidate sets); q_fingerprints is winnowing
 (rolling-hash argmin windows); q_kmv_distinct / q_heavy_hitters are

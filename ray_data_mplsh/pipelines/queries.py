@@ -195,6 +195,129 @@ def q_quality_scores(sf_dir: str):
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+# --- word-frequency analytics (training-data vocab / df ops) --------------
+#
+# The documents fixture text is single-space separated, so splitting on a
+# literal ' ' is byte-exact parity with DuckDB string_split(text, ' ').
+
+def _split_words(texts) -> tuple[np.ndarray, np.ndarray]:
+    """texts -> (row_index int64, word object ndarray), split on ' '."""
+    s = pd.Series(texts.to_pandas() if isinstance(
+        texts, (pa.Array, pa.ChunkedArray)) else texts, dtype="object")
+    toks = s.fillna("").str.split(" ")
+    nw = toks.str.len().to_numpy(dtype=np.int64)
+    row = np.repeat(np.arange(len(s), dtype=np.int64), nw)
+    words = toks.explode().to_numpy()
+    if len(words) != len(row):  # explode() emits one NaN for an empty list
+        words = words[~pd.isna(words)]
+    return row, words
+
+
+def q_word_stats(sf_dir: str):
+    """Per-doc word-frequency stats: total / distinct word counts and the
+    modal word (ties broken lexicographically) — the repetition-quality
+    signal a webtext filter keys on. Per-doc, so embarrassingly parallel:
+    one vectorized map_batches, no shuffle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        row, words = _split_words(b["text"])
+        codes, uniq = pd.factorize(words, sort=True)  # codes in lex order
+        order = np.lexsort((codes, row))
+        r, c = row[order], codes[order]
+        new = np.concatenate(([True], (r[1:] != r[:-1]) | (c[1:] != c[:-1]))) \
+            if len(r) else np.empty(0, bool)
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.concatenate([starts, [len(r)]]))
+        rr, cc = r[starts], c[starts]
+        n_words = np.bincount(row, minlength=n).astype(np.int64)
+        n_distinct = np.bincount(rr, minlength=n).astype(np.int64)
+        # top word per row: first group in (row, -count, lex-code) order
+        o2 = np.lexsort((cc, -cnt, rr))
+        first = np.flatnonzero(np.concatenate(
+            ([True], rr[o2][1:] != rr[o2][:-1]))) if len(o2) else o2
+        sel = o2[first]
+        top_word = np.full(n, "", dtype=object)
+        top_count = np.zeros(n, np.int64)
+        top_word[rr[sel]] = uniq[cc[sel]]
+        top_count[rr[sel]] = cnt[sel]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_distinct": pa.array(n_distinct, pa.int64()),
+            "top_word": pa.array(top_word, pa.string()),
+            "top_count": pa.array(top_count, pa.int64()),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def q_doc_freq(sf_dir: str):
+    """Corpus document-frequency table (the df half of TF-IDF): for each
+    word, how many docs contain it; top 100 by (df DESC, word ASC).
+    Combiner-style: per-batch distinct-(doc, word) partial counts shrink
+    the exchange to |vocab| rows per block before the groupby sum."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        row, words = _split_words(b["text"])
+        codes, uniq = pd.factorize(words, sort=False)
+        nu = np.int64(max(len(uniq), 1))
+        dk = np.unique(row * nu + codes)  # distinct (doc, word) in batch
+        df = np.bincount((dk % nu).astype(np.int64),
+                         minlength=len(uniq)).astype(np.int64)
+        return pa.table({"word": pa.array(uniq, pa.string()),
+                         "partial": pa.array(df, pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("partial", alias_name="df"))
+    top = agg.sort(["df", "word"], descending=[True, False]).limit(100)
+    return top.map_batches(
+        lambda t: pa.table({"word": t["word"],
+                            "df": pc.cast(t["df"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+# --- deterministic all-pairs exact Jaccard (oracle-checkable dedup) -------
+
+_APJ_MAX_ID = 256     # subset bound — the pair set is deterministic
+_APJ_MIN_J = 0.05
+
+
+def q_allpair_jaccard(sf_dir: str):
+    """Exact k-shingle Jaccard for ALL pairs among docs with doc_id <
+    _APJ_MAX_ID — unlike q_ngram_jaccard (whose pair set comes from LSH
+    candidate generation), this pair set is deterministic, so DuckDB can
+    reproduce it with list_intersect over string shingles. Reuses the
+    vectorized pair_jaccard_kernel via exact_jaccard_pairs; the id-list
+    collect is bounded by definition (<= _APJ_MAX_ID rows)."""
+    from ray_data_mplsh.pipelines.ngram import exact_jaccard_pairs
+    from ray_data_mplsh.stages.shuffle import from_arrow_blocks
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], _APJ_MAX_ID)),
+        batch_format="pyarrow").materialize()
+    ids = np.sort(np.concatenate(
+        [b["doc_id"].to_numpy(zero_copy_only=False)
+         for b in docs.iter_batches(batch_format="pyarrow")] or
+        [np.empty(0, np.int64)]).astype(np.uint64))
+    ai, bi = np.triu_indices(len(ids), k=1)
+    pairs = from_arrow_blocks(pa.table({
+        "a": pa.array(ids[ai], pa.uint64()),
+        "b": pa.array(ids[bi], pa.uint64())}))
+    res = exact_jaccard_pairs(pairs, docs, MPLSHConfig(),
+                              min_jaccard=_APJ_MIN_J)
+    return res.map_batches(
+        lambda t: pa.table({"a": pc.cast(t["a"], pa.int64()),
+                            "b": pc.cast(t["b"], pa.int64()),
+                            "jaccard": t["jaccard"]}),
+        batch_format="pyarrow")
+
+
 # --- similarity search over embeddings (SURVEY.md: reference's k-NN core) --
 
 _KNN_NQ = 8      # queries = embeddings with vec_id < _KNN_NQ
@@ -612,6 +735,9 @@ QUERIES = {
     "q_join_ord_cust": q_join_ord_cust,
     "q_token_counts": q_token_counts,
     "q_quality_scores": q_quality_scores,
+    "q_word_stats": q_word_stats,
+    "q_doc_freq": q_doc_freq,
+    "q_allpair_jaccard": q_allpair_jaccard,
     "q_knn_bruteforce": q_knn_bruteforce,
     "q_knn_lsh": q_knn_lsh,
     "q_knn_ivf": q_knn_ivf,
@@ -637,6 +763,33 @@ QUERIES = {
 ORACLE_SQL = {
     "q_exact_dedup":
         "SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text",
+    "q_word_stats":
+        "WITH c AS (SELECT doc_id, word, COUNT(*) AS cnt FROM "
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS word "
+        "FROM documents) GROUP BY 1, 2), "
+        "t AS (SELECT doc_id, word, cnt, ROW_NUMBER() OVER "
+        "(PARTITION BY doc_id ORDER BY cnt DESC, word) AS rn FROM c), "
+        "s AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words, "
+        "CAST(COUNT(*) AS BIGINT) AS n_distinct FROM c GROUP BY 1) "
+        "SELECT s.doc_id, s.n_words, s.n_distinct, t.word AS top_word, "
+        "CAST(t.cnt AS BIGINT) AS top_count "
+        "FROM s JOIN t ON s.doc_id = t.doc_id WHERE t.rn = 1",
+    "q_doc_freq":
+        "SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM "
+        "(SELECT DISTINCT doc_id, word FROM (SELECT doc_id, "
+        "unnest(string_split(text, ' ')) AS word FROM documents)) "
+        "GROUP BY word ORDER BY df DESC, word LIMIT 100",
+    "q_allpair_jaccard":
+        "WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws "
+        "FROM documents WHERE doc_id < 256), "
+        "sh AS (SELECT doc_id, list_distinct(list_transform("
+        "range(1, len(ws) - 3), i -> array_to_string(ws[i:i+4], ' '))) AS s "
+        "FROM d WHERE len(ws) >= 5), "
+        "j AS (SELECT a.doc_id AS a, b.doc_id AS b, "
+        "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / "
+        "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard "
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) "
+        "SELECT a, b, jaccard FROM j WHERE jaccard >= 0.05",
     "q_lang_counts":
         "SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang",
     "q_len_filter":

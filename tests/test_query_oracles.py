@@ -1,0 +1,46 @@
+"""Local driver-gate rehearsal: run ``queries()`` entries against their
+``ORACLE_SQL`` DuckDB twins on the sf0.001 tables, replicating the
+driver's compare (sort columns by name, sort rows, exact value equality).
+Covers the word-frequency analytics and the deterministic all-pairs
+Jaccard added after round 1 — the queries whose SQL parity is subtlest
+(string split semantics, list_intersect vs hash-set kernel)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from ray_data_mplsh.pipelines.queries import ORACLE_SQL, QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+CHECK = ["q_word_stats", "q_doc_freq", "q_allpair_jaccard"]
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{SF_DIR}/documents.parquet'")
+    yield con
+    con.close()
+
+
+def _as_df(res) -> pd.DataFrame:
+    if isinstance(res, pd.DataFrame):
+        return res
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    return pd.DataFrame(res)
+
+
+@pytest.mark.parametrize("name", CHECK)
+def test_query_matches_oracle(ray_session, oracle_con, name):
+    ray_df = _as_df(QUERIES[name](SF_DIR))
+    sql_df = oracle_con.sql(ORACLE_SQL[name]).df()
+    cols = sorted(ray_df.columns)
+    assert cols == sorted(sql_df.columns)
+    a = ray_df[cols].sort_values(cols).reset_index(drop=True)
+    b = sql_df[cols].sort_values(cols).reset_index(drop=True)
+    assert list(a.dtypes) == list(b.dtypes), name
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
