@@ -149,8 +149,12 @@ def _jaccard_broadcast(pairs, sets_tbl, min_jaccard: float):
             pa.array(jac[keep], pa.float64()),
         ], schema=PAIR_JACCARD_SCHEMA)
 
+    # Small batches on purpose: the pair-Jaccard kernel is O(E log E) in
+    # flattened set elements, so one coalesced mega-batch serializes the
+    # stage into a single task; 8k pairs x ~100 shingles keeps each task
+    # ~1M elements and lets the pool run wide.
     return pairs.select_columns(["a", "b"]).map_batches(
-        score, batch_format="pyarrow", batch_size=65536)
+        score, batch_format="pyarrow", batch_size=8192)
 
 
 def _jaccard_shuffle(pairs, sets_tbl, min_jaccard: float,
