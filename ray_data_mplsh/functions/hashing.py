@@ -274,6 +274,73 @@ def rightmost_window_argmin(g: np.ndarray, w: int) -> np.ndarray:
 # --- winnowing fingerprints for the substring pass (op 24; Schleimer et al.,
 #     "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD 2003) ---
 
+def winnow_fingerprints_batch(offs: np.ndarray, data: np.ndarray,
+                              k: int, w: int
+                              ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc UNIQUE winnow fingerprints for a whole batch in ONE kernel
+    pass: ``data`` is the concatenated utf-8 bytes of all docs, ``offs``
+    (int64, len n_docs+1) their boundaries. Window minima are intrinsic to
+    the window contents — independent of the kernel's internal block
+    alignment — so one flat ``poly_window_hashes`` +
+    ``rightmost_window_argmin`` over the concatenation, masked to window
+    starts that lie fully inside one doc, is bit-equal per doc to
+    ``np.unique(winnow_fingerprints(text)[0])`` (fuzz-pinned in
+    tests/test_hashing.py). Returns (fps uint64, doc_index int64) sorted
+    by (doc, fp)."""
+    n_docs = len(offs) - 1
+    lens = np.diff(offs)
+    e64, e_i = np.empty(0, np.uint64), np.empty(0, np.int64)
+    if len(data) < k:
+        return e64, e_i
+    g = mix64(poly_window_hashes(data.astype(np.uint64), k))
+    m = lens - k + 1                      # grams per doc (may be <= 0)
+    gstart = offs[:-1]
+    # docs with >= w grams: every length-w gram window selects its
+    # rightmost minimum
+    big = m >= w
+    if np.any(big) and len(g) >= w:
+        sel_flat = rightmost_window_argmin(g, w)
+        cnt = np.where(big, m - w + 1, 0).astype(np.int64)
+        cum = np.concatenate(([0], np.cumsum(cnt)))
+        rows = np.repeat(np.arange(n_docs, dtype=np.int64), cnt)
+        win = np.arange(cum[-1], dtype=np.int64) - cum[rows] + gstart[rows]
+        pos_a, doc_a = sel_flat[win], rows
+        # winnow selections are monotone non-decreasing as the window
+        # slides (rightmost tie-break), so consecutive-dedup IS full
+        # per-doc dedup — do it here, before the (fp, doc) sort, to cut
+        # ~w× rows from the expensive part
+        if len(pos_a):
+            keep = np.concatenate(([True], (doc_a[1:] != doc_a[:-1]) |
+                                   (pos_a[1:] != pos_a[:-1])))
+            pos_a, doc_a = pos_a[keep], doc_a[keep]
+    else:
+        pos_a, doc_a = e_i, e_i
+    # docs with 1 <= m < w: single fingerprint at the LEFTMOST gram argmin
+    # (np.argmin semantics of the per-doc reference)
+    small = (m >= 1) & (m < w)
+    if np.any(small):
+        cnt = np.where(small, m, 0).astype(np.int64)
+        cum = np.concatenate(([0], np.cumsum(cnt)))
+        rows = np.repeat(np.arange(n_docs, dtype=np.int64), cnt)
+        rel = np.arange(cum[-1], dtype=np.int64) - cum[rows]
+        flat = rel + gstart[rows]
+        o = np.lexsort((rel, g[flat], rows))
+        first = np.flatnonzero(np.concatenate(
+            ([True], rows[o][1:] != rows[o][:-1])))
+        pos_b, doc_b = flat[o][first], rows[o][first]
+    else:
+        pos_b, doc_b = e_i, e_i
+    doc = np.concatenate([doc_a, doc_b])
+    fp = g[np.concatenate([pos_a, pos_b])]
+    if len(doc) == 0:
+        return e64, e_i
+    o = np.lexsort((fp, doc))
+    doc, fp = doc[o], fp[o]
+    keep = np.concatenate(
+        ([True], (doc[1:] != doc[:-1]) | (fp[1:] != fp[:-1])))
+    return fp[keep], doc[keep]
+
+
 def winnow_fingerprints(text: str, k: int, w: int) -> tuple[np.ndarray, np.ndarray]:
     """(fingerprints, positions) of a single document's text.
 

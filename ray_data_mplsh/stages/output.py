@@ -22,7 +22,7 @@ import numpy as np
 import pyarrow as pa
 
 from ray_data_mplsh.config import MPLSHConfig
-from ray_data_mplsh.functions.hashing import winnow_fingerprints
+from ray_data_mplsh.functions.hashing import winnow_fingerprints_batch
 from ray_data_mplsh.functions.suffix import (
     cross_match_intervals, merge_intervals, remove_intervals,
 )
@@ -104,20 +104,30 @@ def assign_and_mark(docs_with_rep, labels, cfg: MPLSHConfig):
 
 # ------------------------- substring pass (op 24) -------------------------
 
+def _utf8_flat(col) -> tuple[np.ndarray, np.ndarray]:
+    """(byte offsets int64 len n+1, concatenated utf-8 bytes uint8) of a
+    string column — zero-copy views of the Arrow offset/data buffers
+    (Arrow strings ARE utf-8, so this equals per-doc str.encode)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    bufs = col.buffers()
+    if n == 0 or bufs[2] is None:
+        return np.zeros(n + 1, np.int64), np.empty(0, np.uint8)
+    off = np.frombuffer(bufs[1], dtype=np.int32)[
+        col.offset:col.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)[off[0]:off[-1]]
+    return off - off[0], data
+
+
 def _fingerprint_emitter(cfg: MPLSHConfig):
     def fn(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        texts = batch["text"].to_pylist()
-        out_fp, out_id = [], []
-        for did, text in zip(ids, texts):
-            fps, _ = winnow_fingerprints(text, cfg.winnow_k, cfg.winnow_w)
-            fps = np.unique(fps)
-            out_fp.append(fps)
-            out_id.append(np.full(len(fps), did, dtype=np.uint64))
-        fp = np.concatenate(out_fp) if out_fp else np.empty(0, np.uint64)
-        di = np.concatenate(out_id) if out_id else np.empty(0, np.uint64)
+        offs, data = _utf8_flat(batch["text"])
+        fp, di = winnow_fingerprints_batch(offs, data,
+                                           cfg.winnow_k, cfg.winnow_w)
         return pa.Table.from_arrays([pa.array(fp, pa.uint64()),
-                                     pa.array(di, pa.uint64())],
+                                     pa.array(ids[di], pa.uint64())],
                                     names=["fp", "doc_id"])
     return fn
 

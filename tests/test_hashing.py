@@ -134,3 +134,56 @@ def test_rightmost_window_argmin_equals_sliding_view():
         rev = np.argmin(win[:, ::-1], axis=1)
         want = np.arange(n - w + 1, dtype=np.int64) + (w - 1 - rev)
         assert np.array_equal(got, want), (n, w)
+
+
+def test_winnow_batch_equals_per_doc():
+    """winnow_fingerprints_batch over a concatenated corpus is bit-equal,
+    per doc, to np.unique(winnow_fingerprints(text)[0]) — including docs
+    shorter than k (no fps), docs with fewer than w grams (single leftmost
+    argmin), boundary-adjacent docs, and heavy hash ties."""
+    from ray_data_mplsh.functions.hashing import winnow_fingerprints_batch
+
+    rng = np.random.Generator(np.random.PCG64(21))
+    alpha = list("abcd")        # tiny alphabet -> gram-hash ties abound
+    for trial in range(20):
+        k, w = [(5, 4), (8, 3), (12, 21), (30, 21)][trial % 4]
+        n_docs = int(rng.integers(1, 25))
+        texts = []
+        for _ in range(n_docs):
+            n = int(rng.integers(0, 120))
+            texts.append("".join(rng.choice(alpha) for _ in range(n)))
+        # batch path
+        import pyarrow as pa
+
+        from ray_data_mplsh.stages.output import _utf8_flat
+        offs, data = _utf8_flat(pa.array(texts, pa.string()))
+        fp, di = winnow_fingerprints_batch(offs, data, k, w)
+        # per-doc reference
+        want_fp, want_di = [], []
+        for i, t in enumerate(texts):
+            f, _ = winnow_fingerprints(t, k, w)
+            f = np.unique(f)
+            want_fp.append(f)
+            want_di.append(np.full(len(f), i, np.int64))
+        wf = np.concatenate(want_fp) if want_fp else np.empty(0, np.uint64)
+        wd = np.concatenate(want_di) if want_di else np.empty(0, np.int64)
+        assert np.array_equal(di, wd), (trial, k, w)
+        assert np.array_equal(fp, wf), (trial, k, w)
+
+
+def test_winnow_batch_empty_and_unicode():
+    import pyarrow as pa
+
+    from ray_data_mplsh.functions.hashing import winnow_fingerprints_batch
+    from ray_data_mplsh.stages.output import _utf8_flat
+
+    offs, data = _utf8_flat(pa.array([], pa.string()))
+    fp, di = winnow_fingerprints_batch(offs, data, 5, 4)
+    assert len(fp) == 0 and len(di) == 0
+    # multi-byte utf-8: byte-level grams must match per-doc encode path
+    texts = ["héllo wörld çafé crème brûlée" * 3, "日本語のテキスト" * 5]
+    offs, data = _utf8_flat(pa.array(texts, pa.string()))
+    fp, di = winnow_fingerprints_batch(offs, data, 5, 4)
+    for i, t in enumerate(texts):
+        f = np.unique(winnow_fingerprints(t, 5, 4)[0])
+        assert np.array_equal(fp[di == i], f)
