@@ -690,6 +690,30 @@ def q_heavy_hitters(sf_dir: str):
     return approx_top_k(ds, "source", k=5, counters=64)
 
 
+def q_heavy_hitters_exact(sf_dir: str):
+    """Sketch-pruned EXACT top-5 sources: Misra-Gries finds candidates,
+    a second streaming pass recounts only those candidates; the MG error
+    bound proves the result equals the full GROUP BY (bit-exact oracle)
+    without ever shuffling the column."""
+    from ray_data_mplsh.pipelines.sketch import heavy_hitters_exact
+
+    ds = _read(sf_dir, "documents", ["source"])
+    return heavy_hitters_exact(ds, "source", k=5, counters=64)
+
+
+def q_kmv_doc_ids(sf_dir: str):
+    """KMV approximate COUNT(DISTINCT doc_id) via the SplitMix64 mixer —
+    the estimate (not just the row count) is bit-exact vs the oracle,
+    which replays mix64 in SQL with HUGEINT split-multiplies mod 2^64 and
+    applies the same (k-1)/(kth_min/2^64) estimator."""
+    from ray_data_mplsh.pipelines.sketch import approx_distinct_u64
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    est = approx_distinct_u64(ds, "doc_id", k=256)
+    return pa.table({"column": pa.array(["doc_id"]),
+                     "estimate": pa.array([float(est)], pa.float64())})
+
+
 def q_stratified_sample(sf_dir: str):
     """Stratified deterministic sample: 2 docs per language, picked by the
     smallest multiplicative hash (ties by doc_id) — the per-group QA
@@ -758,6 +782,8 @@ QUERIES = {
     "q_stratified_sample": q_stratified_sample,
     "q_kmv_distinct": q_kmv_distinct,
     "q_heavy_hitters": q_heavy_hitters,
+    "q_heavy_hitters_exact": q_heavy_hitters_exact,
+    "q_kmv_doc_ids": q_kmv_doc_ids,
 }
 
 ORACLE_SQL = {
@@ -883,6 +909,25 @@ ORACLE_SQL = {
         "SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang "
         "ORDER BY ((doc_id % 4294967296) * 2654435761::HUGEINT) "
         "% 4294967296, doc_id) AS rk FROM documents) WHERE rk <= 2",
+    "q_heavy_hitters_exact":
+        "SELECT source AS key, CAST(count(*) AS BIGINT) AS cnt "
+        "FROM documents GROUP BY source ORDER BY cnt DESC, key LIMIT 5",
+    # replay the SplitMix64 finalizer in SQL: HUGEINT split-multiplies
+    # (lo32 + hi32*2^32) keep every product under 2^97, mod 2^64 after
+    # each step — bit-identical to functions/hashing.py mix64
+    "q_kmv_doc_ids":
+        "WITH v AS (SELECT DISTINCT doc_id::HUGEINT AS x FROM documents), "
+        "s1 AS (SELECT xor(x, x >> 30) AS x FROM v), "
+        "s2 AS (SELECT (x * 484763065 + ((x * 3210233709) % 4294967296) "
+        "* 4294967296) % 18446744073709551616 AS x FROM s1), "
+        "s3 AS (SELECT xor(x, x >> 27) AS x FROM s2), "
+        "s4 AS (SELECT (x * 321982955 + ((x * 2496678331) % 4294967296) "
+        "* 4294967296) % 18446744073709551616 AS x FROM s3), "
+        "s5 AS (SELECT xor(x, x >> 31) AS x FROM s4), "
+        "k AS (SELECT x FROM s5 ORDER BY x LIMIT 256) "
+        "SELECT 'doc_id' AS \"column\", CASE WHEN count(*) < 256 "
+        "THEN count(*)::DOUBLE ELSE 255 / (max(x)::DOUBLE / "
+        "18446744073709551616.0) END AS estimate FROM k",
     "q_lang_id":
         "SELECT doc_id, CASE GREATEST("
         + ", ".join(f"len(regexp_extract_all(text, '{p}'))"

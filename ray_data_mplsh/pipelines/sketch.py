@@ -53,6 +53,26 @@ def approx_distinct(ds, column: str, k: int = 1024) -> float:
     return kmv_estimate(_kmv_merge(parts, k), k)
 
 
+def approx_distinct_u64(ds, column: str, k: int = 256) -> float:
+    """KMV distinct-count over an integer column hashed with the SplitMix64
+    finalizer (``mix64``) instead of the string hash. The mixer is pure
+    64-bit arithmetic, so an external SQL engine can replay the ENTIRE
+    sketch bit-exactly — see the q_kmv_doc_ids oracle, which re-derives
+    mix64 with HUGEINT split-multiplies and matches the estimate to the
+    last float bit. Same combiner shape as ``approx_distinct``."""
+    from ray_data_mplsh.functions.hashing import mix64
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[column].to_numpy(zero_copy_only=False).astype(np.uint64)
+        kept = np.unique(mix64(v))[:k]
+        return pa.table({"h": pa.array(kept, pa.uint64())})
+
+    parts = [b["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+             for b in ds.map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_size=k, batch_format="pyarrow")]
+    return kmv_estimate(_kmv_merge(parts, k), k)
+
+
 # ---------------- quantiles (the percentile-gating primitive) --------------
 
 def exact_quantiles(ds, column: str, qs: list[float]) -> pa.Table:
@@ -217,16 +237,11 @@ def _mg_merge(keys_l: list[np.ndarray], cnts_l: list[np.ndarray],
     return ukeys, summed
 
 
-def approx_top_k(ds, column: str, k: int = 10, counters: int = 256
-                 ) -> pa.Table:
-    """Approximate heavy hitters over an unbounded-cardinality column:
-    per-batch Misra-Gries summaries (``counters`` cells) stream out as
-    tiny (key, count) tables; the driver merges #batches summaries.
-    Counts are LOWER bounds with error <= n/(counters+1); any item with
-    true frequency above that bound is guaranteed present (tested on a
-    Zipf stream). Exact top-k (q_top_sources) remains the bounded-domain
-    path; this is the 10^12-distinct-URLs path.
-    """
+def _mg_pass(ds, column: str, counters: int
+             ) -> tuple[np.ndarray, np.ndarray]:
+    """One streaming Misra-Gries pass: per-batch summaries (``counters``
+    cells) stream out as tiny (key, count) tables; the driver merges
+    #batches summaries. Returns (keys object array, lower-bound counts)."""
 
     def partial(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -248,7 +263,74 @@ def approx_top_k(ds, column: str, k: int = 10, counters: int = 256
         keys_l.append(np.asarray(b["key"].to_pylist(), dtype=object))
         cnts_l.append(b["cnt"].to_numpy(zero_copy_only=False)
                       .astype(np.int64))
-    uk, uc = _mg_merge(keys_l, cnts_l, counters)
+    return _mg_merge(keys_l, cnts_l, counters)
+
+
+def approx_top_k(ds, column: str, k: int = 10, counters: int = 256
+                 ) -> pa.Table:
+    """Approximate heavy hitters over an unbounded-cardinality column.
+    Counts are LOWER bounds with error <= n/(counters+1); any item with
+    true frequency above that bound is guaranteed present (tested on a
+    Zipf stream). Exact top-k (q_top_sources) remains the bounded-domain
+    path; this is the 10^12-distinct-URLs path.
+    """
+    uk, uc = _mg_pass(ds, column, counters)
     order = np.lexsort((uk, -uc))[:k]
     return pa.table({"key": pa.array(uk[order].astype(str)),
                      "cnt_lower_bound": pa.array(uc[order], pa.int64())})
+
+
+def heavy_hitters_exact(ds, column: str, k: int = 5, counters: int = 256
+                        ) -> pa.Table:
+    """EXACT top-k heavy hitters at sketch cost: a Misra-Gries pass finds
+    <= ``counters`` candidate keys, then a second streaming pass recounts
+    ONLY the candidates exactly (plus the total row count n). Any key MG
+    missed has true frequency <= n/(counters+1), so when the k-th
+    candidate's exact count beats that bound the result is PROVABLY the
+    true top-k — no shuffle, driver state O(counters), works at
+    10^12-distinct-keys scale. On a skew-free corpus where the bound
+    fails, falls back to the full exact groupby (still distributed).
+    Output (key, cnt) sorted by cnt DESC then key ASC — bit-exact vs
+    ``GROUP BY .. ORDER BY count(*) DESC, key LIMIT k``."""
+    import pyarrow.compute as pc
+
+    cand, _ = _mg_pass(ds, column, counters)
+    cand_keys = pa.array(cand.astype(str))
+
+    def recount(t: pa.Table) -> pa.Table:
+        col = t[column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vc = pc.value_counts(col.filter(pc.is_in(col, value_set=cand_keys)))
+        keys = vc.field("values").cast(pa.string())
+        cnts = vc.field("counts").cast(pa.int64())
+        return pa.table({
+            "key": pa.concat_arrays([keys, pa.array([None], pa.string())]),
+            "cnt": pa.concat_arrays(
+                [cnts, pa.array([t.num_rows], pa.int64())])})
+
+    keys_l, cnts_l, n = [], [], 0
+    for b in ds.map_batches(recount, batch_format="pyarrow") \
+            .iter_batches(batch_size=65536, batch_format="pyarrow"):
+        kk = b["key"]
+        cc = b["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tot_np = pc.is_null(kk).to_numpy(zero_copy_only=False) \
+            .astype(bool)
+        n += int(cc[tot_np].sum())
+        keys_l.append(np.asarray(kk.to_pylist(), dtype=object)[~tot_np])
+        cnts_l.append(cc[~tot_np])
+    uk, uc = _mg_merge(keys_l, cnts_l, len(cand) + 1)  # no trim: exact sums
+    order = np.lexsort((uk, -uc))
+    uk, uc = uk[order], uc[order]
+    bound = n / (counters + 1)
+    if len(uk) < k or uc[min(k, len(uc)) - 1] <= bound:
+        # provability gate failed -> exact distributed groupby fallback
+        from ray.data.aggregate import Count
+
+        agg = ds.groupby(column).aggregate(Count(alias_name="cnt")) \
+            .sort(["cnt", column], descending=[True, False]).limit(k)
+        t = agg.take_all()
+        return pa.table({"key": pa.array([r[column] for r in t], pa.string()),
+                         "cnt": pa.array([r["cnt"] for r in t], pa.int64())})
+    return pa.table({"key": pa.array(uk[:k].astype(str)),
+                     "cnt": pa.array(uc[:k], pa.int64())})

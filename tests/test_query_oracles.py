@@ -14,7 +14,8 @@ import pytest
 from ray_data_mplsh.pipelines.queries import ORACLE_SQL, QUERIES
 
 SF_DIR = "/root/testdata/sf0.001"
-CHECK = ["q_word_stats", "q_doc_freq", "q_allpair_jaccard"]
+CHECK = ["q_word_stats", "q_doc_freq", "q_allpair_jaccard",
+         "q_heavy_hitters_exact", "q_kmv_doc_ids"]
 
 
 @pytest.fixture(scope="module")

@@ -84,3 +84,59 @@ def test_approx_top_k_guarantees(ray_session):
     # the true #1 heavy hitter must be present and ranked first
     top_true = true_keys[np.argmax(true_counts)]
     assert out["key"][0] == top_true
+
+
+def test_heavy_hitters_exact_zipf(ray_session):
+    """Provable path: on a skewed stream the sketch-pruned recount equals
+    the full exact GROUP BY top-k (counts and order), with no fallback."""
+    from ray_data_mplsh.pipelines.sketch import heavy_hitters_exact
+    from ray_data_mplsh.stages.shuffle import from_arrow_blocks
+
+    rng = np.random.Generator(np.random.PCG64(13))
+    n = 60_000
+    zipf = np.minimum(rng.zipf(1.3, size=n), 5000)
+    vals = np.array([f"host{z}" for z in zipf], dtype=object).astype(str)
+    t = pa.table({"source": pa.array(vals)})
+    ds = from_arrow_blocks(t, target_rows=4096)
+    out = heavy_hitters_exact(ds, "source", k=5, counters=256).to_pandas()
+    true_keys, true_counts = np.unique(vals, return_counts=True)
+    order = np.lexsort((true_keys, -true_counts))[:5]
+    assert list(out["key"]) == list(true_keys[order])
+    assert list(out["cnt"]) == list(true_counts[order])
+
+
+def test_heavy_hitters_exact_flat_fallback(ray_session):
+    """Fallback path: a flat distribution with too few counters fails the
+    provability gate; the exact groupby fallback still returns the true
+    top-k (count ties broken by key ASC)."""
+    from ray_data_mplsh.pipelines.sketch import heavy_hitters_exact
+    from ray_data_mplsh.stages.shuffle import from_arrow_blocks
+
+    # 400 keys, 15 rows each: kth count (15) <= n/(counters+1) = 666
+    vals = np.repeat([f"k{i:03d}" for i in range(400)], 15).astype(str)
+    rng = np.random.Generator(np.random.PCG64(7))
+    rng.shuffle(vals)
+    t = pa.table({"source": pa.array(vals)})
+    ds = from_arrow_blocks(t, target_rows=1024)
+    out = heavy_hitters_exact(ds, "source", k=5, counters=8).to_pandas()
+    assert list(out["key"]) == [f"k{i:03d}" for i in range(5)]
+    assert list(out["cnt"]) == [15] * 5
+
+
+def test_approx_distinct_u64_matches_reference(ray_session):
+    """KMV-over-ints: exact below k; above k equals the k-th-smallest
+    mix64 estimator computed directly (any batching)."""
+    from ray_data_mplsh.functions.hashing import mix64
+    from ray_data_mplsh.pipelines.sketch import approx_distinct_u64
+    from ray_data_mplsh.stages.shuffle import from_arrow_blocks
+
+    ids = np.arange(5000, dtype=np.uint64) * 7
+    t = pa.table({"doc_id": pa.array(ids, pa.uint64())})
+    for target_rows in (512, 5000):
+        ds = from_arrow_blocks(t, target_rows=target_rows)
+        est = approx_distinct_u64(ds, "doc_id", k=256)
+        kept = np.sort(np.unique(mix64(ids)))[:256]
+        want = 255 / (float(kept[-1]) / 2.0**64)
+        assert est == want
+    small = from_arrow_blocks(t.slice(0, 100), target_rows=32)
+    assert approx_distinct_u64(small, "doc_id", k=256) == 100.0
