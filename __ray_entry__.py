@@ -6,7 +6,7 @@ sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB. Ray is initialised by the driver BEFORE this module is imported:
 no ``ray.init()`` / ``ray.shutdown()`` here or anywhere in the library.
 
-Query inventory (37 entries; * = bit-exact DuckDB oracle, rest rows-only
+Query inventory (41 entries; * = bit-exact DuckDB oracle, rest rows-only
 with pytest gates — see SURVEY.md Appendix B):
   dedup family: q_exact_dedup*, q_dedup_documents, q_minhash_pairs,
     q_simhash_pairs, q_ngram_jaccard, q_embedding_near_dup,
@@ -23,14 +23,18 @@ with pytest gates — see SURVEY.md Appendix B):
     q_sample* (multiplicative-hash deterministic sample),
     q_quantiles* (distributed exact percentiles vs quantile_disc),
     q_top_docs_per_lang* (grouped top-k vs ROW_NUMBER),
-    q_stratified_sample* (per-group deterministic hash sample)
+    q_stratified_sample* (per-group deterministic hash sample),
+    q_semi_join_customers* / q_anti_join_customers* (distributed
+    semi/anti join vs EXISTS / NOT EXISTS),
+    q_grouped_quantiles* (per-group exact percentiles)
   sketches with exactness proofs: q_heavy_hitters_exact* (Misra-Gries
     prune + exact candidate recount, provability gate vs full GROUP BY),
     q_kmv_doc_ids* (KMV whose SplitMix64 hash is replayed in SQL via
     HUGEINT split-multiplies — the ESTIMATE itself is bit-exact)
   custom operators: q_events_sliding* (sliding-window aggregate),
     q_asof_event_order* (distributed as-of join vs DuckDB ASOF),
-    q_range_join_events* (temporal range join, trailing-window counts)
+    q_range_join_events* (temporal range join, trailing-window counts),
+    q_sessionize* (gap-rule sessionization vs lag/window SQL)
 
 Rows-only rationale (driver contract permits omitting SQL for
 non-expressible ops): q_minhash_pairs / q_dedup_documents /

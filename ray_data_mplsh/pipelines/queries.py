@@ -748,6 +748,63 @@ def q_stratified_sample(sf_dir: str):
 
 # ------------------------- registry ---------------------------------------
 
+def q_sessionize(sf_dir: str):
+    """Gap-rule sessionization (30-min inactivity closes a session): one
+    user-keyed exchange + vectorized run detection — bit-exact vs the
+    DuckDB lag/window formulation, including (ts, event_id) tie order and
+    integer-cent session sums."""
+    from ray_data_mplsh.pipelines.sessions import sessionize
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100)), pa.int64())
+        return t.drop_columns(["value"]).append_column("cents", cents)
+
+    return sessionize(ds.map_batches(to_cents, batch_format="pyarrow"),
+                      key_col="user_id", ts_col="ts", order_col="event_id",
+                      cents_col="cents")
+
+
+def q_semi_join_customers(sf_dir: str):
+    """Distributed semi-join: customers with at least one big order
+    (totalprice >= 450000) — per-batch distinct-key combiner, broadcast
+    key-set probe (shuffle path above the key threshold, force-tested
+    equivalent in tests/test_relational.py)."""
+    from ray_data_mplsh.stages.relational import semi_anti_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    big = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .filter(expr="o_totalprice >= 450000")
+    return semi_anti_join(cust, big, left_on="c_custkey",
+                          right_on="o_custkey", anti=False)
+
+
+def q_anti_join_customers(sf_dir: str):
+    """Distributed anti-join (the delete-list / blocklist primitive):
+    customers with NO big order, counted per market segment."""
+    from ray.data.aggregate import Count
+
+    from ray_data_mplsh.stages.relational import semi_anti_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    big = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .filter(expr="o_totalprice >= 450000")
+    j = semi_anti_join(cust, big, left_on="c_custkey",
+                       right_on="o_custkey", anti=True)
+    return j.groupby("c_mktsegment").aggregate(Count(alias_name="cnt"))
+
+
+def q_grouped_quantiles(sf_dir: str):
+    """Per-language exact p25/p50/p90 document length — the grouped
+    quality-gate variant of q_quantiles (value-count combiner keyed on
+    (lang, length); driver CDF is O(groups x distinct))."""
+    from ray_data_mplsh.pipelines.sketch import grouped_exact_quantiles
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return grouped_exact_quantiles(ds, "lang", "n_chars", [0.25, 0.5, 0.9])
+
+
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_lang_counts": q_lang_counts,
@@ -784,6 +841,10 @@ QUERIES = {
     "q_heavy_hitters": q_heavy_hitters,
     "q_heavy_hitters_exact": q_heavy_hitters_exact,
     "q_kmv_doc_ids": q_kmv_doc_ids,
+    "q_sessionize": q_sessionize,
+    "q_semi_join_customers": q_semi_join_customers,
+    "q_anti_join_customers": q_anti_join_customers,
+    "q_grouped_quantiles": q_grouped_quantiles,
 }
 
 ORACLE_SQL = {
@@ -928,6 +989,36 @@ ORACLE_SQL = {
         "SELECT 'doc_id' AS \"column\", CASE WHEN count(*) < 256 "
         "THEN count(*)::DOUBLE ELSE 255 / (max(x)::DOUBLE / "
         "18446744073709551616.0) END AS estimate FROM k",
+    "q_sessionize":
+        "WITH e AS (SELECT user_id, ts, event_id, "
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+        "b AS (SELECT user_id, ts, event_id, cents, CASE WHEN "
+        "lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w "
+        "> INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk FROM e "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "g AS (SELECT user_id, ts, cents, SUM(brk) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS sess FROM b) "
+        "SELECT user_id, epoch_us(min(ts)) AS session_start, "
+        "CAST(count(*) AS BIGINT) AS n_events, "
+        "CAST(SUM(cents) AS BIGINT) AS cents "
+        "FROM g GROUP BY user_id, sess",
+    "q_semi_join_customers":
+        "SELECT c_custkey, c_mktsegment FROM customer c WHERE EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_totalprice >= 450000)",
+    "q_anti_join_customers":
+        "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt "
+        "FROM customer c WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_totalprice >= 450000) GROUP BY c_mktsegment",
+    "q_grouped_quantiles":
+        "SELECT lang, CAST(0.25 AS DOUBLE) AS q, "
+        "quantile_disc(n_chars, 0.25) AS value FROM documents GROUP BY lang "
+        "UNION ALL SELECT lang, CAST(0.5 AS DOUBLE), "
+        "quantile_disc(n_chars, 0.5) FROM documents GROUP BY lang "
+        "UNION ALL SELECT lang, CAST(0.9 AS DOUBLE), "
+        "quantile_disc(n_chars, 0.9) FROM documents GROUP BY lang",
     "q_lang_id":
         "SELECT doc_id, CASE GREATEST("
         + ", ".join(f"len(regexp_extract_all(text, '{p}'))"

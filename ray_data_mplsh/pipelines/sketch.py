@@ -115,6 +115,51 @@ def exact_quantiles(ds, column: str, qs: list[float]) -> pa.Table:
                      "value": pa.array(np.array(out_v))})
 
 
+def grouped_exact_quantiles(ds, group_col: str, value_col: str,
+                            qs: list[float]) -> pa.Table:
+    """Per-group EXACT quantiles (the grouped length/quality gate — e.g.
+    p50/p90 document length PER LANGUAGE): same value-count combiner as
+    ``exact_quantiles`` but keyed on (group, value); the post-shuffle
+    table is O(groups x distinct values), so the driver-side CDF walk is
+    tiny regardless of row count. Rank rule = DuckDB ``quantile_disc``
+    (value at sorted index ceil(q*n)-1), computed with the identical IEEE
+    double multiply — bit-exact oracle parity per group."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        small = pa.table({group_col: t[group_col], "v": t[value_col]})
+        return small.group_by([group_col, "v"]).aggregate(
+            [([], "count_all")]).rename_columns([group_col, "v", "c"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([group_col, "v"]).aggregate(Sum("c", alias_name="c"))
+    gs, vs, cs = [], [], []
+    for b in agg.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        gs.append(np.asarray(b[group_col].to_pylist(), dtype=object))
+        vs.append(b["v"].to_numpy(zero_copy_only=False))
+        cs.append(b["c"].to_numpy(zero_copy_only=False))
+    g = np.concatenate(gs)
+    v = np.concatenate(vs)
+    c = np.concatenate(cs).astype(np.int64)
+    order = np.lexsort((v, g))
+    g, v, c = g[order], v[order], c[order]
+    starts = np.flatnonzero(np.concatenate(
+        ([True], g[1:] != g[:-1]))) if len(g) else np.empty(0, np.int64)
+    ends = np.concatenate((starts[1:], [len(g)])) if len(g) else starts
+    out_g, out_q, out_v = [], [], []
+    for s, e in zip(starts, ends):
+        cum = np.cumsum(c[s:e])
+        n = int(cum[-1])
+        for q in qs:
+            r = min(max(int(np.ceil(q * n)) - 1, 0), n - 1)
+            out_g.append(g[s])
+            out_q.append(float(q))
+            out_v.append(v[s + int(np.searchsorted(cum, r + 1))])
+    return pa.table({group_col: pa.array([str(x) for x in out_g]),
+                     "q": pa.array(out_q, pa.float64()),
+                     "value": pa.array(np.array(out_v))})
+
+
 class QuantileSketch:
     """Mergeable KLL-lite quantile sketch for UNBOUNDED domains (continuous
     scores): level i holds items of weight 2^i; an over-full level sorts

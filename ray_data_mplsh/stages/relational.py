@@ -1,0 +1,113 @@
+"""Distributed semi- / anti-join on an integer key (SURVEY.md §2 op 21's
+generic relational sibling; capability contract from the reference's
+filter-by-membership pipelines — no reference source exists to cite, see
+SURVEY.md §0).
+
+Two physical plans, threshold-gated like every hybrid stage in this repo:
+
+* **broadcast** (default when the right side's distinct-key count fits
+  ``broadcast_max_keys``): distinct keys are reduced by a per-batch
+  ``np.unique`` combiner + one tiny ``groupby``, gathered once on the
+  driver, ``ray.put`` once, and every left batch does a vectorized
+  ``searchsorted`` membership probe — the scale-correct plan when the
+  right side is a dimension (delete lists, license blocklists, seen-URL
+  sets up to ~10^7).
+* **shuffle** (large right side): left rows and distinct right keys ride
+  ONE coarse key-partitioned exchange (schema-padded union, per-partition
+  vectorized membership) — no driver materialization of either side.
+
+Membership is tested on the EXACT key values; the 64-bit hash is used
+only to route partitions (the pairs.py collision rule)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray_data_mplsh.stages.shuffle import (cached_get, default_partitions,
+                                           partition_apply)
+
+_SIDE = "__sj_side"
+
+
+def _distinct_keys(right, right_on: str):
+    """Dataset of distinct right keys under column ``k`` (int64): per-batch
+    unique combiner, then one small groupby — shuffle volume is
+    O(distinct x partitions), independent of right's row count."""
+    from ray.data.aggregate import Count
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.unique(t[right_on].to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+        return pa.table({"k": pa.array(v, pa.int64())})
+
+    return right.map_batches(partial, batch_format="pyarrow") \
+        .groupby("k").aggregate(Count(alias_name="_c"))
+
+
+def semi_anti_join(left, right, *, left_on: str, right_on: str,
+                   anti: bool = False, broadcast_max_keys: int = 2_000_000,
+                   num_partitions: int = 0):
+    """Keep left rows whose ``left_on`` key does (semi) / does not (anti)
+    appear in ``right[right_on]``. Returns a Dataset with left's schema."""
+    import ray
+
+    rkeys = _distinct_keys(right, right_on)
+    n_keys = rkeys.count()
+    if n_keys <= broadcast_max_keys:
+        ks = np.sort(np.concatenate(
+            [b["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+             for b in rkeys.iter_batches(batch_size=65536,
+                                         batch_format="pyarrow")]
+            or [np.empty(0, np.int64)]))
+        ref = ray.put(ks)
+
+        def probe(t: pa.Table) -> pa.Table:
+            keys = cached_get(ref)
+            q = t[left_on].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(keys) == 0:
+                mem = np.zeros(len(q), dtype=bool)
+            else:
+                i = np.clip(np.searchsorted(keys, q), 0, len(keys) - 1)
+                mem = keys[i] == q
+            return t.filter(pa.array(~mem if anti else mem))
+
+        return left.map_batches(probe, batch_format="pyarrow")
+
+    # ---- shuffle path: schema-padded union, one key-routed exchange ----
+    schema = left.schema().base_schema
+    cols = [f.name for f in schema]
+
+    def pad_left(t: pa.Table) -> pa.Table:
+        return t.append_column(_SIDE, pa.array(
+            np.zeros(t.num_rows, np.int8), pa.int8()))
+
+    def pad_right(t: pa.Table) -> pa.Table:
+        arrs = []
+        for f in schema:
+            if f.name == left_on:
+                arrs.append(t["k"].cast(f.type))
+            else:
+                arrs.append(pa.nulls(t.num_rows, f.type))
+        arrs.append(pa.array(np.ones(t.num_rows, np.int8), pa.int8()))
+        return pa.table(dict(zip(cols + [_SIDE], arrs)))
+
+    both = left.map_batches(pad_left, batch_format="pyarrow").union(
+        rkeys.drop_columns(["_c"]).map_batches(
+            pad_right, batch_format="pyarrow"))
+
+    def per_part(t: pa.Table) -> pa.Table:
+        side = t[_SIDE].to_numpy(zero_copy_only=False)
+        k = t[left_on].to_numpy(zero_copy_only=False).astype(np.int64)
+        rset = np.unique(k[side == 1])
+        keep = side == 0
+        if len(rset):
+            i = np.clip(np.searchsorted(rset, k), 0, len(rset) - 1)
+            mem = rset[i] == k
+        else:
+            mem = np.zeros(len(k), dtype=bool)
+        keep &= (~mem if anti else mem)
+        return t.filter(pa.array(keep)).drop_columns([_SIDE])
+
+    return partition_apply(both, left_on, per_part,
+                           default_partitions(num_partitions))

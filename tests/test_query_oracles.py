@@ -15,14 +15,17 @@ from ray_data_mplsh.pipelines.queries import ORACLE_SQL, QUERIES
 
 SF_DIR = "/root/testdata/sf0.001"
 CHECK = ["q_word_stats", "q_doc_freq", "q_allpair_jaccard",
-         "q_heavy_hitters_exact", "q_kmv_doc_ids"]
+         "q_heavy_hitters_exact", "q_kmv_doc_ids", "q_sessionize",
+         "q_semi_join_customers", "q_anti_join_customers",
+         "q_grouped_quantiles"]
 
 
 @pytest.fixture(scope="module")
 def oracle_con():
     con = duckdb.connect()
-    con.sql(f"CREATE VIEW documents AS "
-            f"SELECT * FROM '{SF_DIR}/documents.parquet'")
+    for tbl in ("documents", "events", "customer", "orders"):
+        con.sql(f"CREATE VIEW {tbl} AS "
+                f"SELECT * FROM '{SF_DIR}/{tbl}.parquet'")
     yield con
     con.close()
 

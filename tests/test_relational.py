@@ -1,0 +1,104 @@
+"""Semi/anti join and sessionization: force-path equivalence and
+brute-force oracles (the driver's DuckDB gate covers the query twins;
+these pin the operator kernels directly, including the shuffle path the
+sf0.001 queries never trigger)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray_data_mplsh.stages.shuffle import from_arrow_blocks
+
+
+def _mk_tables(seed: int = 5, n_left: int = 3000, n_right: int = 900):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    left = pa.table({
+        "k": pa.array(rng.integers(0, 500, n_left), pa.int64()),
+        "payload": pa.array(rng.integers(0, 10**6, n_left), pa.int64()),
+        "tag": pa.array([f"t{i % 7}" for i in range(n_left)])})
+    right = pa.table({
+        "rk": pa.array(rng.integers(250, 750, n_right), pa.int64()),
+        "junk": pa.array(rng.standard_normal(n_right))})
+    return left, right
+
+
+def _sorted_df(ds):
+    df = ds.to_pandas()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_semi_anti_join_both_paths_match_brute(ray_session):
+    from ray_data_mplsh.stages.relational import semi_anti_join
+
+    left, right = _mk_tables()
+    lds = from_arrow_blocks(left, target_rows=256)
+    rds = from_arrow_blocks(right, target_rows=128)
+    rset = set(right["rk"].to_pylist())
+    mem = np.array([k in rset for k in left["k"].to_pylist()])
+    for anti in (False, True):
+        want = left.filter(pa.array(~mem if anti else mem)).to_pandas()
+        want = want.sort_values(list(want.columns)).reset_index(drop=True)
+        got_b = _sorted_df(semi_anti_join(
+            lds, rds, left_on="k", right_on="rk", anti=anti,
+            broadcast_max_keys=10**6))
+        got_s = _sorted_df(semi_anti_join(
+            lds, rds, left_on="k", right_on="rk", anti=anti,
+            broadcast_max_keys=1))  # force the shuffle path
+        import pandas as pd
+        pd.testing.assert_frame_equal(got_b, want, check_exact=True)
+        pd.testing.assert_frame_equal(got_s, want, check_exact=True)
+
+
+def test_semi_join_empty_right(ray_session):
+    from ray_data_mplsh.stages.relational import semi_anti_join
+
+    left, right = _mk_tables()
+    lds = from_arrow_blocks(left, target_rows=256)
+    empty = from_arrow_blocks(right.slice(0, 0))
+    assert semi_anti_join(lds, empty, left_on="k", right_on="rk",
+                          anti=False).count() == 0
+    assert semi_anti_join(lds, empty, left_on="k", right_on="rk",
+                          anti=True).count() == left.num_rows
+
+
+def test_sessionize_matches_brute(ray_session):
+    """Random event stream with heavy ts ties vs a per-user Python brute
+    force; any partitioning must agree."""
+    from ray_data_mplsh.pipelines.sessions import sessionize
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    n = 4000
+    gap_us = 30 * 60 * 1_000_000
+    user = rng.integers(0, 40, n)
+    ts = rng.integers(0, 3 * 86_400, n).astype(np.int64) * 1_000_000
+    ts = (ts // 600_000_000) * 600_000_000  # 10-min grid -> many ties
+    eid = rng.permutation(n).astype(np.int64)
+    cents = rng.integers(-500, 500, n).astype(np.int64)
+    t = pa.table({"user_id": pa.array(user, pa.int64()),
+                  "ts": pa.array(ts, pa.timestamp("us")),
+                  "event_id": pa.array(eid, pa.int64()),
+                  "cents": pa.array(cents, pa.int64())})
+
+    want = []
+    for u in np.unique(user):
+        m = user == u
+        order = np.lexsort((eid[m], ts[m]))
+        uts, uc = ts[m][order], cents[m][order]
+        start = 0
+        for i in range(1, len(uts) + 1):
+            if i == len(uts) or uts[i] - uts[i - 1] > gap_us:
+                want.append((int(u), int(uts[start]), i - start,
+                             int(uc[start:i].sum())))
+                start = i
+    want.sort()
+
+    for target_rows in (333, 4000):
+        ds = from_arrow_blocks(t, target_rows=target_rows)
+        out = sessionize(ds, key_col="user_id", ts_col="ts",
+                         order_col="event_id", cents_col="cents",
+                         gap_us=gap_us).to_pandas()
+        got = sorted(zip(out["user_id"], out["session_start"],
+                         out["n_events"], out["cents"]))
+        got = [(int(a), int(b), int(c), int(d)) for a, b, c, d in got]
+        assert got == want
