@@ -6,7 +6,7 @@ sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB. Ray is initialised by the driver BEFORE this module is imported:
 no ``ray.init()`` / ``ray.shutdown()`` here or anywhere in the library.
 
-Query inventory (41 entries; * = bit-exact DuckDB oracle, rest rows-only
+Query inventory (43 entries; * = bit-exact DuckDB oracle, rest rows-only
 with pytest gates — see SURVEY.md Appendix B):
   dedup family: q_exact_dedup*, q_dedup_documents, q_minhash_pairs,
     q_simhash_pairs, q_ngram_jaccard, q_embedding_near_dup,
@@ -16,7 +16,10 @@ with pytest gates — see SURVEY.md Appendix B):
   text analysis: q_lang_id*, q_token_counts*, q_bpe_token_counts*,
     q_quality_scores*, q_fingerprints, q_word_stats* (per-doc word
     frequency / modal word), q_doc_freq* (corpus df table, combiner
-    partials before the groupby)
+    partials before the groupby), q_top_terms* (per-doc tf/df relevance
+    via word-/doc-keyed exchanges), q_decontaminate* (benchmark
+    decontamination: broadcast snippet index + rolling-hash scan vs SQL
+    contains)
   relational/aggregates: q_lang_counts*, q_len_filter*, q_top_sources*,
     q_distinct_langs*, q_events_daily*, q_events_props*,
     q_join_ord_cust*, q_lineitem_agg*, q_region_nation*,

@@ -805,6 +805,131 @@ def q_grouped_quantiles(sf_dir: str):
     return grouped_exact_quantiles(ds, "lang", "n_chars", [0.25, 0.5, 0.9])
 
 
+_DECON_IDS = [7, 23, 101]      # eval-set stand-in: snippets from these docs
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: docs containing any 40-char snippet
+    drawn from the stand-in eval docs — broadcast snippet index +
+    rolling-hash scan with byte-exact confirmation, bit-exact vs SQL
+    ``contains``."""
+    import pyarrow.parquet as pq
+
+    from ray_data_mplsh.pipelines.decontam import contains_any
+
+    src = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"],
+                        filters=[("doc_id", "in", _DECON_IDS)])
+    snips = [t[50:90] for t in src["text"].to_pylist()
+             if t is not None and len(t) >= 90]
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return contains_any(ds, snips)
+
+
+def q_top_terms(sf_dir: str):
+    """Per-doc most-distinctive term by tf/df relevance (the TF-IDF
+    ordering with an exactly-replayable score: one IEEE double divide of
+    two int64s — identical in numpy and SQL). Two word-keyed exchanges,
+    both scale-shaped: the df side is the combiner-reduced vocabulary
+    (never the corpus), and the final per-doc top-1 rides a doc-keyed
+    partition_apply. Ties: score DESC, term ASC."""
+    from ray.data.aggregate import Sum
+
+    from ray_data_mplsh.functions.hashing import hash_str_array
+    from ray_data_mplsh.stages.shuffle import (default_partitions,
+                                               partition_apply)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    # per-batch (doc, word, tf) — exact within a batch because a doc's
+    # text never spans batches
+    def tf_rows(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        row, words = _split_words(b["text"])
+        codes, uniq = pd.factorize(words, sort=False)
+        nu = np.int64(max(len(uniq), 1))
+        key = row * nu + codes
+        dk, tf = np.unique(key, return_counts=True)
+        r = (dk // nu).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids[r], pa.int64()),
+            "word": pa.array(uniq[(dk % nu).astype(np.int64)], pa.string()),
+            "tf": pa.array(tf.astype(np.int64), pa.int64()),
+            "df": pa.nulls(len(dk), pa.int64()),
+            "_side": pa.array(np.zeros(len(dk), np.int8), pa.int8())})
+
+    # df per word: distinct-(doc,word) combiner partials -> groupby sum
+    def df_partial(b: pa.Table) -> pa.Table:
+        row, words = _split_words(b["text"])
+        codes, uniq = pd.factorize(words, sort=False)
+        nu = np.int64(max(len(uniq), 1))
+        dk = np.unique(row * nu + codes)
+        dfc = np.bincount((dk % nu).astype(np.int64),
+                          minlength=len(uniq)).astype(np.int64)
+        return pa.table({"word": pa.array(uniq, pa.string()),
+                         "partial": pa.array(dfc, pa.int64())})
+
+    dfds = ds.map_batches(df_partial, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("partial", alias_name="df"))
+
+    def df_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "doc_id": pa.nulls(n, pa.int64()),
+            "word": b["word"],
+            "tf": pa.nulls(n, pa.int64()),
+            "df": pc.cast(b["df"], pa.int64()),
+            "_side": pa.array(np.ones(n, np.int8), pa.int8())})
+
+    both = ds.map_batches(tf_rows, batch_format="pyarrow").union(
+        dfds.map_batches(df_rows, batch_format="pyarrow"))
+
+    def add_wh(t: pa.Table) -> pa.Table:
+        return t.append_column("word_h", pa.array(
+            hash_str_array(t["word"]), pa.uint64()))
+
+    # exchange 1 (word-keyed): attach df to tf rows
+    def attach_df(t: pa.Table) -> pa.Table:
+        side = t["_side"].to_numpy(zero_copy_only=False)
+        codes, _ = pd.factorize(
+            np.asarray(t["word"].to_pylist(), dtype=object), sort=False)
+        dfv = np.zeros(codes.max() + 1 if len(codes) else 1, np.int64)
+        is_df = side == 1
+        dfv[codes[is_df]] = t["df"].to_numpy(zero_copy_only=False)[is_df]
+        tfm = ~is_df
+        return pa.table({
+            "doc_id": t["doc_id"].filter(pa.array(tfm)),
+            "word": t["word"].filter(pa.array(tfm)),
+            "tf": t["tf"].filter(pa.array(tfm)),
+            "df": pa.array(dfv[codes[tfm]], pa.int64())})
+
+    scored = partition_apply(both.map_batches(add_wh,
+                                              batch_format="pyarrow"),
+                             "word_h", attach_df, default_partitions(0))
+
+    # exchange 2 (doc-keyed): top-1 per doc by (score DESC, word ASC)
+    def top1(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        words = np.asarray(t["word"].to_pylist(), dtype=object)
+        wcodes, _ = pd.factorize(words, sort=True)  # lex order, sortable
+        score = tf.astype(np.float64) / df.astype(np.float64)
+        order = np.lexsort((wcodes, -score, ids))
+        ids_s = ids[order]
+        first = np.flatnonzero(np.concatenate(
+            ([True], ids_s[1:] != ids_s[:-1]))) if len(ids_s) else ids_s
+        sel = order[first]
+        return pa.table({
+            "doc_id": pa.array(ids[sel], pa.int64()),
+            "term": pa.array(words[sel].astype(str)),
+            "tf": pa.array(tf[sel], pa.int64()),
+            "df": pa.array(df[sel], pa.int64()),
+            "score": pa.array(score[sel], pa.float64())})
+
+    return partition_apply(scored, "doc_id", top1, default_partitions(0))
+
+
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_lang_counts": q_lang_counts,
@@ -841,6 +966,8 @@ QUERIES = {
     "q_heavy_hitters": q_heavy_hitters,
     "q_heavy_hitters_exact": q_heavy_hitters_exact,
     "q_kmv_doc_ids": q_kmv_doc_ids,
+    "q_decontaminate": q_decontaminate,
+    "q_top_terms": q_top_terms,
     "q_sessionize": q_sessionize,
     "q_semi_join_customers": q_semi_join_customers,
     "q_anti_join_customers": q_anti_join_customers,
@@ -989,6 +1116,24 @@ ORACLE_SQL = {
         "SELECT 'doc_id' AS \"column\", CASE WHEN count(*) < 256 "
         "THEN count(*)::DOUBLE ELSE 255 / (max(x)::DOUBLE / "
         "18446744073709551616.0) END AS estimate FROM k",
+    "q_decontaminate":
+        "WITH sn AS (SELECT substring(text, 51, 40) AS s FROM documents "
+        "WHERE doc_id IN (7, 23, 101) AND length(text) >= 90) "
+        "SELECT DISTINCT doc_id FROM documents d JOIN sn "
+        "ON contains(d.text, sn.s)",
+    "q_top_terms":
+        "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word "
+        "FROM documents), "
+        "c AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf "
+        "FROM w GROUP BY 1, 2), "
+        "d AS (SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df "
+        "FROM w GROUP BY 1), "
+        "s AS (SELECT c.doc_id, c.word AS term, c.tf, d.df, "
+        "CAST(c.tf AS DOUBLE) / CAST(d.df AS DOUBLE) AS score, "
+        "ROW_NUMBER() OVER (PARTITION BY c.doc_id ORDER BY "
+        "CAST(c.tf AS DOUBLE) / CAST(d.df AS DOUBLE) DESC, c.word) AS rn "
+        "FROM c JOIN d ON c.word = d.word) "
+        "SELECT doc_id, term, tf, df, score FROM s WHERE rn = 1",
     "q_sessionize":
         "WITH e AS (SELECT user_id, ts, event_id, "
         "CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
