@@ -826,20 +826,25 @@ def q_decontaminate(sf_dir: str):
     return contains_any(ds, snips)
 
 
-def q_top_terms(sf_dir: str):
+def top_terms(ds, *, broadcast_max_vocab: int = 2_000_000):
     """Per-doc most-distinctive term by tf/df relevance (the TF-IDF
     ordering with an exactly-replayable score: one IEEE double divide of
-    two int64s — identical in numpy and SQL). Two word-keyed exchanges,
-    both scale-shaped: the df side is the combiner-reduced vocabulary
-    (never the corpus), and the final per-doc top-1 rides a doc-keyed
-    partition_apply. Ties: score DESC, term ASC."""
+    two int64s — identical in numpy and SQL). Ties: score DESC, term ASC.
+
+    Hybrid plan: the df vocabulary is always combiner-reduced (never the
+    corpus). When it fits ``broadcast_max_vocab`` it is broadcast once and
+    BOTH the df attach and the per-doc top-1 stay batch-local (a doc's
+    words never span batches) — zero row-level exchanges. Above the gate,
+    tf rows ride one word-keyed exchange (df attach) and one doc-keyed
+    exchange (top-1); force-path equivalence is pinned in
+    tests/test_relational.py."""
+    import ray
     from ray.data.aggregate import Sum
 
     from ray_data_mplsh.functions.hashing import hash_str_array
-    from ray_data_mplsh.stages.shuffle import (default_partitions,
+    from ray_data_mplsh.stages.shuffle import (cached_get,
+                                               default_partitions,
                                                partition_apply)
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     # per-batch (doc, word, tf) — exact within a batch because a doc's
     # text never spans batches
@@ -870,7 +875,48 @@ def q_top_terms(sf_dir: str):
                          "partial": pa.array(dfc, pa.int64())})
 
     dfds = ds.map_batches(df_partial, batch_format="pyarrow") \
-        .groupby("word").aggregate(Sum("partial", alias_name="df"))
+        .groupby("word").aggregate(Sum("partial", alias_name="df")) \
+        .materialize()
+
+    def local_top1(ids, words, tf, df):
+        """(doc_id, term, tf, df, score) top-1 rows for co-located docs."""
+        wcodes, _ = pd.factorize(words, sort=True)  # lex order, sortable
+        score = tf.astype(np.float64) / df.astype(np.float64)
+        order = np.lexsort((wcodes, -score, ids))
+        ids_s = ids[order]
+        first = np.flatnonzero(np.concatenate(
+            ([True], ids_s[1:] != ids_s[:-1]))) if len(ids_s) else ids_s
+        sel = order[first]
+        return pa.table({
+            "doc_id": pa.array(ids[sel], pa.int64()),
+            "term": pa.array(words[sel].astype(str)),
+            "tf": pa.array(tf[sel], pa.int64()),
+            "df": pa.array(df[sel], pa.int64()),
+            "score": pa.array(score[sel], pa.float64())})
+
+    if dfds.count() <= broadcast_max_vocab:
+        vt = pa.concat_tables(
+            [pa.table(b) for b in dfds.iter_batches(
+                batch_size=65536, batch_format="pyarrow")])
+        ref = ray.put((np.asarray(vt["word"].to_pylist(), dtype=object),
+                       vt["df"].to_numpy(zero_copy_only=False)
+                       .astype(np.int64)))
+
+        def batch_top1(b: pa.Table) -> pa.Table:
+            vwords, vdf = cached_get(ref)
+            idx = pd.Index(vwords)
+            ids = b["doc_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            row, words = _split_words(b["text"])
+            codes, uniq = pd.factorize(words, sort=False)
+            nu = np.int64(max(len(uniq), 1))
+            dk, tf = np.unique(row * nu + codes, return_counts=True)
+            r = (dk // nu).astype(np.int64)
+            w = uniq[(dk % nu).astype(np.int64)]
+            df = vdf[idx.get_indexer(w)]
+            return local_top1(ids[r], w, tf.astype(np.int64), df)
+
+        return ds.map_batches(batch_top1, batch_format="pyarrow")
 
     def df_rows(b: pa.Table) -> pa.Table:
         n = b.num_rows
@@ -909,25 +955,18 @@ def q_top_terms(sf_dir: str):
 
     # exchange 2 (doc-keyed): top-1 per doc by (score DESC, word ASC)
     def top1(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
-        df = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
-        words = np.asarray(t["word"].to_pylist(), dtype=object)
-        wcodes, _ = pd.factorize(words, sort=True)  # lex order, sortable
-        score = tf.astype(np.float64) / df.astype(np.float64)
-        order = np.lexsort((wcodes, -score, ids))
-        ids_s = ids[order]
-        first = np.flatnonzero(np.concatenate(
-            ([True], ids_s[1:] != ids_s[:-1]))) if len(ids_s) else ids_s
-        sel = order[first]
-        return pa.table({
-            "doc_id": pa.array(ids[sel], pa.int64()),
-            "term": pa.array(words[sel].astype(str)),
-            "tf": pa.array(tf[sel], pa.int64()),
-            "df": pa.array(df[sel], pa.int64()),
-            "score": pa.array(score[sel], pa.float64())})
+        return local_top1(
+            t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            np.asarray(t["word"].to_pylist(), dtype=object),
+            t["tf"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["df"].to_numpy(zero_copy_only=False).astype(np.int64))
 
     return partition_apply(scored, "doc_id", top1, default_partitions(0))
+
+
+def q_top_terms(sf_dir: str):
+    """Per-doc tf/df-relevance top term — see ``top_terms``."""
+    return top_terms(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
 QUERIES = {

@@ -52,7 +52,11 @@ def semi_anti_join(left, right, *, left_on: str, right_on: str,
     appear in ``right[right_on]``. Returns a Dataset with left's schema."""
     import ray
 
-    rkeys = _distinct_keys(right, right_on)
+    # one execution: the distinct-key set is combiner-reduced (bounded by
+    # |distinct|, not |right|), so materializing it in the object store is
+    # the cheap way to both count it and reuse it without re-running the
+    # plan for the count + consume passes
+    rkeys = _distinct_keys(right, right_on).materialize()
     n_keys = rkeys.count()
     if n_keys <= broadcast_max_keys:
         ks = np.sort(np.concatenate(

@@ -102,3 +102,23 @@ def test_sessionize_matches_brute(ray_session):
                          out["n_events"], out["cents"]))
         got = [(int(a), int(b), int(c), int(d)) for a, b, c, d in got]
         assert got == want
+
+
+def test_top_terms_paths_equivalent(ray_session):
+    """tf/df top-term: broadcast-vocab fast path == word/doc-keyed
+    shuffle path, bit-for-bit."""
+    import pandas as pd
+
+    from ray_data_mplsh.pipelines.queries import top_terms
+
+    rng = np.random.Generator(np.random.PCG64(21))
+    vocab = np.array([f"w{i}" for i in range(80)], dtype=object)
+    docs = [" ".join(rng.choice(vocab, rng.integers(3, 60)))
+            for _ in range(600)]
+    t = pa.table({"doc_id": pa.array(np.arange(600), pa.int64()),
+                  "text": pa.array(docs)})
+    ds = from_arrow_blocks(t, target_rows=97)
+    fast = _sorted_df(top_terms(ds, broadcast_max_vocab=10**6))
+    slow = _sorted_df(top_terms(from_arrow_blocks(t, target_rows=97),
+                                broadcast_max_vocab=1))
+    pd.testing.assert_frame_equal(fast, slow, check_exact=True)
