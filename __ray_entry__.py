@@ -6,7 +6,7 @@ sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB. Ray is initialised by the driver BEFORE this module is imported:
 no ``ray.init()`` / ``ray.shutdown()`` here or anywhere in the library.
 
-Query inventory (43 entries; * = bit-exact DuckDB oracle, rest rows-only
+Query inventory (45 entries; * = bit-exact DuckDB oracle, rest rows-only
 with pytest gates — see SURVEY.md Appendix B):
   dedup family: q_exact_dedup*, q_dedup_documents, q_minhash_pairs,
     q_simhash_pairs, q_ngram_jaccard, q_embedding_near_dup,
@@ -19,7 +19,8 @@ with pytest gates — see SURVEY.md Appendix B):
     partials before the groupby), q_top_terms* (per-doc tf/df relevance
     via word-/doc-keyed exchanges), q_decontaminate* (benchmark
     decontamination: broadcast snippet index + rolling-hash scan vs SQL
-    contains)
+    contains), q_bigram_counts* (corpus word-bigram top-50),
+    q_repetition_scores* (per-doc duplicate-bigram quality ratio)
   relational/aggregates: q_lang_counts*, q_len_filter*, q_top_sources*,
     q_distinct_langs*, q_events_daily*, q_events_props*,
     q_join_ord_cust*, q_lineitem_agg*, q_region_nation*,

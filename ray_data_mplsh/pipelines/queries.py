@@ -805,6 +805,78 @@ def q_grouped_quantiles(sf_dir: str):
     return grouped_exact_quantiles(ds, "lang", "n_chars", [0.25, 0.5, 0.9])
 
 
+def _bigram_keys(b: pa.Table):
+    """(row, packed bigram key int64, vocab object array, nu) for a batch:
+    adjacent word pairs within each doc, as exact integer code pairs —
+    no hash, so distinct-counts are collision-free."""
+    row, words = _split_words(b["text"])
+    codes, uniq = pd.factorize(words, sort=False)
+    adj = row[1:] == row[:-1]
+    nu = np.int64(max(len(uniq), 1))
+    key = codes[:-1][adj].astype(np.int64) * nu + codes[1:][adj]
+    return row[:-1][adj], key, uniq, nu
+
+
+def q_bigram_counts(sf_dir: str):
+    """Corpus-level word-bigram counts (n-gram LM statistics), top 50 by
+    (count DESC, bigram ASC): per-batch packed-code partials shrink the
+    exchange to |batch-distinct bigrams| rows before the groupby sum —
+    same combiner shape as q_doc_freq."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        _, key, uniq, nu = _bigram_keys(b)
+        k, cnt = np.unique(key, return_counts=True)
+        bg = np.char.add(np.char.add(
+            uniq[(k // nu).astype(np.int64)].astype(str), " "),
+            uniq[(k % nu).astype(np.int64)].astype(str))
+        return pa.table({"bigram": pa.array(bg),
+                         "partial": pa.array(cnt.astype(np.int64),
+                                             pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bigram").aggregate(Sum("partial", alias_name="cnt"))
+    top = agg.sort(["cnt", "bigram"], descending=[True, False]).limit(50)
+    return top.map_batches(
+        lambda t: pa.table({"bigram": t["bigram"],
+                            "cnt": pc.cast(t["cnt"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_repetition_scores(sf_dir: str):
+    """Per-doc repetition ratio (1 - distinct/total word bigrams) — the
+    boilerplate/spam quality gate. Batch-local and exact: bigrams are
+    integer code pairs, the ratio is one IEEE divide + subtract, so the
+    SQL oracle replays it bit-exactly. Docs with no bigram are omitted
+    (matching the SQL GROUP BY over the bigram stream)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r, key, _, _ = _bigram_keys(b)
+        n = len(ids)
+        nb = np.bincount(r, minlength=n).astype(np.int64)
+        order = np.lexsort((key, r))
+        rs, ks = r[order], key[order]
+        new = np.concatenate(([True], (rs[1:] != rs[:-1]) |
+                              (ks[1:] != ks[:-1]))) if len(rs) else \
+            np.empty(0, bool)
+        nd = np.bincount(rs[np.flatnonzero(new)],
+                         minlength=n).astype(np.int64)
+        keep = nb > 0
+        ratio = 1.0 - nd[keep].astype(np.float64) / nb[keep].astype(
+            np.float64)
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "n_bigrams": pa.array(nb[keep], pa.int64()),
+            "n_distinct": pa.array(nd[keep], pa.int64()),
+            "rep_ratio": pa.array(ratio, pa.float64())})
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
 _DECON_IDS = [7, 23, 101]      # eval-set stand-in: snippets from these docs
 
 
@@ -1007,6 +1079,8 @@ QUERIES = {
     "q_kmv_doc_ids": q_kmv_doc_ids,
     "q_decontaminate": q_decontaminate,
     "q_top_terms": q_top_terms,
+    "q_bigram_counts": q_bigram_counts,
+    "q_repetition_scores": q_repetition_scores,
     "q_sessionize": q_sessionize,
     "q_semi_join_customers": q_semi_join_customers,
     "q_anti_join_customers": q_anti_join_customers,
@@ -1173,6 +1247,21 @@ ORACLE_SQL = {
         "CAST(c.tf AS DOUBLE) / CAST(d.df AS DOUBLE) DESC, c.word) AS rn "
         "FROM c JOIN d ON c.word = d.word) "
         "SELECT doc_id, term, tf, df, score FROM s WHERE rn = 1",
+    "q_bigram_counts":
+        "WITH l AS (SELECT string_split(text, ' ') AS w FROM documents), "
+        "b AS (SELECT unnest(list_transform(range(1, len(w)), "
+        "i -> w[i] || ' ' || w[i+1])) AS bigram FROM l) "
+        "SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt FROM b "
+        "GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50",
+    "q_repetition_scores":
+        "WITH l AS (SELECT doc_id, string_split(text, ' ') AS w "
+        "FROM documents), "
+        "b AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), "
+        "i -> w[i] || ' ' || w[i+1])) AS bg FROM l) "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
+        "CAST(COUNT(DISTINCT bg) AS BIGINT) AS n_distinct, "
+        "1.0 - CAST(COUNT(DISTINCT bg) AS DOUBLE) / COUNT(*) AS rep_ratio "
+        "FROM b GROUP BY doc_id",
     "q_sessionize":
         "WITH e AS (SELECT user_id, ts, event_id, "
         "CAST(round(value * 100) AS BIGINT) AS cents FROM events), "

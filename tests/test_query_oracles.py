@@ -17,7 +17,8 @@ SF_DIR = "/root/testdata/sf0.001"
 CHECK = ["q_word_stats", "q_doc_freq", "q_allpair_jaccard",
          "q_heavy_hitters_exact", "q_kmv_doc_ids", "q_sessionize",
          "q_semi_join_customers", "q_anti_join_customers",
-         "q_grouped_quantiles", "q_decontaminate", "q_top_terms"]
+         "q_grouped_quantiles", "q_decontaminate", "q_top_terms",
+         "q_bigram_counts", "q_repetition_scores"]
 
 
 @pytest.fixture(scope="module")
