@@ -29,6 +29,31 @@ def _read(sf_dir: str, table: str, columns=None):
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _read_sized(sf_dir: str, table: str, columns=None,
+                mb_per_block: int = 32):
+    """Read for exchange-feeding stages (sort/groupby/partition_apply
+    consumers): block count scales with FILE SIZE (~``mb_per_block``
+    compressed MB per block) instead of Ray's default parallelism, floored
+    at half the cluster and capped at 4x. Ray's default shatters small
+    inputs into ~2-4x-CPU blocks, and every extra block is an extra
+    SortMap task + object transfer in the downstream all-to-all — measured
+    ~2x wall on the as-of join at bench scale. At real scale the bytes
+    term dominates and blocks stay ~32MB, which is the recommended
+    object-store block size anyway."""
+    import os
+
+    import ray
+    import ray.data
+
+    path = f"{sf_dir}/{table}.parquet"
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    nb = -(-os.path.getsize(path) // (mb_per_block << 20))
+    nb = max(min(16, cpus), min(nb, 4 * cpus))
+    return ray.data.read_parquet(path, columns=columns,
+                                 override_num_blocks=int(nb))
+
+
 # --- op 23: exact dedup (hash-partition + per-group first) ----------------
 
 def q_exact_dedup(sf_dir: str):
@@ -529,9 +554,9 @@ def q_asof_event_order(sf_dir: str):
 
     from ray_data_mplsh.pipelines.asof import asof_join
 
-    events = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
-    orders = _read(sf_dir, "orders",
-                   ["o_custkey", "o_orderdate", "o_orderkey"]) \
+    events = _read_sized(sf_dir, "events", ["event_id", "ts", "user_id"])
+    orders = _read_sized(sf_dir, "orders",
+                         ["o_custkey", "o_orderdate", "o_orderkey"]) \
         .groupby(["o_custkey", "o_orderdate"]) \
         .aggregate(Max("o_orderkey", alias_name="ok"))
     out = asof_join(events, orders,
@@ -549,8 +574,8 @@ def q_range_join_events(sf_dir: str):
     bound exclusive — ``ts2 > ts - 7d AND ts2 <= ts``)."""
     from ray_data_mplsh.pipelines.asof import range_join_count
 
-    left = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
-    right = _read(sf_dir, "events", ["ts", "user_id"])
+    left = _read_sized(sf_dir, "events", ["event_id", "ts", "user_id"])
+    right = _read_sized(sf_dir, "events", ["ts", "user_id"])
     out = range_join_count(
         left, right, left_key="user_id", left_ts="ts",
         left_id="event_id", right_key="user_id", right_ts="ts",
@@ -755,7 +780,8 @@ def q_sessionize(sf_dir: str):
     integer-cent session sums."""
     from ray_data_mplsh.pipelines.sessions import sessionize
 
-    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    ds = _read_sized(sf_dir, "events",
+                     ["user_id", "ts", "event_id", "value"])
 
     def to_cents(t: pa.Table) -> pa.Table:
         cents = pc.cast(pc.round(pc.multiply(t["value"], 100)), pa.int64())
