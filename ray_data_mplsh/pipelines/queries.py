@@ -115,7 +115,7 @@ def q_distinct_langs(sf_dir: str):
 def q_events_daily(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
-    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    ds = _read_sized(sf_dir, "events", ["ts", "event_type", "value"])
 
     # The value column is exact 2-decimal; sum in integer cents so the
     # distributed sum is order-independent, then divide once at the end
@@ -140,7 +140,7 @@ def q_events_props(sf_dir: str):
 
     from ray.data.aggregate import Sum
 
-    ds = _read(sf_dir, "events", ["props", "value"])
+    ds = _read_sized(sf_dir, "events", ["props", "value"])
 
     def extract(t: pa.Table) -> pa.Table:
         m = pc.extract_regex(t["props"], r'"k": (?P<k>\d+)')
@@ -170,7 +170,7 @@ def q_join_ord_cust(sf_dir: str):
     import pyarrow.parquet as pq
     from ray.data.aggregate import Count, Sum
 
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    orders = _read_sized(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_mktsegment"])
 
@@ -493,9 +493,9 @@ def q_lineitem_agg(sf_dir: str):
     biggest fact table, money summed in exact integer cents."""
     from ray.data.aggregate import Count, Sum
 
-    ds = _read(sf_dir, "lineitem",
-               ["l_returnflag", "l_linestatus", "l_quantity",
-                "l_extendedprice"])
+    ds = _read_sized(sf_dir, "lineitem",
+                     ["l_returnflag", "l_linestatus", "l_quantity",
+                      "l_extendedprice"])
 
     def prep(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -593,7 +593,7 @@ def q_events_sliding(sf_dir: str):
     exact integer-cent sums match the DuckDB range-join oracle."""
     from ray.data.aggregate import Count, Sum
 
-    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    ds = _read_sized(sf_dir, "events", ["ts", "event_type", "value"])
 
     # the (small) set of distinct event days, broadcast for label filtering
     import pyarrow.parquet as pq
@@ -800,7 +800,7 @@ def q_semi_join_customers(sf_dir: str):
     from ray_data_mplsh.stages.relational import semi_anti_join
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    big = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+    big = _read_sized(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
         .filter(expr="o_totalprice >= 450000")
     return semi_anti_join(cust, big, left_on="c_custkey",
                           right_on="o_custkey", anti=False)
@@ -814,7 +814,7 @@ def q_anti_join_customers(sf_dir: str):
     from ray_data_mplsh.stages.relational import semi_anti_join
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    big = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+    big = _read_sized(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
         .filter(expr="o_totalprice >= 450000")
     j = semi_anti_join(cust, big, left_on="c_custkey",
                        right_on="o_custkey", anti=True)
