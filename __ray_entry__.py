@@ -6,7 +6,7 @@ sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB. Ray is initialised by the driver BEFORE this module is imported:
 no ``ray.init()`` / ``ray.shutdown()`` here or anywhere in the library.
 
-Query inventory (45 entries; * = bit-exact DuckDB oracle, rest rows-only
+Query inventory (51 entries; * = bit-exact DuckDB oracle, rest rows-only
 with pytest gates — see SURVEY.md Appendix B):
   dedup family: q_exact_dedup*, q_dedup_documents, q_minhash_pairs,
     q_simhash_pairs, q_ngram_jaccard, q_embedding_near_dup,
@@ -20,7 +20,11 @@ with pytest gates — see SURVEY.md Appendix B):
     via word-/doc-keyed exchanges), q_decontaminate* (benchmark
     decontamination: broadcast snippet index + rolling-hash scan vs SQL
     contains), q_bigram_counts* (corpus word-bigram top-50),
-    q_repetition_scores* (per-doc duplicate-bigram quality ratio)
+    q_repetition_scores* (per-doc duplicate-bigram quality ratio),
+    q_crossdoc_ngrams* (cross-document duplicated 8-gram coverage —
+    RefinedWeb-style dup signal via gram-hash exchange),
+    q_prefix_dup_groups* (exact-prefix dup blocking groups),
+    q_mixture_sample* (per-source deterministic mixture downsampling)
   relational/aggregates: q_lang_counts*, q_len_filter*, q_top_sources*,
     q_distinct_langs*, q_events_daily*, q_events_props*,
     q_join_ord_cust*, q_lineitem_agg*, q_region_nation*,
@@ -38,7 +42,11 @@ with pytest gates — see SURVEY.md Appendix B):
   custom operators: q_events_sliding* (sliding-window aggregate),
     q_asof_event_order* (distributed as-of join vs DuckDB ASOF),
     q_range_join_events* (temporal range join, trailing-window counts),
-    q_sessionize* (gap-rule sessionization vs lag/window SQL)
+    q_sessionize* (gap-rule sessionization vs lag/window SQL),
+    q_pivot_events* (daily event-type pivot via bincount partials),
+    q_user_gaps* (per-user LAG-gap stats, one vectorized diff),
+    q_cumulative_daily* (running daily total; driver cumsum over the
+    tiny |days|-row groupby result)
 
 Rows-only rationale (driver contract permits omitting SQL for
 non-expressible ops): q_minhash_pairs / q_dedup_documents /

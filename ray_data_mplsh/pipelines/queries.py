@@ -1067,6 +1067,218 @@ def q_top_terms(sf_dir: str):
     return top_terms(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+# --- window / pivot analytics over events ----------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_events(sf_dir: str):
+    """Daily event-type pivot (conditional aggregation): one row per day,
+    one count column per event type — the mixture-monitoring rollup.
+    Per-batch bincount partials collapse the exchange to |days| rows per
+    block before the groupby sum; bit-exact vs COUNT(*) FILTER in SQL."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_sized(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = pc.strftime(t["ts"], format="%Y-%m-%d").to_pandas() \
+            .to_numpy(dtype=object)
+        codes, days = pd.factorize(d)
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        cols: dict = {"d": pa.array(days, pa.string())}
+        for name in _EVENT_TYPES:
+            # counts < 2^53, so the float bincount round-trip is exact
+            cols["n_" + name] = pa.array(np.bincount(
+                codes, weights=(et == name),
+                minlength=len(days)).astype(np.int64))
+        return pa.table(cols)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("d") \
+        .aggregate(*[Sum("n_" + n, alias_name="n_" + n)
+                     for n in _EVENT_TYPES])
+    return agg.map_batches(
+        lambda t: pa.table({"d": t["d"], **{
+            f"n_{n}": pc.cast(t[f"n_{n}"], pa.int64())
+            for n in _EVENT_TYPES}}),
+        batch_format="pyarrow")
+
+
+def q_user_gaps(sf_dir: str):
+    """Per-user inter-event-gap stats, the LAG-window primitive: event
+    count plus total and max gap in integer microseconds for users with
+    >=2 events. One user-keyed exchange; gaps come from one vectorized
+    diff over the (user, ts, event_id)-sorted run — bit-exact vs DuckDB
+    LAG ... OVER (PARTITION BY user ORDER BY ts, event_id)."""
+    from ray_data_mplsh.stages.shuffle import (default_partitions,
+                                               partition_apply)
+
+    ds = _read_sized(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def gaps(part: pa.Table) -> pa.Table:
+        uid = part["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = part["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = part["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        o = np.lexsort((eid, ts, uid))
+        u, t_ = uid[o], ts[o]
+        same = np.empty(len(u), bool)
+        same[:1] = False
+        same[1:] = u[1:] == u[:-1]
+        gap = np.empty(len(t_), np.int64)
+        gap[:1] = 0
+        gap[1:] = t_[1:] - t_[:-1]
+        uu, inv, cnt = np.unique(u, return_inverse=True,
+                                 return_counts=True)
+        sum_gap = np.zeros(len(uu), np.int64)
+        np.add.at(sum_gap, inv[same], gap[same])
+        max_gap = np.zeros(len(uu), np.int64)
+        np.maximum.at(max_gap, inv[same], gap[same])
+        keep = cnt >= 2
+        return pa.table({
+            "user_id": pa.array(uu[keep], pa.int64()),
+            "n_events": pa.array(cnt[keep].astype(np.int64)),
+            "sum_gap_us": pa.array(sum_gap[keep], pa.int64()),
+            "max_gap_us": pa.array(max_gap[keep], pa.int64())})
+
+    return partition_apply(ds, "user_id", gaps, default_partitions())
+
+
+def q_cumulative_daily(sf_dir: str):
+    """Running total of events per day (cumulative window aggregate): the
+    distributed groupby produces the tiny |days|-row table; the running
+    sum over it is a driver-side cumsum on that small result (legit: the
+    window is over days, not rows). Bit-exact vs SUM(...) OVER in SQL."""
+    from ray.data.aggregate import Count
+
+    ds = _read_sized(sf_dir, "events", ["ts"])
+    agg = ds.map_batches(
+        lambda t: pa.table({"d": pc.strftime(t["ts"], format="%Y-%m-%d")}),
+        batch_format="pyarrow").groupby("d").aggregate(
+            Count(alias_name="cnt"))
+    pdf = agg.sort("d").to_pandas()
+    pdf["cnt"] = pdf["cnt"].astype("int64")
+    pdf["cum_cnt"] = pdf["cnt"].cumsum().astype("int64")
+    return pdf
+
+
+# --- cross-document duplicated n-grams (RefinedWeb-style dup coverage) -----
+
+_XNG_N = 8
+
+
+def q_crossdoc_ngrams(sf_dir: str):
+    """Cross-document duplicated n-gram coverage — the 'how much of this
+    doc appears elsewhere in the corpus' dedup signal (RefinedWeb/Gopher
+    use the fraction of a doc's n-grams seen in other docs): per doc with
+    >= 8 words, the distinct word-8-gram count and how many of those
+    grams occur in at least one OTHER document. Gram strings are routed
+    by hash (one exchange) but grouped exactly within the partition, so
+    hash collisions only co-locate; per-(doc, gram) dedup is batch-local
+    (each doc lives in exactly one row). Bit-exact vs the UNNEST
+    generate_series formulation in SQL."""
+    from ray.data.aggregate import Count, Sum
+
+    from ray_data_mplsh.functions.hashing import hash_str_array
+    from ray_data_mplsh.stages.shuffle import (default_partitions,
+                                               partition_apply)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n = _XNG_N
+
+    def grams(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        row, words = _split_words(b["text"])
+        if len(row) >= n:
+            starts = np.flatnonzero(row[:len(row) - n + 1] == row[n - 1:])
+        else:
+            starts = np.empty(0, np.int64)
+        gs = pd.Series(words[starts], dtype=object)
+        for i in range(1, n):
+            gs = gs + " " + pd.Series(words[starts + i], dtype=object)
+        df = pd.DataFrame({
+            "doc_id": ids[row[starts]],
+            "gram": gs.to_numpy(dtype=object)}).drop_duplicates()
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+            "gram": pa.array(df["gram"].to_numpy(dtype=object),
+                             pa.string())})
+
+    pairs = ds.map_batches(grams, batch_format="pyarrow").map_batches(
+        lambda t: t.append_column(
+            "gram_h", pa.array(hash_str_array(t["gram"]), pa.uint64())),
+        batch_format="pyarrow")
+
+    def mark(part: pa.Table) -> pa.Table:
+        g = part["gram"].to_pandas().to_numpy(dtype=object)
+        d = part["doc_id"].to_numpy(zero_copy_only=False)
+        codes, _ = pd.factorize(g)
+        per_gram = np.bincount(codes)
+        return pa.table({
+            "doc_id": pa.array(d, pa.int64()),
+            "shared": pa.array((per_gram[codes] >= 2).astype(np.int64))})
+
+    marked = partition_apply(pairs, "gram_h", mark, default_partitions())
+    agg = marked.groupby("doc_id").aggregate(
+        Count(alias_name="n_distinct_grams"),
+        Sum("shared", alias_name="n_shared"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "n_distinct_grams": pc.cast(t["n_distinct_grams"], pa.int64()),
+            "n_shared": pc.cast(t["n_shared"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+# --- data-mixture sampling and prefix blocking ------------------------------
+
+def q_mixture_sample(sf_dir: str):
+    """Deterministic data-mixture downsampling: per-source keep rates
+    (1/2 for src0-1, 1/4 for src2-3, 1/8 otherwise) applied with the same
+    multiplicative hash as q_sample — the mixture-reweighting pass a
+    training-data pipeline runs before tokenization. Stateless map, no
+    shuffle, bit-exact vs the CASE expression in SQL."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "lang"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((ids % np.uint64(2**32)) * np.uint64(2654435761)) \
+            % np.uint64(2**32)
+        src = np.asarray(t["source"].to_pylist(), dtype=object)
+        m = np.full(len(src), 8, np.uint64)
+        m[(src == "src0") | (src == "src1")] = 2
+        m[(src == "src2") | (src == "src3")] = 4
+        return t.filter(pa.array(h % m == 0))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def q_prefix_dup_groups(sf_dir: str):
+    """Exact-prefix dup blocking (op 23 variant): groups of docs sharing
+    the same 40-char text prefix, with group size and representative
+    (min doc_id) — the cheap exact blocking pass a web pipeline runs
+    before MinHash. Text is ASCII in this corpus, so the codeunit slice
+    equals SQL's character substr."""
+    from ray.data.aggregate import Count, Min
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    agg = ds.map_batches(
+        lambda t: pa.table({
+            "prefix": pc.utf8_slice_codeunits(t["text"], 0, 40),
+            "doc_id": t["doc_id"]}),
+        batch_format="pyarrow").groupby("prefix").aggregate(
+            Count(alias_name="n_docs"), Min("doc_id", alias_name="rep"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "prefix": t["prefix"],
+            "n_docs": pc.cast(t["n_docs"], pa.int64()),
+            "rep": pc.cast(t["rep"], pa.int64())}).filter(
+                pc.greater_equal(t["n_docs"], 2)),
+        batch_format="pyarrow")
+
+
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_lang_counts": q_lang_counts,
@@ -1111,6 +1323,12 @@ QUERIES = {
     "q_semi_join_customers": q_semi_join_customers,
     "q_anti_join_customers": q_anti_join_customers,
     "q_grouped_quantiles": q_grouped_quantiles,
+    "q_pivot_events": q_pivot_events,
+    "q_user_gaps": q_user_gaps,
+    "q_cumulative_daily": q_cumulative_daily,
+    "q_crossdoc_ngrams": q_crossdoc_ngrams,
+    "q_mixture_sample": q_mixture_sample,
+    "q_prefix_dup_groups": q_prefix_dup_groups,
 }
 
 ORACLE_SQL = {
@@ -1318,6 +1536,45 @@ ORACLE_SQL = {
         "quantile_disc(n_chars, 0.5) FROM documents GROUP BY lang "
         "UNION ALL SELECT lang, CAST(0.9 AS DOUBLE), "
         "quantile_disc(n_chars, 0.9) FROM documents GROUP BY lang",
+    "q_pivot_events":
+        "SELECT strftime(ts, '%Y-%m-%d') AS d, "
+        + ", ".join(
+            f"CAST(COUNT(*) FILTER (event_type = '{n}') AS BIGINT) "
+            f"AS n_{n}" for n in _EVENT_TYPES)
+        + " FROM events GROUP BY 1",
+    "q_user_gaps":
+        "WITH g AS (SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) "
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap "
+        "FROM events) "
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "CAST(SUM(gap) AS BIGINT) AS sum_gap_us, "
+        "CAST(MAX(gap) AS BIGINT) AS max_gap_us "
+        "FROM g GROUP BY user_id HAVING COUNT(*) >= 2",
+    "q_cumulative_daily":
+        "SELECT d, cnt, CAST(SUM(cnt) OVER (ORDER BY d "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt FROM ("
+        "SELECT strftime(ts, '%Y-%m-%d') AS d, "
+        "CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1)",
+    "q_crossdoc_ngrams":
+        "WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws "
+        "FROM documents), "
+        "g AS (SELECT doc_id, unnest(list_distinct(list_transform("
+        f"range(1, len(ws) - {_XNG_N - 2}), "
+        f"i -> array_to_string(ws[i:i+{_XNG_N - 1}], ' ')))) AS gram "
+        f"FROM d WHERE len(ws) >= {_XNG_N}), "
+        "c AS (SELECT gram, COUNT(*) AS n FROM g GROUP BY gram) "
+        "SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct_grams, "
+        "CAST(SUM(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_shared FROM g JOIN c USING (gram) GROUP BY g.doc_id",
+    "q_mixture_sample":
+        "SELECT doc_id, source, lang FROM documents WHERE "
+        "((doc_id % 4294967296) * 2654435761::HUGEINT) % 4294967296 "
+        "% (CASE WHEN source IN ('src0', 'src1') THEN 2 "
+        "WHEN source IN ('src2', 'src3') THEN 4 ELSE 8 END) = 0",
+    "q_prefix_dup_groups":
+        "SELECT substring(text, 1, 40) AS prefix, "
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS rep "
+        "FROM documents GROUP BY 1 HAVING COUNT(*) >= 2",
     "q_lang_id":
         "SELECT doc_id, CASE GREATEST("
         + ", ".join(f"len(regexp_extract_all(text, '{p}'))"

@@ -18,7 +18,9 @@ CHECK = ["q_word_stats", "q_doc_freq", "q_allpair_jaccard",
          "q_heavy_hitters_exact", "q_kmv_doc_ids", "q_sessionize",
          "q_semi_join_customers", "q_anti_join_customers",
          "q_grouped_quantiles", "q_decontaminate", "q_top_terms",
-         "q_bigram_counts", "q_repetition_scores"]
+         "q_bigram_counts", "q_repetition_scores", "q_pivot_events",
+         "q_user_gaps", "q_cumulative_daily", "q_crossdoc_ngrams",
+         "q_mixture_sample", "q_prefix_dup_groups"]
 
 
 @pytest.fixture(scope="module")
