@@ -1279,6 +1279,132 @@ def q_prefix_dup_groups(sf_dir: str):
         batch_format="pyarrow")
 
 
+# --- rollup, distinct-count, outer join, continuous quantiles --------------
+
+def q_rollup_lang_source(sf_dir: str):
+    """GROUP BY ROLLUP(lang, source): leaf counts plus per-lang subtotals
+    and the grand total. The distributed groupby reduces the corpus to
+    |langs|x|sources| rows; the subtotal rows are derived from that tiny
+    result on the driver (legit: the rollup lattice is over group keys,
+    not data rows). Bit-exact vs DuckDB ROLLUP."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    leaf = ds.groupby(["lang", "source"]).aggregate(
+        Count(alias_name="cnt")).to_pandas()
+    leaf["cnt"] = leaf["cnt"].astype("int64")
+    per_lang = leaf.groupby("lang", as_index=False)["cnt"].sum()
+    per_lang["source"] = None
+    total = pd.DataFrame({"lang": [None], "source": [None],
+                          "cnt": [leaf["cnt"].sum()]})
+    out = pd.concat([leaf, per_lang, total], ignore_index=True)
+    out["lang"] = out["lang"].astype(object)
+    out["source"] = out["source"].astype(object)
+    out["cnt"] = out["cnt"].astype("int64")
+    return out[["lang", "source", "cnt"]]
+
+
+def q_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event type. Per-batch distinct
+    (event_type, user_id) pairs (combiner) -> one user-keyed exchange
+    where the global distinct is resolved exactly (a user's rows for a
+    type all land in one partition) -> per-type partial counts -> tiny
+    groupby sum."""
+    from ray.data.aggregate import Sum
+
+    from ray_data_mplsh.stages.shuffle import (default_partitions,
+                                               partition_apply)
+
+    ds = _read_sized(sf_dir, "events", ["event_type", "user_id"])
+
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "event_type": t["event_type"].to_pandas()}).drop_duplicates()
+        return pa.table({
+            "user_id": pa.array(df["user_id"].to_numpy(np.int64)),
+            "event_type": pa.array(df["event_type"].to_numpy(dtype=object),
+                                   pa.string())})
+
+    def count_part(part: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": part["user_id"].to_numpy(zero_copy_only=False),
+            "event_type": part["event_type"].to_pandas()}).drop_duplicates()
+        g = df.groupby("event_type").size()
+        return pa.table({
+            "event_type": pa.array(g.index.to_numpy(dtype=object),
+                                   pa.string()),
+            "partial": pa.array(g.to_numpy(np.int64))})
+
+    parts = partition_apply(ds.map_batches(batch_distinct,
+                                           batch_format="pyarrow"),
+                            "user_id", count_part, default_partitions())
+    agg = parts.groupby("event_type").aggregate(
+        Sum("partial", alias_name="n_users"))
+    return agg.map_batches(
+        lambda t: pa.table({"event_type": t["event_type"],
+                            "n_users": pc.cast(t["n_users"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_left_join_counts(sf_dir: str):
+    """LEFT OUTER join: every customer with their order count and exact
+    cents total, zeros for order-less customers. The fact side is
+    pre-aggregated per batch (combiner) then globally, so the join input
+    is bounded by |customers|; that small side is broadcast (ray.put
+    once) into the customer scan — above broadcast size the key-routed
+    exchange of stages/relational.semi_anti_join is the fallback plan."""
+    from ray.data.aggregate import Sum
+
+    from ray_data_mplsh.stages.shuffle import broadcast_join
+
+    orders = _read_sized(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100)),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(ck, return_inverse=True)
+        return pa.table({
+            "o_custkey": pa.array(uk, pa.int64()),
+            "pc_": pa.array(np.bincount(inv).astype(np.int64)),
+            "pcents": pa.array(np.bincount(inv, weights=cents.astype(
+                np.float64)).astype(np.int64))})
+
+    agg = orders.map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(
+            Sum("pc_", alias_name="n_orders"),
+            Sum("pcents", alias_name="cents"))
+    small = pa.concat_tables(
+        agg.iter_batches(batch_size=65536, batch_format="pyarrow"))
+    small = pa.table({
+        "o_custkey": small["o_custkey"],
+        "n_orders": pc.cast(small["n_orders"], pa.int64()),
+        "cents": pc.cast(small["cents"], pa.int64())})
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    j = broadcast_join(cust, small, left_on="c_custkey",
+                       right_on="o_custkey", join_type="left outer")
+    return j.map_batches(
+        lambda t: pa.table({
+            "c_custkey": t["c_custkey"],
+            "c_mktsegment": t["c_mktsegment"],
+            "n_orders": pc.coalesce(pc.cast(t["n_orders"], pa.int64()), 0),
+            "cents": pc.coalesce(pc.cast(t["cents"], pa.int64()), 0)}),
+        batch_format="pyarrow")
+
+
+def q_quantiles_cont(sf_dir: str):
+    """Continuous (interpolated) percentiles of document length — the
+    quantile_cont twin of q_quantiles, replaying DuckDB's two-weight
+    interpolation in float64."""
+    from ray_data_mplsh.pipelines.sketch import exact_quantiles_cont
+
+    ds = _read(sf_dir, "documents", ["n_chars"])
+    return exact_quantiles_cont(ds, "n_chars",
+                                [0.25, 0.5, 0.75, 0.9, 0.99])
+
+
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_lang_counts": q_lang_counts,
@@ -1329,6 +1455,10 @@ QUERIES = {
     "q_crossdoc_ngrams": q_crossdoc_ngrams,
     "q_mixture_sample": q_mixture_sample,
     "q_prefix_dup_groups": q_prefix_dup_groups,
+    "q_rollup_lang_source": q_rollup_lang_source,
+    "q_distinct_users": q_distinct_users,
+    "q_left_join_counts": q_left_join_counts,
+    "q_quantiles_cont": q_quantiles_cont,
 }
 
 ORACLE_SQL = {
@@ -1575,6 +1705,24 @@ ORACLE_SQL = {
         "SELECT substring(text, 1, 40) AS prefix, "
         "CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS rep "
         "FROM documents GROUP BY 1 HAVING COUNT(*) >= 2",
+    "q_rollup_lang_source":
+        "SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM documents GROUP BY ROLLUP(lang, source)",
+    "q_distinct_users":
+        "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) "
+        "AS n_users FROM events GROUP BY event_type",
+    "q_left_join_counts":
+        "SELECT c.c_custkey, c.c_mktsegment, "
+        "CAST(COALESCE(o.cnt, 0) AS BIGINT) AS n_orders, "
+        "CAST(COALESCE(o.cents, 0) AS BIGINT) AS cents "
+        "FROM customer c LEFT JOIN (SELECT o_custkey, COUNT(*) AS cnt, "
+        "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents "
+        "FROM orders GROUP BY 1) o ON c.c_custkey = o.o_custkey",
+    "q_quantiles_cont":
+        " UNION ALL ".join(
+            f"SELECT {q}::DOUBLE AS q, quantile_cont(n_chars, {q}) "
+            f"AS value FROM documents"
+            for q in (0.25, 0.5, 0.75, 0.9, 0.99)),
     "q_lang_id":
         "SELECT doc_id, CASE GREATEST("
         + ", ".join(f"len(regexp_extract_all(text, '{p}'))"

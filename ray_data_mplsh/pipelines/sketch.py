@@ -115,6 +115,45 @@ def exact_quantiles(ds, column: str, qs: list[float]) -> pa.Table:
                      "value": pa.array(np.array(out_v))})
 
 
+def exact_quantiles_cont(ds, column: str, qs: list[float]) -> pa.Table:
+    """EXACT distributed CONTINUOUS (interpolated) quantiles: same
+    value-count combiner + tiny CDF as ``exact_quantiles``, but the rank
+    rule replays DuckDB ``quantile_cont``: RN = q*(n-1) in IEEE double,
+    result = (ceil(RN)-RN)*v[floor(RN)] + (RN-floor(RN))*v[ceil(RN)] —
+    the same two-weight formula (not a generic lerp), so oracle parity
+    is bit-exact in float64."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals, cnts = np.unique(
+            t[column].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"v": pa.array(vals),
+                         "c": pa.array(cnts, pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("v").aggregate(Sum("c", alias_name="c"))
+    vs, cs = [], []
+    for b in agg.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        vs.append(b["v"].to_numpy(zero_copy_only=False))
+        cs.append(b["c"].to_numpy(zero_copy_only=False))
+    v = np.concatenate(vs).astype(np.float64)
+    c = np.concatenate(cs).astype(np.int64)
+    o = np.argsort(v, kind="stable")
+    v, c = v[o], c[o]
+    cum = np.cumsum(c)
+    n = int(cum[-1])
+    out = []
+    for q in qs:
+        rn = float(q) * (n - 1)
+        lo, hi = int(np.floor(rn)), int(np.ceil(rn))
+        vlo = float(v[int(np.searchsorted(cum, lo + 1))])
+        vhi = float(v[int(np.searchsorted(cum, hi + 1))])
+        out.append(vlo if hi == lo
+                   else (hi - rn) * vlo + (rn - lo) * vhi)
+    return pa.table({"q": pa.array([float(q) for q in qs], pa.float64()),
+                     "value": pa.array(out, pa.float64())})
+
+
 def grouped_exact_quantiles(ds, group_col: str, value_col: str,
                             qs: list[float]) -> pa.Table:
     """Per-group EXACT quantiles (the grouped length/quality gate — e.g.

@@ -20,7 +20,9 @@ CHECK = ["q_word_stats", "q_doc_freq", "q_allpair_jaccard",
          "q_grouped_quantiles", "q_decontaminate", "q_top_terms",
          "q_bigram_counts", "q_repetition_scores", "q_pivot_events",
          "q_user_gaps", "q_cumulative_daily", "q_crossdoc_ngrams",
-         "q_mixture_sample", "q_prefix_dup_groups"]
+         "q_mixture_sample", "q_prefix_dup_groups",
+         "q_rollup_lang_source", "q_distinct_users",
+         "q_left_join_counts", "q_quantiles_cont"]
 
 
 @pytest.fixture(scope="module")
