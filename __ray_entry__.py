@@ -6,7 +6,7 @@ sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB. Ray is initialised by the driver BEFORE this module is imported:
 no ``ray.init()`` / ``ray.shutdown()`` here or anywhere in the library.
 
-Query inventory (55 entries; * = bit-exact DuckDB oracle, rest rows-only
+Query inventory (56 entries; * = bit-exact DuckDB oracle, rest rows-only
 with pytest gates — see SURVEY.md Appendix B):
   dedup family: q_exact_dedup*, q_dedup_documents, q_minhash_pairs,
     q_simhash_pairs, q_ngram_jaccard, q_embedding_near_dup,
@@ -48,6 +48,9 @@ with pytest gates — see SURVEY.md Appendix B):
     q_asof_event_order* (distributed as-of join vs DuckDB ASOF),
     q_range_join_events* (temporal range join, trailing-window counts),
     q_sessionize* (gap-rule sessionization vs lag/window SQL),
+    q_curation_e2e* (flagship curation chain: quality gate -> exact
+    dedup -> mixture downsample -> token count, one exchange,
+    bit-exact end-to-end vs a staged SQL CTE),
     q_pivot_events* (daily event-type pivot via bincount partials),
     q_user_gaps* (per-user LAG-gap stats, one vectorized diff),
     q_cumulative_daily* (running daily total; driver cumsum over the

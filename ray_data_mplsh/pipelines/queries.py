@@ -1405,6 +1405,66 @@ def q_quantiles_cont(sf_dir: str):
                                 [0.25, 0.5, 0.75, 0.9, 0.99])
 
 
+# --- end-to-end curation pipeline (quality -> dedup -> mixture -> tokens) --
+
+def q_curation_e2e(sf_dir: str):
+    """Flagship curation chain as ONE streaming pipeline — the composed
+    pass a training-data run makes over raw text: (1) quality gate
+    (n_chars >= 100 AND alpha ratio >= 0.55), (2) exact dedup keeping the
+    min-doc_id representative per text (one text-hash-keyed exchange,
+    exact in-partition grouping), (3) deterministic per-source mixture
+    downsample (q_mixture_sample rates), (4) whitespace token count.
+    Every stage is vectorized Arrow/numpy; the only shuffle is the dedup
+    exchange. Bit-exact end-to-end vs the staged SQL CTE."""
+    from ray_data_mplsh.functions.hashing import hash_str_array
+    from ray_data_mplsh.stages.shuffle import (default_partitions,
+                                               partition_apply)
+
+    ds = _read(sf_dir, "documents",
+               ["doc_id", "lang", "source", "text", "n_chars"])
+
+    def gate(t: pa.Table) -> pa.Table:
+        alpha = pc.utf8_length(pc.replace_substring_regex(
+            t["text"], pattern="[^a-zA-Z]", replacement=""))
+        nc = t["n_chars"].to_numpy(zero_copy_only=False)
+        keep = pa.array(
+            (nc >= 100)
+            & (alpha.to_numpy(zero_copy_only=False).astype(np.float64)
+               >= 0.55 * nc.astype(np.float64)))
+        t = t.filter(keep)
+        return t.append_column(
+            "_th", pa.array(hash_str_array(t["text"]), pa.uint64()))
+
+    def dedup_part(part: pa.Table) -> pa.Table:
+        ids = part["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes, _ = pd.factorize(part["text"].to_pandas(), sort=False)
+        o = np.lexsort((ids, codes))
+        first = np.empty(len(o), bool)
+        first[:1] = True
+        first[1:] = codes[o][1:] != codes[o][:-1]
+        return part.take(pa.array(o[first])).drop_columns(["_th"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((ids % np.uint64(2**32)) * np.uint64(2654435761)) \
+            % np.uint64(2**32)
+        src = np.asarray(t["source"].to_pylist(), dtype=object)
+        m = np.full(len(src), 8, np.uint64)
+        m[(src == "src0") | (src == "src1")] = 2
+        m[(src == "src2") | (src == "src3")] = 4
+        t = t.filter(pa.array(h % m == 0))
+        toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(t["text"]),
+                                      pattern=r"\s+")
+        return pa.table({
+            "doc_id": t["doc_id"], "lang": t["lang"],
+            "source": t["source"],
+            "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64())})
+
+    gated = ds.map_batches(gate, batch_format="pyarrow")
+    kept = partition_apply(gated, "_th", dedup_part, default_partitions())
+    return kept.map_batches(finish, batch_format="pyarrow")
+
+
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_lang_counts": q_lang_counts,
@@ -1459,6 +1519,7 @@ QUERIES = {
     "q_distinct_users": q_distinct_users,
     "q_left_join_counts": q_left_join_counts,
     "q_quantiles_cont": q_quantiles_cont,
+    "q_curation_e2e": q_curation_e2e,
 }
 
 ORACLE_SQL = {
@@ -1723,6 +1784,20 @@ ORACLE_SQL = {
             f"SELECT {q}::DOUBLE AS q, quantile_cont(n_chars, {q}) "
             f"AS value FROM documents"
             for q in (0.25, 0.5, 0.75, 0.9, 0.99)),
+    "q_curation_e2e":
+        "WITH f AS (SELECT doc_id, lang, source, text FROM documents "
+        "WHERE n_chars >= 100 AND "
+        "length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) "
+        ">= 0.55 * n_chars), "
+        "d AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY text), "
+        "k AS (SELECT f.* FROM f JOIN d USING (doc_id)), "
+        "m AS (SELECT * FROM k WHERE "
+        "((doc_id % 4294967296) * 2654435761::HUGEINT) % 4294967296 "
+        "% (CASE WHEN source IN ('src0', 'src1') THEN 2 "
+        "WHEN source IN ('src2', 'src3') THEN 4 ELSE 8 END) = 0) "
+        "SELECT doc_id, lang, source, "
+        "array_length(string_split_regex(trim(text), '\\s+')) AS n_tokens "
+        "FROM m",
     "q_lang_id":
         "SELECT doc_id, CASE GREATEST("
         + ", ".join(f"len(regexp_extract_all(text, '{p}'))"

@@ -22,7 +22,7 @@ CHECK = ["q_word_stats", "q_doc_freq", "q_allpair_jaccard",
          "q_user_gaps", "q_cumulative_daily", "q_crossdoc_ngrams",
          "q_mixture_sample", "q_prefix_dup_groups",
          "q_rollup_lang_source", "q_distinct_users",
-         "q_left_join_counts", "q_quantiles_cont"]
+         "q_left_join_counts", "q_quantiles_cont", "q_curation_e2e"]
 
 
 @pytest.fixture(scope="module")
