@@ -6,7 +6,7 @@ sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB. Ray is initialised by the driver BEFORE this module is imported:
 no ``ray.init()`` / ``ray.shutdown()`` here or anywhere in the library.
 
-Query inventory (56 entries; * = bit-exact DuckDB oracle, rest rows-only
+Query inventory (57 entries; * = bit-exact DuckDB oracle, rest rows-only
 with pytest gates — see SURVEY.md Appendix B):
   dedup family: q_exact_dedup*, q_dedup_documents, q_minhash_pairs,
     q_simhash_pairs, q_ngram_jaccard, q_embedding_near_dup,
@@ -39,7 +39,9 @@ with pytest gates — see SURVEY.md Appendix B):
     q_distinct_users* (exact per-group COUNT DISTINCT via user-keyed
     exchange), q_left_join_counts* (LEFT OUTER join, fact side
     pre-aggregated then broadcast), q_quantiles_cont* (continuous
-    interpolated percentiles, DuckDB quantile_cont rank rule)
+    interpolated percentiles, DuckDB quantile_cont rank rule),
+    q_full_outer_cust_supp* (distributed FULL OUTER m:n join:
+    schema-padded union exchange + vectorized cross-product expansion)
   sketches with exactness proofs: q_heavy_hitters_exact* (Misra-Gries
     prune + exact candidate recount, provability gate vs full GROUP BY),
     q_kmv_doc_ids* (KMV whose SplitMix64 hash is replayed in SQL via

@@ -1465,6 +1465,19 @@ def q_curation_e2e(sf_dir: str):
     return kept.map_batches(finish, batch_format="pyarrow")
 
 
+def q_full_outer_cust_supp(sf_dir: str):
+    """FULL OUTER m:n join: every (customer, supplier) pair per shared
+    nation, plus null-padded rows for nations present on one side only.
+    One key-routed exchange of both inputs, vectorized per-partition
+    cross-product expansion (stages/relational.full_outer_join)."""
+    from ray_data_mplsh.stages.relational import full_outer_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    return full_outer_join(cust, supp, left_on="c_nationkey",
+                           right_on="s_nationkey")
+
+
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_lang_counts": q_lang_counts,
@@ -1520,6 +1533,7 @@ QUERIES = {
     "q_left_join_counts": q_left_join_counts,
     "q_quantiles_cont": q_quantiles_cont,
     "q_curation_e2e": q_curation_e2e,
+    "q_full_outer_cust_supp": q_full_outer_cust_supp,
 }
 
 ORACLE_SQL = {
@@ -1784,6 +1798,10 @@ ORACLE_SQL = {
             f"SELECT {q}::DOUBLE AS q, quantile_cont(n_chars, {q}) "
             f"AS value FROM documents"
             for q in (0.25, 0.5, 0.75, 0.9, 0.99)),
+    "q_full_outer_cust_supp":
+        "SELECT c_custkey, c_nationkey, s_suppkey, s_nationkey "
+        "FROM customer FULL OUTER JOIN supplier "
+        "ON c_nationkey = s_nationkey",
     "q_curation_e2e":
         "WITH f AS (SELECT doc_id, lang, source, text FROM documents "
         "WHERE n_chars >= 100 AND "

@@ -115,3 +115,88 @@ def semi_anti_join(left, right, *, left_on: str, right_on: str,
 
     return partition_apply(both, left_on, per_part,
                            default_partitions(num_partitions))
+
+
+def full_outer_join(left, right, *, left_on: str, right_on: str,
+                    num_partitions: int = 0):
+    """Distributed FULL OUTER equi-join on an integer key, m:n duplicate
+    semantics (every left row x every right row per matched key;
+    unmatched rows from either side padded with nulls).
+
+    One coarse key-routed exchange carries BOTH inputs (schema-padded
+    union tagged by side — the semi_anti_join shuffle plan); each
+    partition then resolves its keys exactly with a fully vectorized
+    expansion: both sides are key-sorted, matched keys emit their
+    cross-product via repeat/arange gather indices, unmatched rows are
+    appended with null columns from the other side. No driver
+    materialization, no per-key Python loop; skew caveat: a single hot
+    key's cross-product lands in one partition (pairs.py salting applies
+    if that ever binds). Key columns keep both names (SQL FULL JOIN
+    shape); use ``pc.coalesce`` downstream for the merged key."""
+    lschema = left.schema().base_schema
+    rschema = right.schema().base_schema
+    lcols = [f.name for f in lschema]
+    rcols = [f.name for f in rschema]
+    if set(lcols) & set(rcols):
+        raise ValueError("full_outer_join requires disjoint column names")
+    allcols = lcols + rcols
+    key = "__fj_key"
+
+    def pad(t: pa.Table, side: int) -> pa.Table:
+        arrs, names = [], []
+        for f in lschema:
+            arrs.append(t[f.name] if side == 0
+                        else pa.nulls(t.num_rows, f.type))
+            names.append(f.name)
+        for f in rschema:
+            arrs.append(pa.nulls(t.num_rows, f.type) if side == 0
+                        else t[f.name])
+            names.append(f.name)
+        kv = t[left_on if side == 0 else right_on].cast(pa.int64())
+        arrs += [kv, pa.array(np.full(t.num_rows, side, np.int8),
+                              pa.int8())]
+        names += [key, _SIDE]
+        return pa.table(dict(zip(names, arrs)))
+
+    both = left.map_batches(lambda t: pad(t, 0),
+                            batch_format="pyarrow").union(
+        right.map_batches(lambda t: pad(t, 1), batch_format="pyarrow"))
+
+    def per_part(t: pa.Table) -> pa.Table:
+        side = t[_SIDE].to_numpy(zero_copy_only=False)
+        k = t[key].to_numpy(zero_copy_only=False)
+        li = np.flatnonzero(side == 0)
+        ri = np.flatnonzero(side == 1)
+        uk, codes = np.unique(k, return_inverse=True)
+        nk = len(uk)
+        lc, rc = codes[li], codes[ri]
+        lo = li[np.argsort(lc, kind="stable")]
+        ro = ri[np.argsort(rc, kind="stable")]
+        cl = np.bincount(lc, minlength=nk)
+        cr = np.bincount(rc, minlength=nk)
+        # right-run start offset per key (into ro)
+        rs = np.concatenate(([0], np.cumsum(cr)))[:-1]
+        # matched cross-product: each left row repeats cr[its key] times
+        lkey = codes[lo]
+        rep = cr[lkey]
+        out_l = np.repeat(lo, rep)
+        csum = np.cumsum(rep)
+        within = np.arange(int(csum[-1]) if len(csum) else 0,
+                           dtype=np.int64) - np.repeat(csum - rep, rep)
+        out_r = ro[rs[np.repeat(lkey, rep)] + within]
+        lonly = lo[cr[lkey] == 0]
+        ronly = ro[cl[codes[ro]] == 0]
+        body = t.select(allcols)
+        matched = body.take(pa.array(out_l, pa.int64()))
+        # graft the right columns of matched pairs over the left rows' nulls
+        rpart = body.take(pa.array(out_r, pa.int64()))
+        matched = pa.table(
+            {c: (matched[c] if c in lcols else rpart[c])
+             for c in allcols})
+        return pa.concat_tables(
+            [matched,
+             body.take(pa.array(lonly, pa.int64())),
+             body.take(pa.array(ronly, pa.int64()))])
+
+    return partition_apply(both, key, per_part,
+                           default_partitions(num_partitions))

@@ -22,13 +22,14 @@ CHECK = ["q_word_stats", "q_doc_freq", "q_allpair_jaccard",
          "q_user_gaps", "q_cumulative_daily", "q_crossdoc_ngrams",
          "q_mixture_sample", "q_prefix_dup_groups",
          "q_rollup_lang_source", "q_distinct_users",
-         "q_left_join_counts", "q_quantiles_cont", "q_curation_e2e"]
+         "q_left_join_counts", "q_quantiles_cont", "q_curation_e2e",
+         "q_full_outer_cust_supp"]
 
 
 @pytest.fixture(scope="module")
 def oracle_con():
     con = duckdb.connect()
-    for tbl in ("documents", "events", "customer", "orders"):
+    for tbl in ("documents", "events", "customer", "orders", "supplier"):
         con.sql(f"CREATE VIEW {tbl} AS "
                 f"SELECT * FROM '{SF_DIR}/{tbl}.parquet'")
     yield con

@@ -122,3 +122,49 @@ def test_top_terms_paths_equivalent(ray_session):
     slow = _sorted_df(top_terms(from_arrow_blocks(t, target_rows=97),
                                 broadcast_max_vocab=1))
     pd.testing.assert_frame_equal(fast, slow, check_exact=True)
+
+
+def test_full_outer_join_matches_duckdb(ray_session):
+    """m:n duplicates, partially disjoint key ranges, several partition
+    counts — vs DuckDB FULL OUTER JOIN."""
+    import duckdb
+    import pandas as pd
+
+    from ray_data_mplsh.stages.relational import full_outer_join
+
+    rng = np.random.Generator(np.random.PCG64(9))
+    left = pa.table({
+        "k": pa.array(rng.integers(0, 60, 400), pa.int64()),
+        "lv": pa.array(rng.integers(0, 10**6, 400), pa.int64())})
+    right = pa.table({
+        "rk": pa.array(rng.integers(30, 90, 250), pa.int64()),
+        "rv": pa.array(rng.integers(0, 10**6, 250), pa.int64())})
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    want = con.sql(
+        "SELECT k, lv, rk, rv FROM l FULL OUTER JOIN r ON l.k = r.rk"
+    ).df()
+    cols = list(want.columns)
+    want = want.sort_values(cols).reset_index(drop=True)
+    for parts in (1, 7):
+        got = full_outer_join(
+            from_arrow_blocks(left, target_rows=64),
+            from_arrow_blocks(right, target_rows=64),
+            left_on="k", right_on="rk", num_partitions=parts
+        ).to_pandas()[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_exact=True)
+    con.close()
+
+
+def test_full_outer_join_empty_side(ray_session):
+    from ray_data_mplsh.stages.relational import full_outer_join
+
+    left = pa.table({"k": pa.array([1, 2, 2], pa.int64()),
+                     "lv": pa.array([10, 20, 21], pa.int64())})
+    right = pa.table({"rk": pa.array([], pa.int64()),
+                      "rv": pa.array([], pa.int64())})
+    got = full_outer_join(from_arrow_blocks(left),
+                          from_arrow_blocks(right),
+                          left_on="k", right_on="rk").to_pandas()
+    assert len(got) == 3 and got["rv"].isna().all()
