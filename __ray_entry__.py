@@ -6,13 +6,15 @@ sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB. Ray is initialised by the driver BEFORE this module is imported:
 no ``ray.init()`` / ``ray.shutdown()`` here or anywhere in the library.
 
-Query inventory (57 entries; * = bit-exact DuckDB oracle, rest rows-only
+Query inventory (58 entries; * = bit-exact DuckDB oracle, rest rows-only
 with pytest gates — see SURVEY.md Appendix B):
   dedup family: q_exact_dedup*, q_dedup_documents, q_minhash_pairs,
     q_simhash_pairs, q_ngram_jaccard, q_embedding_near_dup,
     q_allpair_jaccard* (deterministic pair set -> list_intersect oracle)
   similarity search: q_knn_bruteforce* (list_cosine_similarity oracle),
     q_knn_lsh (multi-probe ANN), q_knn_ivf (IVF-flat)
+  multimodal: q_media_dedup (exact byte dedup over the synthetic media
+    table; resize/near-dup stages are pytest-gated in test_multimodal)
   text analysis: q_lang_id*, q_token_counts*, q_bpe_token_counts*,
     q_quality_scores*, q_fingerprints, q_word_stats* (per-doc word
     frequency / modal word), q_doc_freq* (corpus df table, combiner
@@ -101,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out = dict(QUERIES)
     out["q_minhash_pairs"] = _q_minhash_pairs
     out["q_dedup_documents"] = _q_dedup_documents
+    out["q_media_dedup"] = _q_media_dedup
     return out
 
 
@@ -126,6 +129,18 @@ def _q_minhash_pairs(sf_dir: str) -> Any:
     res = run_dedup(docs, cfg, extract=False, url_col="doc_id",
                     text_col="text", skip_substring=True)
     return res.verified
+
+
+def _q_media_dedup(sf_dir: str) -> Any:
+    """Multimodal plumbing surface: exact byte dedup over a deterministic
+    synthetic media table (payload-hash exchange + exact in-partition
+    grouping). No media tables ship in the sf dirs, so the input is the
+    seeded synth fixture (same rows at any sf); rows-only by contract —
+    gated by the planted-duplicate pytest oracles (test_multimodal)."""
+    from ray_data_mplsh.stages.multimodal import (media_exact_dedup,
+                                                  synth_media)
+
+    return media_exact_dedup(synth_media(300, seed=13, n_distinct=100))
 
 
 def _q_dedup_documents(sf_dir: str) -> Any:

@@ -112,15 +112,103 @@ def frame_sampler(media, *, every_n: int = 10, max_frames: int = 8):
     return media.map_batches(sample, batch_format="pyarrow")
 
 
-def synth_media(n: int, seed: int = 7):
-    """Deterministic media fixture: n rows of fake payload bytes."""
+def resize_media(media, *, max_side: int = 512):
+    """Image resize stage: target dims computed vectorized (aspect-ratio
+    preserving, longest side clamped to ``max_side``); the pixel resample
+    itself is the documented stub swap point (``payload`` passes through
+    unchanged here — a real deployment swaps in PIL/opencv inside the
+    same batch fn). Non-image rows pass through with their original dims."""
+
+    def resize(batch: pa.Table) -> pa.Table:
+        w = batch["width"].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = batch["height"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        is_img = np.asarray(
+            pa.compute.equal(batch["media_type"], "image"))
+        long_side = np.maximum(np.maximum(w, h), 1.0)
+        scale = np.where(is_img & (long_side > max_side),
+                         max_side / long_side, 1.0)
+        return pa.table({
+            "media_id": batch["media_id"],
+            "media_type": batch["media_type"],
+            "payload": batch["payload"],  # stub: bytes unchanged
+            "width": pa.array(np.floor(w * scale).astype(np.int32)),
+            "height": pa.array(np.floor(h * scale).astype(np.int32)),
+            "sample_rate": batch["sample_rate"],
+        })
+
+    return media.map_batches(resize, batch_format="pyarrow")
+
+
+def media_exact_dedup(media, *, num_partitions: int = 0):
+    """Exact byte-identical media dedup: rows are routed by a 64-bit
+    payload hash (one exchange), then grouped on the EXACT payload bytes
+    within the partition (the hash only co-locates — pairs.py collision
+    rule); emits (media_id, rep_id) with rep = min media_id per payload."""
+    import pandas as pd
+
+    from ray_data_mplsh.stages.shuffle import (default_partitions,
+                                               partition_apply)
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        hs = np.fromiter((hash_bytes_u64(p) for p in t["payload"]
+                          .to_pylist()), np.uint64, t.num_rows)
+        return pa.table({"media_id": t["media_id"],
+                         "payload": t["payload"],
+                         "_ph": pa.array(hs, pa.uint64())})
+
+    def dedup_part(part: pa.Table) -> pa.Table:
+        ids = part["media_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        codes, _ = pd.factorize(
+            np.asarray(part["payload"].to_pylist(), dtype=object))
+        rep = np.full(codes.max() + 1 if len(codes) else 0,
+                      np.iinfo(np.uint64).max, np.uint64)
+        np.minimum.at(rep, codes, ids)
+        return pa.table({"media_id": pa.array(ids, pa.uint64()),
+                         "rep_id": pa.array(rep[codes], pa.uint64())})
+
+    hashed = media.map_batches(add_hash, batch_format="pyarrow")
+    return partition_apply(hashed, "_ph", dedup_part,
+                           default_partitions(num_partitions))
+
+
+def media_near_dup(media, *, threshold: float = 0.999, **kwargs):
+    """Feature-cosine near-dup over decoded media: decode_media ->
+    feature vectors -> the embedding_near_dup LSH/cosine pipeline.
+    media_id (uint64) rides as a bit-preserving int64 view (vec_id);
+    callers view-cast pair ids back with ``astype(np.int64)
+    .view(np.uint64)``."""
+    import pyarrow.compute as pc
+
+    from ray_data_mplsh.pipelines.similarity import embedding_near_dup
+
+    feats = decode_media(media)
+
+    def to_emb(t: pa.Table) -> pa.Table:
+        ids = t["media_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64).view(np.int64)
+        emb = pc.cast(t["feature"], pa.list_(pa.float32()))
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "embedding": emb})
+
+    return embedding_near_dup(feats.map_batches(to_emb,
+                                                batch_format="pyarrow"),
+                              threshold=threshold, **kwargs)
+
+
+def synth_media(n: int, seed: int = 7, n_distinct: int = 0):
+    """Deterministic media fixture: n rows of fake payload bytes.
+    ``n_distinct > 0`` plants exact duplicates (payload depends on
+    ``id % n_distinct``) for the dedup tests."""
     import ray.data
 
     def gen(batch: pa.Table) -> pa.Table:
         ids = batch["id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pid = ids % np.uint64(n_distinct) if n_distinct else ids
         types = ["image", "audio", "video"]
         payloads = [
-            (mix64(np.uint64(seed) + i).tobytes() * 8) for i in ids]
+            (mix64(np.uint64(seed) + i).tobytes() * 8) for i in pid]
         return pa.table({
             "media_id": pa.array(mix64(ids + np.uint64(seed)), pa.uint64()),
             "media_type": pa.array([types[int(i) % 3] for i in ids]),

@@ -32,3 +32,58 @@ def test_frame_sampler_video_only(ray_session):
     n_video = sum(1 for i in range(30) if i % 3 == 2)
     assert len(frames) == n_video * 4
     assert sorted(frames.frame_idx.unique()) == [0, 5, 10, 15]
+
+
+def test_resize_media_dims(ray_session):
+    from ray_data_mplsh.stages.multimodal import resize_media
+
+    out = resize_media(synth_media(40, seed=3), max_side=256).to_pandas()
+    assert len(out) == 40
+    img = out[out.media_type == "image"]
+    assert (np.maximum(img.width, img.height) <= 256).all()
+    other = out[out.media_type != "image"]
+    # non-image rows keep original dims
+    src = synth_media(40, seed=3).to_pandas().set_index("media_id")
+    for _, r in other.iterrows():
+        assert r.width == src.loc[r.media_id].width
+        assert r.height == src.loc[r.media_id].height
+    # aspect ratio preserved within floor rounding for scaled images
+    for _, r in img.iterrows():
+        w0, h0 = src.loc[r.media_id].width, src.loc[r.media_id].height
+        if max(w0, h0) > 256:
+            s = 256 / max(w0, h0)
+            assert r.width == int(np.floor(w0 * s))
+            assert r.height == int(np.floor(h0 * s))
+
+
+def test_media_exact_dedup_planted(ray_session):
+    from ray_data_mplsh.stages.multimodal import media_exact_dedup
+
+    media = synth_media(90, seed=5, n_distinct=30)
+    out = media_exact_dedup(media, num_partitions=5).to_pandas()
+    assert len(out) == 90
+    # 30 distinct payloads -> 30 reps; every rep is the min id of its group
+    src = synth_media(90, seed=5, n_distinct=30).to_pandas()
+    want = src.assign(pid=np.arange(90) % 30).groupby("pid")["media_id"] \
+        .transform("min")
+    got = out.set_index("media_id").rep_id
+    src = src.assign(want=want.to_numpy()).set_index("media_id")
+    assert (got.loc[src.index] == src.want).all()
+    assert out.rep_id.nunique() == 30
+
+
+def test_media_near_dup_finds_planted_pairs(ray_session):
+    from ray_data_mplsh.stages.multimodal import media_near_dup
+
+    # identical payloads -> identical stub features -> cosine == 1
+    media = synth_media(60, seed=9, n_distinct=30)
+    pairs = media_near_dup(media, threshold=0.999).to_pandas()
+    src = synth_media(60, seed=9, n_distinct=30).to_pandas()
+    ids = src.media_id.to_numpy().astype(np.uint64)
+    dup = {}
+    for i, mid in enumerate(ids):
+        dup.setdefault(i % 30, []).append(mid)
+    want = {tuple(sorted(np.array(g, dtype=np.uint64).view(np.int64)))
+            for g in dup.values() if len(g) == 2}
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs.a, pairs.b)}
+    assert want <= got
