@@ -831,6 +831,17 @@ def q_grouped_quantiles(sf_dir: str):
     return grouped_exact_quantiles(ds, "lang", "n_chars", [0.25, 0.5, 0.9])
 
 
+def q_grouped_quantiles_cont(sf_dir: str):
+    """Per-language CONTINUOUS p25/p50/p90 document length — grouped
+    quantile_cont twin (same combiner; DuckDB two-weight interpolation
+    replayed per group in float64)."""
+    from ray_data_mplsh.pipelines.sketch import grouped_exact_quantiles_cont
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return grouped_exact_quantiles_cont(ds, "lang", "n_chars",
+                                        [0.25, 0.5, 0.9])
+
+
 def _bigram_keys(b: pa.Table):
     """(row, packed bigram key int64, vocab object array, nu) for a batch:
     adjacent word pairs within each doc, as exact integer code pairs —
@@ -1534,6 +1545,7 @@ QUERIES = {
     "q_quantiles_cont": q_quantiles_cont,
     "q_curation_e2e": q_curation_e2e,
     "q_full_outer_cust_supp": q_full_outer_cust_supp,
+    "q_grouped_quantiles_cont": q_grouped_quantiles_cont,
 }
 
 ORACLE_SQL = {
@@ -1798,6 +1810,13 @@ ORACLE_SQL = {
             f"SELECT {q}::DOUBLE AS q, quantile_cont(n_chars, {q}) "
             f"AS value FROM documents"
             for q in (0.25, 0.5, 0.75, 0.9, 0.99)),
+    "q_grouped_quantiles_cont":
+        "SELECT lang, CAST(0.25 AS DOUBLE) AS q, "
+        "quantile_cont(n_chars, 0.25) AS value FROM documents GROUP BY lang "
+        "UNION ALL SELECT lang, CAST(0.5 AS DOUBLE), "
+        "quantile_cont(n_chars, 0.5) FROM documents GROUP BY lang "
+        "UNION ALL SELECT lang, CAST(0.9 AS DOUBLE), "
+        "quantile_cont(n_chars, 0.9) FROM documents GROUP BY lang",
     "q_full_outer_cust_supp":
         "SELECT c_custkey, c_nationkey, s_suppkey, s_nationkey "
         "FROM customer FULL OUTER JOIN supplier "

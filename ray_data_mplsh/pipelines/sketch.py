@@ -199,6 +199,52 @@ def grouped_exact_quantiles(ds, group_col: str, value_col: str,
                      "value": pa.array(np.array(out_v))})
 
 
+def grouped_exact_quantiles_cont(ds, group_col: str, value_col: str,
+                                 qs: list[float]) -> pa.Table:
+    """Per-group CONTINUOUS (interpolated) quantiles: the
+    ``grouped_exact_quantiles`` combiner with the ``exact_quantiles_cont``
+    two-weight DuckDB interpolation per group — bit-exact vs per-group
+    ``quantile_cont``."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        small = pa.table({group_col: t[group_col], "v": t[value_col]})
+        return small.group_by([group_col, "v"]).aggregate(
+            [([], "count_all")]).rename_columns([group_col, "v", "c"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([group_col, "v"]).aggregate(Sum("c", alias_name="c"))
+    gs, vs, cs = [], [], []
+    for b in agg.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        gs.append(np.asarray(b[group_col].to_pylist(), dtype=object))
+        vs.append(b["v"].to_numpy(zero_copy_only=False))
+        cs.append(b["c"].to_numpy(zero_copy_only=False))
+    g = np.concatenate(gs)
+    v = np.concatenate(vs).astype(np.float64)
+    c = np.concatenate(cs).astype(np.int64)
+    order = np.lexsort((v, g))
+    g, v, c = g[order], v[order], c[order]
+    starts = np.flatnonzero(np.concatenate(
+        ([True], g[1:] != g[:-1]))) if len(g) else np.empty(0, np.int64)
+    ends = np.concatenate((starts[1:], [len(g)])) if len(g) else starts
+    out_g, out_q, out_v = [], [], []
+    for s, e in zip(starts, ends):
+        cum = np.cumsum(c[s:e])
+        n = int(cum[-1])
+        for q in qs:
+            rn = float(q) * (n - 1)
+            lo, hi = int(np.floor(rn)), int(np.ceil(rn))
+            vlo = float(v[s + int(np.searchsorted(cum, lo + 1))])
+            vhi = float(v[s + int(np.searchsorted(cum, hi + 1))])
+            out_g.append(g[s])
+            out_q.append(float(q))
+            out_v.append(vlo if hi == lo
+                         else (hi - rn) * vlo + (rn - lo) * vhi)
+    return pa.table({group_col: pa.array([str(x) for x in out_g]),
+                     "q": pa.array(out_q, pa.float64()),
+                     "value": pa.array(out_v, pa.float64())})
+
+
 class QuantileSketch:
     """Mergeable KLL-lite quantile sketch for UNBOUNDED domains (continuous
     scores): level i holds items of weight 2^i; an over-full level sorts
