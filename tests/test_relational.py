@@ -168,3 +168,55 @@ def test_full_outer_join_empty_side(ray_session):
                           from_arrow_blocks(right),
                           left_on="k", right_on="rk").to_pandas()
     assert len(got) == 3 and got["rv"].isna().all()
+
+
+def test_keyed_exchange_hot_key_skew(ray_session):
+    """Skew robustness: 80% of rows share ONE hot key. The key-routed
+    exchanges behind sessionize and full_outer_join must stay correct
+    (one partition simply carries the hot group) — vs brute force /
+    DuckDB. Documents the explicit-skew contract of the north rule."""
+    import duckdb
+    import pandas as pd
+
+    from ray_data_mplsh.pipelines.sessions import sessionize
+    from ray_data_mplsh.stages.relational import full_outer_join
+
+    rng = np.random.Generator(np.random.PCG64(21))
+    n = 20000
+    user = np.where(rng.random(n) < 0.8, 7,
+                    rng.integers(0, 50, n)).astype(np.int64)
+    ts = np.sort(rng.integers(0, 86_400, n)).astype(np.int64) * 1_000_000
+    eid = rng.permutation(n).astype(np.int64)
+    cents = rng.integers(0, 100, n).astype(np.int64)
+    t = pa.table({"user_id": pa.array(user, pa.int64()),
+                  "ts": pa.array(ts, pa.timestamp("us")),
+                  "event_id": pa.array(eid, pa.int64()),
+                  "cents": pa.array(cents, pa.int64())})
+    out = sessionize(from_arrow_blocks(t, target_rows=1024),
+                     key_col="user_id", ts_col="ts", order_col="event_id",
+                     cents_col="cents", gap_us=30 * 60 * 1_000_000
+                     ).to_pandas()
+    assert out.n_events.sum() == n
+    assert (out.groupby("user_id").n_events.sum()
+            == pd.Series(user).value_counts().sort_index()
+            .rename_axis("user_id")).all()
+
+    # full outer with a hot join key on the left, modest right side
+    left = pa.table({"k": pa.array(user[:4000], pa.int64()),
+                     "lv": pa.array(np.arange(4000), pa.int64())})
+    right = pa.table({"rk": pa.array(np.arange(40, 60), pa.int64()),
+                      "rv": pa.array(np.arange(20) * 10, pa.int64())})
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    want = con.sql("SELECT k, lv, rk, rv FROM l FULL OUTER JOIN r "
+                   "ON l.k = r.rk").df()
+    cols = list(want.columns)
+    want = want.sort_values(cols).reset_index(drop=True)
+    got = full_outer_join(from_arrow_blocks(left, target_rows=512),
+                          from_arrow_blocks(right, target_rows=8),
+                          left_on="k", right_on="rk", num_partitions=6
+                          ).to_pandas()[cols].sort_values(cols) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+    con.close()
