@@ -1180,24 +1180,95 @@ def q_cumulative_daily(sf_dir: str):
 _XNG_N = 8
 
 
-def q_crossdoc_ngrams(sf_dir: str):
+def crossdoc_ngrams(ds, n: int = _XNG_N, hash_only: bool = False):
     """Cross-document duplicated n-gram coverage — the 'how much of this
     doc appears elsewhere in the corpus' dedup signal (RefinedWeb/Gopher
     use the fraction of a doc's n-grams seen in other docs): per doc with
-    >= 8 words, the distinct word-8-gram count and how many of those
-    grams occur in at least one OTHER document. Gram strings are routed
-    by hash (one exchange) but grouped exactly within the partition, so
-    hash collisions only co-locate; per-(doc, gram) dedup is batch-local
-    (each doc lives in exactly one row). Bit-exact vs the UNNEST
-    generate_series formulation in SQL."""
+    >= n words, the distinct word-n-gram count and how many of those
+    grams occur in at least one OTHER document.
+
+    Two physical plans (SURVEY Appendix B.1):
+
+    * ``hash_only=False`` (oracle mode): gram STRINGS are routed by hash
+      (one exchange) but grouped exactly within the partition, so hash
+      collisions only co-locate; bit-exact vs the SQL list_transform
+      oracle. Shuffle volume ~ n x text bytes.
+    * ``hash_only=True`` (scale mode): grams never materialize — each
+      gram rides as a 128-bit pair (two independent polynomial combines
+      of per-word 64-bit hashes), ~24 bytes/gram at any n. Grouping is on
+      the full 128-bit key (collision bound 2^-128 per pair, the MinHash
+      banding standard). Force-path equality is pinned in
+      test_query_oracles.
+
+    Per-(doc, gram) dedup is batch-local in both modes (each doc lives in
+    exactly one row)."""
     from ray.data.aggregate import Count, Sum
 
-    from ray_data_mplsh.functions.hashing import hash_str_array
+    from ray_data_mplsh.functions.hashing import hash_str_array, mix64
     from ray_data_mplsh.stages.shuffle import (default_partitions,
                                                partition_apply)
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    n = _XNG_N
+    if hash_only:
+        P1 = np.uint64(0x9E3779B97F4A7C15)
+        P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+        def grams_h(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            row, words = _split_words(b["text"])
+            if len(row) >= n:
+                starts = np.flatnonzero(
+                    row[:len(row) - n + 1] == row[n - 1:])
+            else:
+                starts = np.empty(0, np.int64)
+            codes, uniq = pd.factorize(words, sort=False)
+            wh1 = hash_str_array(uniq) if len(uniq) \
+                else np.empty(0, np.uint64)
+            wh2 = mix64(wh1 + np.uint64(0xDEADBEEF)) if len(uniq) \
+                else np.empty(0, np.uint64)
+            h1 = np.zeros(len(starts), np.uint64)
+            h2 = np.zeros(len(starts), np.uint64)
+            for i in range(n):
+                c = codes[starts + i]
+                h1 = h1 * P1 + wh1[c]
+                h2 = h2 * P2 + wh2[c]
+            df = pd.DataFrame({"doc_id": ids[row[starts]],
+                               "h1": h1, "h2": h2}).drop_duplicates()
+            return pa.table({
+                "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+                "h1": pa.array(df["h1"].to_numpy(np.uint64), pa.uint64()),
+                "h2": pa.array(df["h2"].to_numpy(np.uint64), pa.uint64())})
+
+        def mark_h(part: pa.Table) -> pa.Table:
+            a = part["h1"].to_numpy(zero_copy_only=False)
+            b2 = part["h2"].to_numpy(zero_copy_only=False)
+            d = part["doc_id"].to_numpy(zero_copy_only=False)
+            o = np.lexsort((b2, a))
+            s1, s2 = a[o], b2[o]
+            new = np.concatenate(
+                ([True], (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1]))) \
+                if len(o) else np.empty(0, bool)
+            gid = np.cumsum(new) - 1
+            cnt = np.bincount(gid) if len(gid) else np.empty(0, np.int64)
+            shared = np.empty(len(o), np.int64)
+            shared[o] = (cnt[gid] >= 2).astype(np.int64)
+            return pa.table({
+                "doc_id": pa.array(d, pa.int64()),
+                "shared": pa.array(shared)})
+
+        marked = partition_apply(
+            ds.map_batches(grams_h, batch_format="pyarrow"),
+            "h1", mark_h, default_partitions())
+        agg = marked.groupby("doc_id").aggregate(
+            Count(alias_name="n_distinct_grams"),
+            Sum("shared", alias_name="n_shared"))
+        return agg.map_batches(
+            lambda t: pa.table({
+                "doc_id": t["doc_id"],
+                "n_distinct_grams": pc.cast(t["n_distinct_grams"],
+                                            pa.int64()),
+                "n_shared": pc.cast(t["n_shared"], pa.int64())}),
+            batch_format="pyarrow")
 
     def grams(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1241,6 +1312,12 @@ def q_crossdoc_ngrams(sf_dir: str):
             "n_distinct_grams": pc.cast(t["n_distinct_grams"], pa.int64()),
             "n_shared": pc.cast(t["n_shared"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def q_crossdoc_ngrams(sf_dir: str):
+    """Oracle-mode cross-doc dup-8-gram coverage (see crossdoc_ngrams)."""
+    return crossdoc_ngrams(_read(sf_dir, "documents", ["doc_id", "text"]),
+                           n=_XNG_N, hash_only=False)
 
 
 # --- data-mixture sampling and prefix blocking ------------------------------

@@ -54,3 +54,21 @@ def test_query_matches_oracle(ray_session, oracle_con, name):
     b = sql_df[cols].sort_values(cols).reset_index(drop=True)
     assert list(a.dtypes) == list(b.dtypes), name
     pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+def test_crossdoc_ngrams_hash_only_path_equal(ray_session):
+    """Scale mode (128-bit gram keys, no gram strings shuffled) must
+    produce the identical coverage table as the oracle string mode."""
+    import ray.data
+
+    from ray_data_mplsh.pipelines.queries import crossdoc_ngrams
+
+    ds_a = ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    ds_b = ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    a = crossdoc_ngrams(ds_a, hash_only=False).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = crossdoc_ngrams(ds_b, hash_only=True).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
