@@ -1566,6 +1566,107 @@ def q_full_outer_cust_supp(sf_dir: str):
                            right_on="s_nationkey")
 
 
+# --- ntile window ranking and exact distributed correlation ----------------
+
+def q_ntile_doc_len(sf_dir: str):
+    """NTILE(4) window ranking: quartile bucket per doc within its
+    language, ordered by (n_chars DESC, doc_id) — the per-group length
+    binning a curation pipeline uses for stratified policies. One
+    lang-hash-keyed exchange (string langs are grouped exactly within
+    the partition); ranks and DuckDB's NTILE fill rule (first n%k tiles
+    get the extra row) are computed vectorized per run."""
+    from ray_data_mplsh.functions.hashing import hash_str_array
+    from ray_data_mplsh.stages.shuffle import (default_partitions,
+                                               partition_apply)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]) \
+        .map_batches(
+            lambda t: t.append_column(
+                "_lh", pa.array(hash_str_array(t["lang"]), pa.uint64())),
+            batch_format="pyarrow")
+    k = 4
+
+    def tiles(part: pa.Table) -> pa.Table:
+        ids = part["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nc = part["n_chars"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lang, _ = pd.factorize(part["lang"].to_pandas(), sort=False)
+        o = np.lexsort((ids, -nc, lang))
+        lg = lang[o]
+        new = np.concatenate(([True], lg[1:] != lg[:-1])) \
+            if len(o) else np.empty(0, bool)
+        run = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.concatenate([starts, [len(o)]]))
+        rk = np.arange(len(o), dtype=np.int64) - starts[run]
+        n, rem = cnt[run] // k, cnt[run] % k
+        big = rem * (n + 1)
+        tile = np.where(rk < big, rk // np.maximum(n + 1, 1),
+                        rem + (rk - big) // np.maximum(n, 1))
+        out = np.empty(len(o), np.int64)
+        out[o] = tile + 1  # NTILE is 1-based
+        return pa.table({"doc_id": part["doc_id"], "lang": part["lang"],
+                         "n_chars": part["n_chars"],
+                         "tile": pa.array(out)})
+
+    return partition_apply(ds, "_lh",
+                           lambda p: tiles(p.drop_columns(["_lh"])),
+                           default_partitions())
+
+
+def q_corr_len_tokens(sf_dir: str):
+    """EXACT distributed Pearson correlation of (n_chars, token count)
+    per language: per-batch INTEGER moment partials (n, Sx, Sy, Sxx,
+    Syy, Sxy — order-independent, so the distributed sum is exact) ->
+    tiny groupby -> one float64 formula a/sqrt(b*c) evaluated identically
+    in SQL from HUGEINT-cast sums. Magnitudes here stay far under 2^63;
+    a 100 TB run promotes the accumulators to decimal128."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "text", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(t["text"]),
+                                      pattern=r"\s+")
+        y = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lang, uniq = pd.factorize(t["lang"].to_pandas(), sort=False)
+        nl = len(uniq)
+
+        def bc(v):
+            return np.bincount(lang, weights=v.astype(np.float64),
+                               minlength=nl).astype(np.int64)
+
+        return pa.table({
+            "lang": pa.array(uniq.to_numpy(dtype=object), pa.string()),
+            "n": pa.array(np.bincount(lang, minlength=nl)
+                          .astype(np.int64)),
+            "sx": pa.array(bc(x)), "sy": pa.array(bc(y)),
+            "sxx": pa.array(bc(x * x)), "syy": pa.array(bc(y * y)),
+            "sxy": pa.array(bc(x * y))})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("lang").aggregate(
+            *[Sum(c, alias_name=c)
+              for c in ("n", "sx", "sy", "sxx", "syy", "sxy")]) \
+        .to_pandas()
+    out_l, out_n, out_c = [], [], []
+    for _, r in agg.iterrows():
+        n, sx, sy = int(r.n), int(r.sx), int(r.sy)
+        a = n * int(r.sxy) - sx * sy
+        den = (n * int(r.sxx) - sx * sx) * (n * int(r.syy) - sy * sy)
+        out_l.append(r.lang)
+        out_n.append(n)
+        out_c.append(float(a) / math.sqrt(float(den)))
+    return pd.DataFrame({"lang": pd.Series(out_l, dtype=object),
+                         "n": pd.Series(out_n, dtype="int64"),
+                         "corr": pd.Series(out_c, dtype="float64")})
+
+
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_lang_counts": q_lang_counts,
@@ -1623,6 +1724,8 @@ QUERIES = {
     "q_curation_e2e": q_curation_e2e,
     "q_full_outer_cust_supp": q_full_outer_cust_supp,
     "q_grouped_quantiles_cont": q_grouped_quantiles_cont,
+    "q_ntile_doc_len": q_ntile_doc_len,
+    "q_corr_len_tokens": q_corr_len_tokens,
 }
 
 ORACLE_SQL = {
@@ -1887,6 +1990,22 @@ ORACLE_SQL = {
             f"SELECT {q}::DOUBLE AS q, quantile_cont(n_chars, {q}) "
             f"AS value FROM documents"
             for q in (0.25, 0.5, 0.75, 0.9, 0.99)),
+    "q_ntile_doc_len":
+        "SELECT doc_id, lang, n_chars, NTILE(4) OVER "
+        "(PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS tile "
+        "FROM documents",
+    "q_corr_len_tokens":
+        "WITH t AS (SELECT lang, n_chars::BIGINT AS x, "
+        "array_length(string_split_regex(trim(text), '\\s+'))::BIGINT "
+        "AS y FROM documents), "
+        "s AS (SELECT lang, COUNT(*)::HUGEINT AS n, SUM(x)::HUGEINT AS sx, "
+        "SUM(y)::HUGEINT AS sy, SUM(x*x)::HUGEINT AS sxx, "
+        "SUM(y*y)::HUGEINT AS syy, SUM(x*y)::HUGEINT AS sxy "
+        "FROM t GROUP BY lang) "
+        "SELECT lang, CAST(n AS BIGINT) AS n, "
+        "CAST(n*sxy - sx*sy AS DOUBLE) / "
+        "sqrt(CAST((n*sxx - sx*sx) * (n*syy - sy*sy) AS DOUBLE)) AS corr "
+        "FROM s",
     "q_grouped_quantiles_cont":
         "SELECT lang, CAST(0.25 AS DOUBLE) AS q, "
         "quantile_cont(n_chars, 0.25) AS value FROM documents GROUP BY lang "
