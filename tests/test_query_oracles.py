@@ -73,3 +73,35 @@ def test_crossdoc_ngrams_hash_only_path_equal(ray_session):
     b = crossdoc_ngrams(ds_b, hash_only=True).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+def test_ntile_fill_rule_tiny_and_tied_groups(ray_session, tmp_path):
+    """The sf corpora never produce a language group smaller than the
+    tile count; fuzz the NTILE kernel where the fill rule actually
+    bites — group sizes 1..9 (incl. < k), heavy n_chars ties — vs
+    DuckDB NTILE on the same parquet."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.default_rng(31)
+    langs = np.repeat([f"g{i}" for i in range(12)],
+                      rng.integers(1, 10, 12))
+    n = len(langs)
+    t = pa.table({
+        "doc_id": pa.array(rng.permutation(n).astype(np.int64)),
+        "lang": pa.array(langs),
+        "n_chars": pa.array(rng.integers(0, 4, n).astype(np.int64)),
+        "text": pa.array(["x"] * n)})
+    import pyarrow.parquet as pq
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = _as_df(QUERIES["q_ntile_doc_len"](str(tmp_path)))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path}/documents.parquet'")
+    want = con.sql(ORACLE_SQL["q_ntile_doc_len"]).df()
+    cols = sorted(want.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    con.close()
