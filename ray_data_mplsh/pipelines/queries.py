@@ -1096,13 +1096,14 @@ def q_pivot_events(sf_dir: str):
         d = pc.strftime(t["ts"], format="%Y-%m-%d").to_pandas() \
             .to_numpy(dtype=object)
         codes, days = pd.factorize(d)
-        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
         cols: dict = {"d": pa.array(days, pa.string())}
         for name in _EVENT_TYPES:
-            # counts < 2^53, so the float bincount round-trip is exact
+            # Arrow C++ string equality; counts < 2^53, so the float
+            # bincount round-trip is exact
+            w = pc.equal(t["event_type"], name) \
+                .to_numpy(zero_copy_only=False).astype(np.float64)
             cols["n_" + name] = pa.array(np.bincount(
-                codes, weights=(et == name),
-                minlength=len(days)).astype(np.int64))
+                codes, weights=w, minlength=len(days)).astype(np.int64))
         return pa.table(cols)
 
     agg = ds.map_batches(partial, batch_format="pyarrow").groupby("d") \
@@ -1334,10 +1335,11 @@ def q_mixture_sample(sf_dir: str):
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         h = ((ids % np.uint64(2**32)) * np.uint64(2654435761)) \
             % np.uint64(2**32)
-        src = np.asarray(t["source"].to_pylist(), dtype=object)
-        m = np.full(len(src), 8, np.uint64)
-        m[(src == "src0") | (src == "src1")] = 2
-        m[(src == "src2") | (src == "src3")] = 4
+        m = np.full(t.num_rows, 8, np.uint64)
+        m[pc.is_in(t["source"], value_set=pa.array(["src0", "src1"]))
+          .to_numpy(zero_copy_only=False)] = 2
+        m[pc.is_in(t["source"], value_set=pa.array(["src2", "src3"]))
+          .to_numpy(zero_copy_only=False)] = 4
         return t.filter(pa.array(h % m == 0))
 
     return ds.map_batches(pick, batch_format="pyarrow")
@@ -1536,10 +1538,11 @@ def q_curation_e2e(sf_dir: str):
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         h = ((ids % np.uint64(2**32)) * np.uint64(2654435761)) \
             % np.uint64(2**32)
-        src = np.asarray(t["source"].to_pylist(), dtype=object)
-        m = np.full(len(src), 8, np.uint64)
-        m[(src == "src0") | (src == "src1")] = 2
-        m[(src == "src2") | (src == "src3")] = 4
+        m = np.full(t.num_rows, 8, np.uint64)
+        m[pc.is_in(t["source"], value_set=pa.array(["src0", "src1"]))
+          .to_numpy(zero_copy_only=False)] = 2
+        m[pc.is_in(t["source"], value_set=pa.array(["src2", "src3"]))
+          .to_numpy(zero_copy_only=False)] = 4
         t = t.filter(pa.array(h % m == 0))
         toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(t["text"]),
                                       pattern=r"\s+")
