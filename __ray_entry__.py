@@ -6,11 +6,13 @@ sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB. Ray is initialised by the driver BEFORE this module is imported:
 no ``ray.init()`` / ``ray.shutdown()`` here or anywhere in the library.
 
-Query inventory (61 entries; * = bit-exact DuckDB oracle, rest rows-only
+Query inventory (62 entries; * = bit-exact DuckDB oracle, rest rows-only
 with pytest gates — see SURVEY.md Appendix B):
   dedup family: q_exact_dedup*, q_dedup_documents, q_minhash_pairs,
     q_simhash_pairs, q_ngram_jaccard, q_embedding_near_dup,
-    q_allpair_jaccard* (deterministic pair set -> list_intersect oracle)
+    q_allpair_jaccard* (deterministic pair set -> list_intersect
+    oracle), q_allpair_containment* (asymmetric Broder containment,
+    both directions, shared intersect kernel)
   similarity search: q_knn_bruteforce* (list_cosine_similarity oracle),
     q_knn_lsh (multi-probe ANN), q_knn_ivf (IVF-flat)
   multimodal: q_media_dedup (exact byte dedup over the synthetic media

@@ -45,25 +45,36 @@ def shingle_sets_batch(batch: pa.Table, k: int) -> list[np.ndarray]:
             for i in range(len(soffs) - 1)]
 
 
-def pair_jaccard_kernel(vals_a: np.ndarray, lens_a: np.ndarray,
-                        vals_b: np.ndarray, lens_b: np.ndarray
-                        ) -> np.ndarray:
-    """Exact Jaccard for n pairs of UNIQUE-element sets, no Python loop:
-    tag every element with its pair index, lexsort (pair, value) once,
-    count adjacent equal (pair, value) rows — each is one intersection
-    element (uniqueness within a side makes runs length <= 2)."""
+def pair_intersect_kernel(vals_a: np.ndarray, lens_a: np.ndarray,
+                          vals_b: np.ndarray, lens_b: np.ndarray
+                          ) -> np.ndarray:
+    """Exact intersection SIZE for n pairs of UNIQUE-element sets, no
+    Python loop: tag every element with its pair index, lexsort
+    (pair, value) once, count adjacent equal (pair, value) rows — each is
+    one intersection element (uniqueness within a side makes runs length
+    <= 2)."""
     n = len(lens_a)
     if n == 0:
-        return np.empty(0, np.float64)
+        return np.empty(0, np.int64)
     tag = np.concatenate([np.repeat(np.arange(n, dtype=np.int64), lens_a),
                           np.repeat(np.arange(n, dtype=np.int64), lens_b)])
     v = np.concatenate([vals_a, vals_b])
     o = np.lexsort((v, tag))
     st, sv = tag[o], v[o]
     if len(st) == 0:
-        return np.zeros(n, np.float64)
+        return np.zeros(n, np.int64)
     dup = (st[1:] == st[:-1]) & (sv[1:] == sv[:-1])
-    inter = np.bincount(st[1:][dup], minlength=n)
+    return np.bincount(st[1:][dup], minlength=n)
+
+
+def pair_jaccard_kernel(vals_a: np.ndarray, lens_a: np.ndarray,
+                        vals_b: np.ndarray, lens_b: np.ndarray
+                        ) -> np.ndarray:
+    """Exact Jaccard for n pairs of UNIQUE-element sets (see
+    pair_intersect_kernel for the one-lexsort mechanics)."""
+    if len(lens_a) == 0:
+        return np.empty(0, np.float64)
+    inter = pair_intersect_kernel(vals_a, lens_a, vals_b, lens_b)
     union = lens_a + lens_b - inter
     return np.where(union > 0, inter / np.maximum(union, 1), 0.0)
 

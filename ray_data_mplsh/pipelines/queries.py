@@ -343,6 +343,71 @@ def q_allpair_jaccard(sf_dir: str):
         batch_format="pyarrow")
 
 
+_APC_MIN_C = 0.1
+
+
+def q_allpair_containment(sf_dir: str):
+    """Broder CONTAINMENT C(a->b) = |Sa n Sb| / |Sa| for the deterministic
+    doc_id < 256 pair set — the asymmetric near-dup signal that catches a
+    short doc swallowed by a long one (Jaccard misses those). Shingle
+    sets are bounded by construction, so the broadcast (ray.put once,
+    searchsorted gather + the shared one-lexsort intersect kernel per
+    batch) is the scale-correct plan for this diagnostic. Bit-exact vs
+    the list_intersect oracle."""
+    import ray
+
+    from ray_data_mplsh.pipelines.ngram import (_gather_lists, _list_parts,
+                                                _sets_stage,
+                                                pair_intersect_kernel)
+    from ray_data_mplsh.stages.shuffle import cached_get, from_arrow_blocks
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], _APJ_MAX_ID)),
+        batch_format="pyarrow")
+    sets_tbl = _sets_stage(docs, MPLSHConfig()).materialize()
+    ids_l, lens_l, vals_l = [], [], []
+    for b in sets_tbl.iter_batches(batch_size=8192,
+                                   batch_format="pyarrow"):
+        ids_l.append(b["doc_id"].to_numpy(zero_copy_only=False)
+                     .astype(np.uint64))
+        o, v = _list_parts(b["shingles"])
+        lens_l.append(np.diff(o))
+        vals_l.append(v)
+    ids = np.concatenate(ids_l or [np.empty(0, np.uint64)])
+    lens = np.concatenate(lens_l or [np.empty(0, np.int64)])
+    vals = np.concatenate(vals_l or [np.empty(0, np.uint64)])
+    order = np.argsort(ids, kind="stable")
+    offs_un = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+    svals, slens = _gather_lists(offs_un, vals, order)
+    ids = ids[order]
+    offs = np.concatenate(([0], np.cumsum(slens))).astype(np.int64)
+    ref = ray.put((ids, offs, svals))
+
+    ai, bi = np.triu_indices(len(ids), k=1)
+    # both directions: containment is asymmetric
+    pairs = from_arrow_blocks(pa.table({
+        "a": pa.array(np.concatenate([ids[ai], ids[bi]]), pa.uint64()),
+        "b": pa.array(np.concatenate([ids[bi], ids[ai]]), pa.uint64())}))
+
+    def score(batch: pa.Table) -> pa.Table:
+        sids, soffs, sv = cached_get(ref)
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ia = np.searchsorted(sids, a)
+        ib = np.searchsorted(sids, b)
+        va, la = _gather_lists(soffs, sv, ia)
+        vb, lb = _gather_lists(soffs, sv, ib)
+        inter = pair_intersect_kernel(va, la, vb, lb)
+        c = inter.astype(np.float64) / np.maximum(la, 1)
+        keep = (c >= _APC_MIN_C) & (la > 0)
+        return pa.table({
+            "a": pa.array(a[keep].astype(np.int64), pa.int64()),
+            "b": pa.array(b[keep].astype(np.int64), pa.int64()),
+            "containment": pa.array(c[keep], pa.float64())})
+
+    return pairs.map_batches(score, batch_format="pyarrow")
+
+
 # --- similarity search over embeddings (SURVEY.md: reference's k-NN core) --
 
 _KNN_NQ = 8      # queries = embeddings with vec_id < _KNN_NQ
@@ -1684,6 +1749,7 @@ QUERIES = {
     "q_word_stats": q_word_stats,
     "q_doc_freq": q_doc_freq,
     "q_allpair_jaccard": q_allpair_jaccard,
+    "q_allpair_containment": q_allpair_containment,
     "q_knn_bruteforce": q_knn_bruteforce,
     "q_knn_lsh": q_knn_lsh,
     "q_knn_ivf": q_knn_ivf,
@@ -1761,6 +1827,17 @@ ORACLE_SQL = {
         "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard "
         "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) "
         "SELECT a, b, jaccard FROM j WHERE jaccard >= 0.05",
+    "q_allpair_containment":
+        "WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws "
+        "FROM documents WHERE doc_id < 256), "
+        "sh AS (SELECT doc_id, list_distinct(list_transform("
+        "range(1, len(ws) - 3), i -> array_to_string(ws[i:i+4], ' '))) AS s "
+        "FROM d WHERE len(ws) >= 5), "
+        "j AS (SELECT a.doc_id AS a, b.doc_id AS b, "
+        "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) "
+        "AS containment "
+        "FROM sh a JOIN sh b ON a.doc_id <> b.doc_id) "
+        "SELECT a, b, containment FROM j WHERE containment >= 0.1",
     "q_lang_counts":
         "SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang",
     "q_len_filter":

@@ -24,7 +24,8 @@ CHECK = ["q_word_stats", "q_doc_freq", "q_allpair_jaccard",
          "q_rollup_lang_source", "q_distinct_users",
          "q_left_join_counts", "q_quantiles_cont", "q_curation_e2e",
          "q_full_outer_cust_supp", "q_grouped_quantiles_cont",
-         "q_ntile_doc_len", "q_corr_len_tokens"]
+         "q_ntile_doc_len", "q_corr_len_tokens",
+         "q_allpair_containment"]
 
 
 @pytest.fixture(scope="module")
