@@ -1735,6 +1735,129 @@ def q_corr_len_tokens(sf_dir: str):
                          "corr": pd.Series(out_c, dtype="float64")})
 
 
+# --- normalization dedup, regression, time-dim profile ---------------------
+
+def q_normalized_dedup(sf_dir: str):
+    """Case/punctuation-insensitive exact dedup — the normalization pass
+    web pipelines run before near-dup (two docs differing only in case
+    or punctuation are the same doc): group by
+    lower(strip non-alnum) text, emit the min-doc_id rep and group size.
+    One norm-hash-routed exchange; grouping inside the partition is on
+    the EXACT normalized string (hash only co-locates)."""
+    from ray_data_mplsh.functions.hashing import hash_str_array
+    from ray_data_mplsh.stages.shuffle import (default_partitions,
+                                               partition_apply)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(b: pa.Table) -> pa.Table:
+        nt = pc.utf8_lower(pc.replace_substring_regex(
+            b["text"], pattern="[^a-zA-Z0-9 ]", replacement=""))
+        return pa.table({
+            "doc_id": b["doc_id"], "norm": nt,
+            "_nh": pa.array(hash_str_array(nt), pa.uint64())})
+
+    def keep(part: pa.Table) -> pa.Table:
+        ids = part["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        codes, _ = pd.factorize(part["norm"].to_pandas(), sort=False)
+        o = np.lexsort((ids, codes))
+        c = codes[o]
+        first = np.concatenate(([True], c[1:] != c[:-1])) \
+            if len(o) else np.empty(0, bool)
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.concatenate([starts, [len(o)]]))
+        return pa.table({
+            "rep": pa.array(ids[o][starts], pa.int64()),
+            "n_docs": pa.array(cnt.astype(np.int64))})
+
+    return partition_apply(ds.map_batches(norm, batch_format="pyarrow"),
+                           "_nh", keep, default_partitions())
+
+
+def q_regression_len_tokens(sf_dir: str):
+    """Per-language least-squares fit n_tokens ~ a + b*n_chars from the
+    SAME order-independent integer moment partials as q_corr_len_tokens;
+    slope and intercept formulas are replayed from HUGEINT sums in the
+    oracle, so both doubles are bit-exact."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "text", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(t["text"]),
+                                      pattern=r"\s+")
+        y = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lang, uniq = pd.factorize(t["lang"].to_pandas(), sort=False)
+        nl = len(uniq)
+
+        def bc(v):
+            return np.bincount(lang, weights=v.astype(np.float64),
+                               minlength=nl).astype(np.int64)
+
+        return pa.table({
+            "lang": pa.array(uniq.to_numpy(dtype=object), pa.string()),
+            "n": pa.array(np.bincount(lang, minlength=nl)
+                          .astype(np.int64)),
+            "sx": pa.array(bc(x)), "sy": pa.array(bc(y)),
+            "sxx": pa.array(bc(x * x)), "sxy": pa.array(bc(x * y))})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("lang").aggregate(
+            *[Sum(c, alias_name=c)
+              for c in ("n", "sx", "sy", "sxx", "sxy")]).to_pandas()
+    rows = []
+    for _, r in agg.iterrows():
+        n, sx, sy = int(r.n), int(r.sx), int(r.sy)
+        slope = float(n * int(r.sxy) - sx * sy) \
+            / float(n * int(r.sxx) - sx * sx)
+        intercept = (float(sy) - slope * float(sx)) / float(n)
+        rows.append((r.lang, n, slope, intercept))
+    return pd.DataFrame(rows, columns=["lang", "n", "slope", "intercept"]) \
+        .astype({"lang": object, "n": "int64",
+                 "slope": "float64", "intercept": "float64"})
+
+
+def q_events_hourly(sf_dir: str):
+    """Hour-of-day x ISO-day-of-week activity profile with exact cents
+    totals — the time-dimension rollup (Arrow temporal kernels per
+    batch; combiner shrinks each block to <= 168 rows)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_sized(sf_dir, "events", ["ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hr = pc.hour(t["ts"]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        dw = pc.day_of_week(t["ts"], count_from_zero=False,
+                            week_start=1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100)),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        key = dw * 24 + hr
+        uk, inv = np.unique(key, return_inverse=True)
+        return pa.table({
+            "isodow": pa.array(uk // 24, pa.int64()),
+            "hour": pa.array(uk % 24, pa.int64()),
+            "cnt": pa.array(np.bincount(inv).astype(np.int64)),
+            "cents": pa.array(np.bincount(
+                inv, weights=cents.astype(np.float64)).astype(np.int64))})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["isodow", "hour"]).aggregate(
+            Sum("cnt", alias_name="cnt"), Sum("cents", alias_name="cents"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "isodow": t["isodow"], "hour": t["hour"],
+            "cnt": pc.cast(t["cnt"], pa.int64()),
+            "cents": pc.cast(t["cents"], pa.int64())}),
+        batch_format="pyarrow")
+
+
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_lang_counts": q_lang_counts,
@@ -1795,6 +1918,9 @@ QUERIES = {
     "q_grouped_quantiles_cont": q_grouped_quantiles_cont,
     "q_ntile_doc_len": q_ntile_doc_len,
     "q_corr_len_tokens": q_corr_len_tokens,
+    "q_normalized_dedup": q_normalized_dedup,
+    "q_regression_len_tokens": q_regression_len_tokens,
+    "q_events_hourly": q_events_hourly,
 }
 
 ORACLE_SQL = {
@@ -2070,6 +2196,28 @@ ORACLE_SQL = {
             f"SELECT {q}::DOUBLE AS q, quantile_cont(n_chars, {q}) "
             f"AS value FROM documents"
             for q in (0.25, 0.5, 0.75, 0.9, 0.99)),
+    "q_normalized_dedup":
+        "SELECT MIN(doc_id) AS rep, CAST(COUNT(*) AS BIGINT) AS n_docs "
+        "FROM documents GROUP BY "
+        "lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))",
+    "q_regression_len_tokens":
+        "WITH t AS (SELECT lang, n_chars::BIGINT AS x, "
+        "array_length(string_split_regex(trim(text), '\\s+'))::BIGINT "
+        "AS y FROM documents), "
+        "s AS (SELECT lang, COUNT(*)::HUGEINT AS n, SUM(x)::HUGEINT AS sx, "
+        "SUM(y)::HUGEINT AS sy, SUM(x*x)::HUGEINT AS sxx, "
+        "SUM(x*y)::HUGEINT AS sxy FROM t GROUP BY lang), "
+        "b AS (SELECT lang, n, sx, sy, "
+        "CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) "
+        "AS slope FROM s) "
+        "SELECT lang, CAST(n AS BIGINT) AS n, slope, "
+        "(CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) "
+        "/ CAST(n AS DOUBLE) AS intercept FROM b",
+    "q_events_hourly":
+        "SELECT CAST(isodow(ts) AS BIGINT) AS isodow, "
+        "CAST(hour(ts) AS BIGINT) AS hour, COUNT(*) AS cnt, "
+        "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents "
+        "FROM events GROUP BY 1, 2",
     "q_ntile_doc_len":
         "SELECT doc_id, lang, n_chars, NTILE(4) OVER "
         "(PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS tile "

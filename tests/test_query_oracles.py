@@ -25,7 +25,8 @@ CHECK = ["q_word_stats", "q_doc_freq", "q_allpair_jaccard",
          "q_left_join_counts", "q_quantiles_cont", "q_curation_e2e",
          "q_full_outer_cust_supp", "q_grouped_quantiles_cont",
          "q_ntile_doc_len", "q_corr_len_tokens",
-         "q_allpair_containment"]
+         "q_allpair_containment", "q_normalized_dedup",
+         "q_regression_len_tokens", "q_events_hourly"]
 
 
 @pytest.fixture(scope="module")
