@@ -1858,6 +1858,100 @@ def q_events_hourly(sf_dir: str):
         batch_format="pyarrow")
 
 
+# --- dedup diagnostics and funnel -----------------------------------------
+
+def q_dup_cluster_sizes(sf_dir: str):
+    """Exact-dup cluster-size histogram — the dedup diagnostic that says
+    how much of the corpus is copies: group docs by exact text (one
+    text-hash-routed exchange, exact grouping in partition), then count
+    groups per size (tiny second groupby)."""
+    from ray.data.aggregate import Count
+
+    from ray_data_mplsh.functions.hashing import hash_str_array
+    from ray_data_mplsh.stages.shuffle import (default_partitions,
+                                               partition_apply)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_th", pa.array(hash_str_array(b["text"]), pa.uint64()))
+
+    def sizes(part: pa.Table) -> pa.Table:
+        codes, _ = pd.factorize(part["text"].to_pandas(), sort=False)
+        return pa.table({"size": pa.array(
+            np.bincount(codes).astype(np.int64))})
+
+    parts = partition_apply(ds.map_batches(add_hash,
+                                           batch_format="pyarrow"),
+                            "_th", sizes, default_partitions())
+    agg = parts.groupby("size").aggregate(Count(alias_name="n_clusters"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "size": t["size"],
+            "n_clusters": pc.cast(t["n_clusters"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_shingle_stats(sf_dir: str):
+    """Per-doc distinct 5-word-shingle count straight from the flagship
+    shingle-set builder (stateless map, no shuffle) — pins the S3-input
+    kernel to a SQL oracle (hashed-shingle distinct == string distinct
+    absent 64-bit collisions, the engine's standing assumption)."""
+    from ray_data_mplsh.config import MPLSHConfig
+    from ray_data_mplsh.pipelines.ngram import shingle_sets_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    k = MPLSHConfig().k_shingle
+
+    def stats(b: pa.Table) -> pa.Table:
+        sets = shingle_sets_batch(b, k)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_shingles": pa.array(
+                np.fromiter((len(s) for s in sets), np.int64,
+                            len(sets)))})
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def q_funnel_view_purchase(sf_dir: str):
+    """Funnel: users whose first 'view' precedes their last 'purchase'.
+    Per-batch sentinel min/max partials in integer microseconds
+    (combiner) -> one tiny groupby -> filter; no per-user state."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _read_sized(sf_dir, "events", ["user_id", "ts", "event_type"])
+    HI, LO = np.int64(2**62), np.int64(-2**62)
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        isv = pc.equal(t["event_type"], "view") \
+            .to_numpy(zero_copy_only=False)
+        isp = pc.equal(t["event_type"], "purchase") \
+            .to_numpy(zero_copy_only=False)
+        uu, inv = np.unique(uid, return_inverse=True)
+        minv = np.full(len(uu), HI)
+        np.minimum.at(minv, inv[isv], ts[isv])
+        maxp = np.full(len(uu), LO)
+        np.maximum.at(maxp, inv[isp], ts[isp])
+        return pa.table({"user_id": pa.array(uu, pa.int64()),
+                         "min_view": pa.array(minv, pa.int64()),
+                         "max_purchase": pa.array(maxp, pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(
+            Min("min_view", alias_name="min_view"),
+            Max("max_purchase", alias_name="max_purchase"))
+    return agg.map_batches(
+        lambda t: pa.table({"user_id": t["user_id"]}).filter(
+            pc.less(pc.cast(t["min_view"], pa.int64()),
+                    pc.cast(t["max_purchase"], pa.int64()))),
+        batch_format="pyarrow")
+
+
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_lang_counts": q_lang_counts,
@@ -1921,6 +2015,9 @@ QUERIES = {
     "q_normalized_dedup": q_normalized_dedup,
     "q_regression_len_tokens": q_regression_len_tokens,
     "q_events_hourly": q_events_hourly,
+    "q_dup_cluster_sizes": q_dup_cluster_sizes,
+    "q_shingle_stats": q_shingle_stats,
+    "q_funnel_view_purchase": q_funnel_view_purchase,
 }
 
 ORACLE_SQL = {
@@ -2196,6 +2293,19 @@ ORACLE_SQL = {
             f"SELECT {q}::DOUBLE AS q, quantile_cont(n_chars, {q}) "
             f"AS value FROM documents"
             for q in (0.25, 0.5, 0.75, 0.9, 0.99)),
+    "q_dup_cluster_sizes":
+        "SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters FROM "
+        "(SELECT CAST(COUNT(*) AS BIGINT) AS size FROM documents "
+        "GROUP BY text) GROUP BY size",
+    "q_shingle_stats":
+        "SELECT doc_id, CAST(len(list_distinct(list_transform("
+        "range(1, len(ws) - 3), i -> array_to_string(ws[i:i+4], ' ')))) "
+        "AS BIGINT) AS n_shingles FROM "
+        "(SELECT doc_id, string_split(text, ' ') AS ws FROM documents)",
+    "q_funnel_view_purchase":
+        "SELECT user_id FROM events GROUP BY user_id "
+        "HAVING min(CASE WHEN event_type = 'view' THEN ts END) "
+        "< max(CASE WHEN event_type = 'purchase' THEN ts END)",
     "q_normalized_dedup":
         "SELECT MIN(doc_id) AS rep, CAST(COUNT(*) AS BIGINT) AS n_docs "
         "FROM documents GROUP BY "

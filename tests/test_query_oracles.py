@@ -26,7 +26,9 @@ CHECK = ["q_word_stats", "q_doc_freq", "q_allpair_jaccard",
          "q_full_outer_cust_supp", "q_grouped_quantiles_cont",
          "q_ntile_doc_len", "q_corr_len_tokens",
          "q_allpair_containment", "q_normalized_dedup",
-         "q_regression_len_tokens", "q_events_hourly"]
+         "q_regression_len_tokens", "q_events_hourly",
+         "q_dup_cluster_sizes", "q_shingle_stats",
+         "q_funnel_view_purchase"]
 
 
 @pytest.fixture(scope="module")
@@ -102,6 +104,33 @@ def test_ntile_fill_rule_tiny_and_tied_groups(ray_session, tmp_path):
     con.sql(f"CREATE VIEW documents AS SELECT * FROM "
             f"'{tmp_path}/documents.parquet'")
     want = con.sql(ORACLE_SQL["q_ntile_doc_len"]).df()
+    cols = sorted(want.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    con.close()
+
+
+def test_dup_cluster_sizes_with_planted_dups(ray_session, tmp_path):
+    """The sf corpora contain no exact duplicates (histogram collapses
+    to one size=1 row); plant multi-doc clusters and check the full
+    histogram vs DuckDB."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(41)
+    texts = [f"doc body {i % 37}" for i in range(200)]  # sizes 5 and 6
+    t = pa.table({
+        "doc_id": pa.array(rng.permutation(200).astype(np.int64)),
+        "text": pa.array(texts)})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = _as_df(QUERIES["q_dup_cluster_sizes"](str(tmp_path)))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path}/documents.parquet'")
+    want = con.sql(ORACLE_SQL["q_dup_cluster_sizes"]).df()
     cols = sorted(want.columns)
     a = got[cols].sort_values(cols).reset_index(drop=True)
     b = want[cols].sort_values(cols).reset_index(drop=True)
