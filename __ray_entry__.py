@@ -6,7 +6,7 @@ sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB. Ray is initialised by the driver BEFORE this module is imported:
 no ``ray.init()`` / ``ray.shutdown()`` here or anywhere in the library.
 
-Query inventory (68 entries; * = bit-exact DuckDB oracle, rest rows-only
+Query inventory (71 entries; * = bit-exact DuckDB oracle, rest rows-only
 with pytest gates — see SURVEY.md Appendix B):
   dedup family: q_exact_dedup*, q_dedup_documents, q_minhash_pairs,
     q_simhash_pairs, q_ngram_jaccard, q_embedding_near_dup,
@@ -51,6 +51,10 @@ with pytest gates — see SURVEY.md Appendix B):
     q_shingle_stats* (per-doc distinct shingle counts straight from the
     flagship set builder), q_funnel_view_purchase* (first-view-before-
     last-purchase funnel via sentinel min/max partials),
+    q_events_distinct* (multi-key DISTINCT rows with combiner),
+    q_percent_rank_len* (PERCENT_RANK with shared tie ranks),
+    q_cohort_retention* (first-day cohort x activity-day matrix via
+    distinct-pair groupby + broadcast cohort map),
     q_rollup_lang_source* (GROUP BY ROLLUP lattice),
     q_distinct_users* (exact per-group COUNT DISTINCT via user-keyed
     exchange), q_left_join_counts* (LEFT OUTER join, fact side

@@ -1952,6 +1952,156 @@ def q_funnel_view_purchase(sf_dir: str):
         batch_format="pyarrow")
 
 
+# --- distinct rows, percent_rank, cohort retention -------------------------
+
+def q_events_distinct(sf_dir: str):
+    """DISTINCT rows over (user_id, event_type, day) — the event-level
+    exact dedup a telemetry pipeline runs before counting. Per-batch
+    drop_duplicates combiner, then the multi-key groupby resolves global
+    distinct; no raw rows cross the exchange twice."""
+    from ray.data.aggregate import Count
+
+    ds = _read_sized(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "event_type": t["event_type"].to_pandas(),
+            "d": pc.strftime(t["ts"], format="%Y-%m-%d").to_pandas()})
+        df = df.drop_duplicates()
+        return pa.table({
+            "user_id": pa.array(df["user_id"].to_numpy(np.int64)),
+            "event_type": pa.array(
+                df["event_type"].to_numpy(dtype=object), pa.string()),
+            "d": pa.array(df["d"].to_numpy(dtype=object), pa.string())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["user_id", "event_type", "d"]).aggregate(
+            Count(alias_name="_c"))
+    return agg.map_batches(lambda t: t.drop_columns(["_c"]),
+                           batch_format="pyarrow")
+
+
+def q_percent_rank_len(sf_dir: str):
+    """PERCENT_RANK() of document length within its language:
+    (rank - 1) / (n - 1) with ties sharing the min rank — computed
+    vectorized from the sorted run, one lang-hash exchange; the float
+    division replays DuckDB's formula."""
+    from ray_data_mplsh.functions.hashing import hash_str_array
+    from ray_data_mplsh.stages.shuffle import (default_partitions,
+                                               partition_apply)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]) \
+        .map_batches(
+            lambda t: t.append_column(
+                "_lh", pa.array(hash_str_array(t["lang"]), pa.uint64())),
+            batch_format="pyarrow")
+
+    def ranks(part: pa.Table) -> pa.Table:
+        part = part.drop_columns(["_lh"])
+        ids = part["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nc = part["n_chars"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lang, _ = pd.factorize(part["lang"].to_pandas(), sort=False)
+        o = np.lexsort((ids, nc, lang))
+        lg, v = lang[o], nc[o]
+        run_new = np.concatenate(([True], lg[1:] != lg[:-1])) \
+            if len(o) else np.empty(0, bool)
+        starts = np.flatnonzero(run_new)
+        run = np.cumsum(run_new) - 1
+        cnt = np.diff(np.concatenate([starts, [len(o)]]))
+        pos = np.arange(len(o), dtype=np.int64) - starts[run]
+        # tie groups share the min 0-based rank within their lang run
+        tie_new = run_new | np.concatenate(
+            ([True], v[1:] != v[:-1])) if len(o) else run_new
+        tie_start_pos = pos[np.maximum.accumulate(
+            np.where(tie_new, np.arange(len(o)), 0))]
+        denom = np.maximum(cnt[run] - 1, 1)
+        pr = tie_start_pos.astype(np.float64) / denom.astype(np.float64)
+        pr[cnt[run] == 1] = 0.0
+        out = np.empty(len(o), np.float64)
+        out[o] = pr
+        return pa.table({"doc_id": part["doc_id"], "lang": part["lang"],
+                         "n_chars": part["n_chars"],
+                         "pr": pa.array(out, pa.float64())})
+
+    return partition_apply(ds, "_lh", ranks, default_partitions())
+
+
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix: users bucketed by their FIRST active day,
+    counted on every distinct later activity day. Two combiner-reduced
+    aggregates (per-user min day; distinct user-day pairs resolved on one
+    user-keyed groupby) and a broadcast of the |users|-bounded cohort
+    map — no raw-event join."""
+    import ray
+    from ray.data.aggregate import Count, Min
+
+    from ray_data_mplsh.stages.shuffle import cached_get
+
+    ds = _read_sized(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = (t["ts"].to_numpy(zero_copy_only=False)
+               .astype("datetime64[D]").astype(np.int64))
+        key = uid * np.int64(1 << 20) + day  # days < 2^20 by data range
+        uk = np.unique(key)
+        return pa.table({
+            "user_id": pa.array(uk >> 20, pa.int64()),
+            "day": pa.array(uk & ((1 << 20) - 1), pa.int64())})
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["user_id", "day"]).aggregate(Count(alias_name="_c")) \
+        .materialize()
+    cohort = pairs.groupby("user_id").aggregate(
+        Min("day", alias_name="cohort_day"))
+    cu, cd = [], []
+    for b in cohort.iter_batches(batch_size=65536,
+                                 batch_format="pyarrow"):
+        cu.append(b["user_id"].to_numpy(zero_copy_only=False)
+                  .astype(np.int64))
+        cd.append(b["cohort_day"].to_numpy(zero_copy_only=False)
+                  .astype(np.int64))
+    cu = np.concatenate(cu or [np.empty(0, np.int64)])
+    cd = np.concatenate(cd or [np.empty(0, np.int64)])
+    o = np.argsort(cu)
+    ref = ray.put((cu[o], cd[o]))
+
+    from ray.data.aggregate import Sum
+
+    def attach(t: pa.Table) -> pa.Table:
+        ku, kd = cached_get(ref)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = t["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = np.searchsorted(ku, uid)
+        co = kd[i]  # every user has a cohort row by construction
+        key = co * np.int64(1 << 20) + day
+        uk, inv = np.unique(key, return_inverse=True)
+        return pa.table({
+            "cohort": pa.array(uk >> 20, pa.int64()),
+            "day": pa.array(uk & ((1 << 20) - 1), pa.int64()),
+            "n_users": pa.array(np.bincount(inv).astype(np.int64))})
+
+    agg = pairs.map_batches(attach, batch_format="pyarrow") \
+        .groupby(["cohort", "day"]).aggregate(
+            Sum("n_users", alias_name="n_users"))
+
+    def fmt(t: pa.Table) -> pa.Table:
+        def day_str(col):
+            d = col.to_numpy(zero_copy_only=False).astype(np.int64) \
+                .astype("datetime64[D]")
+            return pa.array(np.datetime_as_string(d, unit="D"),
+                            pa.string())
+        return pa.table({
+            "cohort_day": day_str(t["cohort"]),
+            "activity_day": day_str(t["day"]),
+            "n_users": pc.cast(t["n_users"], pa.int64())})
+
+    return agg.map_batches(fmt, batch_format="pyarrow")
+
+
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_lang_counts": q_lang_counts,
@@ -2018,6 +2168,9 @@ QUERIES = {
     "q_dup_cluster_sizes": q_dup_cluster_sizes,
     "q_shingle_stats": q_shingle_stats,
     "q_funnel_view_purchase": q_funnel_view_purchase,
+    "q_events_distinct": q_events_distinct,
+    "q_percent_rank_len": q_percent_rank_len,
+    "q_cohort_retention": q_cohort_retention,
 }
 
 ORACLE_SQL = {
@@ -2293,6 +2446,20 @@ ORACLE_SQL = {
             f"SELECT {q}::DOUBLE AS q, quantile_cont(n_chars, {q}) "
             f"AS value FROM documents"
             for q in (0.25, 0.5, 0.75, 0.9, 0.99)),
+    "q_events_distinct":
+        "SELECT DISTINCT user_id, event_type, "
+        "strftime(ts, '%Y-%m-%d') AS d FROM events",
+    "q_percent_rank_len":
+        "SELECT doc_id, lang, n_chars, PERCENT_RANK() OVER "
+        "(PARTITION BY lang ORDER BY n_chars) AS pr FROM documents",
+    "q_cohort_retention":
+        "WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d "
+        "FROM events), "
+        "f AS (SELECT user_id, MIN(d) AS c FROM a GROUP BY 1) "
+        "SELECT strftime(f.c, '%Y-%m-%d') AS cohort_day, "
+        "strftime(a.d, '%Y-%m-%d') AS activity_day, "
+        "CAST(COUNT(*) AS BIGINT) AS n_users "
+        "FROM a JOIN f USING (user_id) GROUP BY 1, 2",
     "q_dup_cluster_sizes":
         "SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters FROM "
         "(SELECT CAST(COUNT(*) AS BIGINT) AS size FROM documents "

@@ -28,7 +28,8 @@ CHECK = ["q_word_stats", "q_doc_freq", "q_allpair_jaccard",
          "q_allpair_containment", "q_normalized_dedup",
          "q_regression_len_tokens", "q_events_hourly",
          "q_dup_cluster_sizes", "q_shingle_stats",
-         "q_funnel_view_purchase"]
+         "q_funnel_view_purchase", "q_events_distinct",
+         "q_percent_rank_len", "q_cohort_retention"]
 
 
 @pytest.fixture(scope="module")
@@ -131,6 +132,36 @@ def test_dup_cluster_sizes_with_planted_dups(ray_session, tmp_path):
     con.sql(f"CREATE VIEW documents AS SELECT * FROM "
             f"'{tmp_path}/documents.parquet'")
     want = con.sql(ORACLE_SQL["q_dup_cluster_sizes"]).df()
+    cols = sorted(want.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    con.close()
+
+
+def test_percent_rank_tie_heavy(ray_session, tmp_path):
+    """Tie groups must share the min rank: fuzz with n_chars drawn from
+    only 3 values and tiny groups, vs DuckDB PERCENT_RANK."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(51)
+    langs = np.repeat([f"g{i}" for i in range(9)],
+                      rng.integers(1, 8, 9))
+    n = len(langs)
+    t = pa.table({
+        "doc_id": pa.array(rng.permutation(n).astype(np.int64)),
+        "lang": pa.array(langs),
+        "n_chars": pa.array(rng.integers(0, 3, n).astype(np.int64)),
+        "text": pa.array(["x"] * n)})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = _as_df(QUERIES["q_percent_rank_len"](str(tmp_path)))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path}/documents.parquet'")
+    want = con.sql(ORACLE_SQL["q_percent_rank_len"]).df()
     cols = sorted(want.columns)
     a = got[cols].sort_values(cols).reset_index(drop=True)
     b = want[cols].sort_values(cols).reset_index(drop=True)
