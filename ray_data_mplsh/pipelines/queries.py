@@ -1952,6 +1952,72 @@ def q_funnel_view_purchase(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_cube_lang_source(sf_dir: str):
+    """GROUP BY CUBE(lang, source): the rollup lattice plus the
+    source-only margin — same plan as q_rollup_lang_source (distributed
+    leaf groupby, |lattice| rows derived driver-side)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    leaf = ds.groupby(["lang", "source"]).aggregate(
+        Count(alias_name="cnt")).to_pandas()
+    leaf["cnt"] = leaf["cnt"].astype("int64")
+    per_lang = leaf.groupby("lang", as_index=False)["cnt"].sum()
+    per_lang["source"] = None
+    per_src = leaf.groupby("source", as_index=False)["cnt"].sum()
+    per_src["lang"] = None
+    total = pd.DataFrame({"lang": [None], "source": [None],
+                          "cnt": [leaf["cnt"].sum()]})
+    out = pd.concat([leaf, per_lang, per_src, total], ignore_index=True)
+    out["lang"] = out["lang"].astype(object)
+    out["source"] = out["source"].astype(object)
+    out["cnt"] = out["cnt"].astype("int64")
+    return out[["lang", "source", "cnt"]]
+
+
+def q_mad_len(sf_dir: str):
+    """Median absolute deviation of document length (robust spread):
+    both medians use DuckDB's interpolating rule, computed from ONE
+    value-count CDF (the |x - med| counts are re-derived from the same
+    tiny table, no second data pass) — bit-exact vs DuckDB mad()."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals, cnts = np.unique(
+            t["n_chars"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"v": pa.array(vals),
+                         "c": pa.array(cnts, pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("v").aggregate(Sum("c", alias_name="c"))
+    vs, cs = [], []
+    for b in agg.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        vs.append(b["v"].to_numpy(zero_copy_only=False))
+        cs.append(b["c"].to_numpy(zero_copy_only=False))
+    v = np.concatenate(vs).astype(np.float64)
+    c = np.concatenate(cs).astype(np.int64)
+    o = np.argsort(v, kind="stable")
+    v, c = v[o], c[o]
+
+    def median_cont(vv, cc):
+        cum = np.cumsum(cc)
+        n = int(cum[-1])
+        rn = 0.5 * (n - 1)
+        lo, hi = int(np.floor(rn)), int(np.ceil(rn))
+        vlo = float(vv[int(np.searchsorted(cum, lo + 1))])
+        vhi = float(vv[int(np.searchsorted(cum, hi + 1))])
+        return vlo if hi == lo else (hi - rn) * vlo + (rn - lo) * vhi
+
+    med = median_cont(v, c)
+    dev = np.abs(v - med)
+    do = np.argsort(dev, kind="stable")
+    mad = median_cont(dev[do], c[do])
+    return pd.DataFrame({"median": pd.Series([med], dtype="float64"),
+                         "mad": pd.Series([mad], dtype="float64")})
+
+
 # --- distinct rows, percent_rank, cohort retention -------------------------
 
 def q_events_distinct(sf_dir: str):
@@ -2171,6 +2237,8 @@ QUERIES = {
     "q_events_distinct": q_events_distinct,
     "q_percent_rank_len": q_percent_rank_len,
     "q_cohort_retention": q_cohort_retention,
+    "q_cube_lang_source": q_cube_lang_source,
+    "q_mad_len": q_mad_len,
 }
 
 ORACLE_SQL = {
@@ -2446,6 +2514,12 @@ ORACLE_SQL = {
             f"SELECT {q}::DOUBLE AS q, quantile_cont(n_chars, {q}) "
             f"AS value FROM documents"
             for q in (0.25, 0.5, 0.75, 0.9, 0.99)),
+    "q_cube_lang_source":
+        "SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM documents GROUP BY CUBE(lang, source)",
+    "q_mad_len":
+        "SELECT median(n_chars) AS median, mad(n_chars) AS mad "
+        "FROM documents",
     "q_events_distinct":
         "SELECT DISTINCT user_id, event_type, "
         "strftime(ts, '%Y-%m-%d') AS d FROM events",

@@ -29,7 +29,8 @@ CHECK = ["q_word_stats", "q_doc_freq", "q_allpair_jaccard",
          "q_regression_len_tokens", "q_events_hourly",
          "q_dup_cluster_sizes", "q_shingle_stats",
          "q_funnel_view_purchase", "q_events_distinct",
-         "q_percent_rank_len", "q_cohort_retention"]
+         "q_percent_rank_len", "q_cohort_retention",
+         "q_cube_lang_source", "q_mad_len"]
 
 
 @pytest.fixture(scope="module")
