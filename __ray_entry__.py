@@ -6,7 +6,7 @@ sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB. Ray is initialised by the driver BEFORE this module is imported:
 no ``ray.init()`` / ``ray.shutdown()`` here or anywhere in the library.
 
-Query inventory (73 entries; * = bit-exact DuckDB oracle, rest rows-only
+Query inventory (74 entries; * = bit-exact DuckDB oracle, rest rows-only
 with pytest gates — see SURVEY.md Appendix B):
   dedup family: q_exact_dedup*, q_dedup_documents, q_minhash_pairs,
     q_simhash_pairs, q_ngram_jaccard, q_embedding_near_dup,
@@ -58,6 +58,7 @@ with pytest gates — see SURVEY.md Appendix B):
     q_rollup_lang_source* (GROUP BY ROLLUP lattice),
     q_cube_lang_source* (GROUP BY CUBE lattice),
     q_mad_len* (median absolute deviation from one value-count CDF),
+    q_click_heavy_users* (per-user behavioral count comparison),
     q_distinct_users* (exact per-group COUNT DISTINCT via user-keyed
     exchange), q_left_join_counts* (LEFT OUTER join, fact side
     pre-aggregated then broadcast), q_quantiles_cont* (continuous

@@ -1952,6 +1952,39 @@ def q_funnel_view_purchase(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_click_heavy_users(sf_dir: str):
+    """Behavioral set comparison: users with strictly more clicks than
+    purchases, with both counts. Per-batch per-user bincount partials ->
+    tiny groupby sum -> filter; integers end-to-end."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_sized(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uu, inv = np.unique(uid, return_inverse=True)
+        out = {"user_id": pa.array(uu, pa.int64())}
+        for name in ("click", "purchase"):
+            w = pc.equal(t["event_type"], name) \
+                .to_numpy(zero_copy_only=False).astype(np.float64)
+            out["n_" + name] = pa.array(np.bincount(
+                inv, weights=w, minlength=len(uu)).astype(np.int64))
+        return pa.table(out)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(
+            Sum("n_click", alias_name="n_click"),
+            Sum("n_purchase", alias_name="n_purchase"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "user_id": t["user_id"],
+            "n_click": pc.cast(t["n_click"], pa.int64()),
+            "n_purchase": pc.cast(t["n_purchase"], pa.int64())}).filter(
+                pc.greater(pc.cast(t["n_click"], pa.int64()),
+                           pc.cast(t["n_purchase"], pa.int64()))),
+        batch_format="pyarrow")
+
+
 def q_cube_lang_source(sf_dir: str):
     """GROUP BY CUBE(lang, source): the rollup lattice plus the
     source-only margin — same plan as q_rollup_lang_source (distributed
@@ -2239,6 +2272,7 @@ QUERIES = {
     "q_cohort_retention": q_cohort_retention,
     "q_cube_lang_source": q_cube_lang_source,
     "q_mad_len": q_mad_len,
+    "q_click_heavy_users": q_click_heavy_users,
 }
 
 ORACLE_SQL = {
@@ -2517,6 +2551,14 @@ ORACLE_SQL = {
     "q_cube_lang_source":
         "SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS cnt "
         "FROM documents GROUP BY CUBE(lang, source)",
+    "q_click_heavy_users":
+        "SELECT user_id, "
+        "CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) "
+        "AS n_click, "
+        "CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) "
+        "AS n_purchase FROM events GROUP BY user_id "
+        "HAVING COUNT(*) FILTER (event_type = 'click') "
+        "> COUNT(*) FILTER (event_type = 'purchase')",
     "q_mad_len":
         "SELECT median(n_chars) AS median, mad(n_chars) AS mad "
         "FROM documents",

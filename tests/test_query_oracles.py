@@ -30,7 +30,7 @@ CHECK = ["q_word_stats", "q_doc_freq", "q_allpair_jaccard",
          "q_dup_cluster_sizes", "q_shingle_stats",
          "q_funnel_view_purchase", "q_events_distinct",
          "q_percent_rank_len", "q_cohort_retention",
-         "q_cube_lang_source", "q_mad_len"]
+         "q_cube_lang_source", "q_mad_len", "q_click_heavy_users"]
 
 
 @pytest.fixture(scope="module")
