@@ -6,7 +6,7 @@ sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB. Ray is initialised by the driver BEFORE this module is imported:
 no ``ray.init()`` / ``ray.shutdown()`` here or anywhere in the library.
 
-Query inventory (74 entries; * = bit-exact DuckDB oracle, rest rows-only
+Query inventory (80 entries; * = bit-exact DuckDB oracle, rest rows-only
 with pytest gates — see SURVEY.md Appendix B):
   dedup family: q_exact_dedup*, q_dedup_documents, q_minhash_pairs,
     q_simhash_pairs, q_ngram_jaccard, q_embedding_near_dup,
@@ -59,6 +59,12 @@ with pytest gates — see SURVEY.md Appendix B):
     q_cube_lang_source* (GROUP BY CUBE lattice),
     q_mad_len* (median absolute deviation from one value-count CDF),
     q_click_heavy_users* (per-user behavioral count comparison),
+    q_mode_event_type* (grouped mode, deterministic tie-break),
+    q_user_days_purchase_no_error* / q_user_days_purchase_and_error*
+    (distributed EXCEPT / INTERSECT as presence flags),
+    q_len_histogram* (fixed-width histogram), q_weighted_sample*
+    (deterministic weighted Bernoulli), q_lang_sources_agg*
+    (ordered-set string aggregation),
     q_distinct_users* (exact per-group COUNT DISTINCT via user-keyed
     exchange), q_left_join_counts* (LEFT OUTER join, fact side
     pre-aggregated then broadcast), q_quantiles_cont* (continuous

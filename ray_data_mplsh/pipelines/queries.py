@@ -1985,6 +1985,187 @@ def q_click_heavy_users(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_mode_event_type(sf_dir: str):
+    """Per-group MODE with deterministic tie-break: each user's most
+    frequent event_type (ties -> lexicographically smallest type). Batch
+    partials count (user, type) pairs with batch-LOCAL type codes (no
+    global dictionary needed; strings are re-emitted per partial), one
+    two-key groupby merges them, and the per-user argmax is a vectorized
+    rank-in-run over a user-keyed exchange — bit-exact vs ROW_NUMBER()."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_sized(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        types, code = np.unique(et, return_inverse=True)
+        k = max(len(types), 1)
+        key = uid * np.int64(k) + code.astype(np.int64)
+        uk, inv = np.unique(key, return_inverse=True)
+        return pa.table({
+            "user_id": pa.array(uk // k, pa.int64()),
+            "event_type": pa.array(types[(uk % k).astype(np.int64)]),
+            "n": pa.array(np.bincount(inv).astype(np.int64))})
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["user_id", "event_type"]).aggregate(
+            Sum("n", alias_name="cnt"))
+
+    def pick(part: pa.Table) -> pa.Table:
+        uid = part["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = part["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(part["event_type"].to_pylist(), dtype=object)
+        _, ecode = np.unique(et, return_inverse=True)  # lexicographic codes
+        o = np.lexsort((ecode, -cnt, uid))
+        first = np.concatenate(([True], uid[o][1:] != uid[o][:-1]))
+        sel = o[first]
+        return pa.table({"user_id": pa.array(uid[sel], pa.int64()),
+                         "mode_type": pa.array(et[sel]),
+                         "cnt": pa.array(cnt[sel], pa.int64())})
+
+    return partition_apply(counts, "user_id", pick, default_partitions())
+
+
+def _purchase_error_user_days(sf_dir: str):
+    """Shared plan for the set-op queries: distinct (user, day) pairs with
+    purchase/error presence flags. The day is carried as an int ordinal so
+    the per-batch partial is one composite-int np.unique (no string keys
+    in the exchange); strftime renders it only on the tiny final table."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_sized(sf_dir, "events", ["ts", "user_id", "event_type"])
+    US_PER_DAY = np.int64(86_400_000_000)
+
+    def flags(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"],
+                        value_set=pa.array(["purchase", "error"]))
+        t = t.filter(keep)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = t["ts"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // US_PER_DAY
+        isp = pc.equal(t["event_type"], "purchase").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        key = uid * np.int64(1 << 20) + day  # day ordinal < 2^20 (~4800 AD)
+        uk, inv = np.unique(key, return_inverse=True)
+        np_ = np.bincount(inv, weights=isp, minlength=len(uk))
+        ne = np.bincount(inv, weights=1.0 - isp, minlength=len(uk))
+        return pa.table({"k": pa.array(uk, pa.int64()),
+                         "np_": pa.array(np_.astype(np.int64)),
+                         "ne": pa.array(ne.astype(np.int64))})
+
+    agg = ds.map_batches(flags, batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("np_", alias_name="np_"),
+                                Sum("ne", alias_name="ne"))
+
+    def render(t: pa.Table, mask) -> pa.Table:
+        t = t.filter(mask)
+        k = t["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = pa.array((k % np.int64(1 << 20)) * US_PER_DAY) \
+            .cast(pa.timestamp("us"))
+        return pa.table({"user_id": pa.array(k >> np.int64(20), pa.int64()),
+                         "d": pc.strftime(ts, format="%Y-%m-%d")})
+
+    return agg, render
+
+
+def q_user_days_purchase_no_error(sf_dir: str):
+    """Distributed EXCEPT: distinct (user, day) pairs that saw a purchase
+    but no error — presence flags from one int-keyed groupby, no
+    pair-vs-pair anti join. Bit-exact vs SQL EXCEPT."""
+    agg, render = _purchase_error_user_days(sf_dir)
+    return agg.map_batches(
+        lambda t: render(t, pc.and_(pc.greater(t["np_"], 0),
+                                    pc.equal(t["ne"], 0))),
+        batch_format="pyarrow")
+
+
+def q_user_days_purchase_and_error(sf_dir: str):
+    """Distributed INTERSECT: distinct (user, day) pairs with BOTH a
+    purchase and an error — same single-exchange presence-flag plan as
+    [[q_user_days_purchase_no_error]]. Bit-exact vs SQL INTERSECT."""
+    agg, render = _purchase_error_user_days(sf_dir)
+    return agg.map_batches(
+        lambda t: render(t, pc.and_(pc.greater(t["np_"], 0),
+                                    pc.greater(t["ne"], 0))),
+        batch_format="pyarrow")
+
+
+def q_len_histogram(sf_dir: str):
+    """Fixed-width histogram of document length (width_bucket family):
+    per-batch bincount partials -> one tiny groupby over <=12 bins. The
+    exchange carries |bins| rows per batch, never doc rows."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        nc = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (nc // 50) * 50
+        ub, inv = np.unique(b, return_inverse=True)
+        return pa.table({"bin_lo": pa.array(ub, pa.int64()),
+                         "cnt": pa.array(np.bincount(inv).astype(np.int64))})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bin_lo").aggregate(Sum("cnt", alias_name="cnt"))
+    return agg.map_batches(
+        lambda t: pa.table({"bin_lo": t["bin_lo"],
+                            "cnt": pc.cast(t["cnt"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_weighted_sample(sf_dir: str):
+    """Deterministic WEIGHTED Bernoulli sample: inclusion probability
+    proportional to n_chars (p = n_chars/1000), decided by the same
+    SQL-replayable multiplicative hash as q_sample — integer compare, so
+    bit-exact vs the oracle and reproducible across engines/runs. Pure
+    map-side filter: no exchange, no broadcast state."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((ids % np.uint64(2**32)) * np.uint64(2654435761)) \
+            % np.uint64(2**32)
+        w = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.filter(pa.array(h % np.uint64(1000) < w))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def q_lang_sources_agg(sf_dir: str):
+    """Ordered-set string aggregation: per language, the sorted distinct
+    sources joined with ','. Per-batch Arrow group_by dedup bounds the
+    exchange at |langs|x|sources| rows per batch; the join itself runs
+    inside a lang-keyed partition (output rows = |langs|). Bit-exact vs
+    string_agg(DISTINCT ... ORDER BY)."""
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        d = t.group_by(["lang", "source"]).aggregate([])
+        return d.append_column(
+            "lang_h", pa.array(hash_str_array(d["lang"]), pa.uint64()))
+
+    def agg_part(part: pa.Table) -> pa.Table:
+        lang = np.asarray(part["lang"].to_pylist(), dtype=object)
+        src = np.asarray(part["source"].to_pylist(), dtype=object)
+        ul, linv = np.unique(lang, return_inverse=True)
+        o = np.lexsort((src, linv))
+        li, s = linv[o], src[o]
+        # drop cross-batch duplicate (lang, source) pairs (adjacent now)
+        keep = np.concatenate(([True],
+                               (li[1:] != li[:-1]) | (s[1:] != s[:-1])))
+        li, s = li[keep], s[keep]
+        starts = np.flatnonzero(
+            np.concatenate(([True], li[1:] != li[:-1])))
+        ends = np.append(starts[1:], len(li))
+        joined = [",".join(s[a:b]) for a, b in zip(starts, ends)]
+        return pa.table({"lang": pa.array(ul[li[starts]]),
+                         "sources": pa.array(joined, pa.string())})
+
+    keyed = ds.map_batches(batch_distinct, batch_format="pyarrow")
+    return partition_apply(keyed, "lang_h", agg_part, default_partitions())
+
+
 def q_cube_lang_source(sf_dir: str):
     """GROUP BY CUBE(lang, source): the rollup lattice plus the
     source-only margin — same plan as q_rollup_lang_source (distributed
@@ -2273,6 +2454,12 @@ QUERIES = {
     "q_cube_lang_source": q_cube_lang_source,
     "q_mad_len": q_mad_len,
     "q_click_heavy_users": q_click_heavy_users,
+    "q_mode_event_type": q_mode_event_type,
+    "q_user_days_purchase_no_error": q_user_days_purchase_no_error,
+    "q_user_days_purchase_and_error": q_user_days_purchase_and_error,
+    "q_len_histogram": q_len_histogram,
+    "q_weighted_sample": q_weighted_sample,
+    "q_lang_sources_agg": q_lang_sources_agg,
 }
 
 ORACLE_SQL = {
@@ -2562,6 +2749,32 @@ ORACLE_SQL = {
     "q_mad_len":
         "SELECT median(n_chars) AS median, mad(n_chars) AS mad "
         "FROM documents",
+    "q_mode_event_type":
+        "WITH c AS (SELECT user_id, event_type, COUNT(*) AS cnt "
+        "FROM events GROUP BY 1, 2) "
+        "SELECT user_id, event_type AS mode_type, CAST(cnt AS BIGINT) AS cnt "
+        "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id "
+        "ORDER BY cnt DESC, event_type) AS rn FROM c) WHERE rn = 1",
+    "q_user_days_purchase_no_error":
+        "SELECT user_id, strftime(ts, '%Y-%m-%d') AS d FROM events "
+        "WHERE event_type = 'purchase' "
+        "EXCEPT SELECT user_id, strftime(ts, '%Y-%m-%d') FROM events "
+        "WHERE event_type = 'error'",
+    "q_user_days_purchase_and_error":
+        "SELECT user_id, strftime(ts, '%Y-%m-%d') AS d FROM events "
+        "WHERE event_type = 'purchase' "
+        "INTERSECT SELECT user_id, strftime(ts, '%Y-%m-%d') FROM events "
+        "WHERE event_type = 'error'",
+    "q_len_histogram":
+        "SELECT CAST((n_chars // 50) * 50 AS BIGINT) AS bin_lo, "
+        "CAST(COUNT(*) AS BIGINT) AS cnt FROM documents GROUP BY bin_lo",
+    "q_weighted_sample":
+        "SELECT doc_id, lang, n_chars FROM documents "
+        "WHERE ((doc_id % 4294967296) * 2654435761::HUGEINT) "
+        "% 4294967296 % 1000 < n_chars",
+    "q_lang_sources_agg":
+        "SELECT lang, string_agg(DISTINCT source, ',' ORDER BY source) "
+        "AS sources FROM documents GROUP BY lang",
     "q_events_distinct":
         "SELECT DISTINCT user_id, event_type, "
         "strftime(ts, '%Y-%m-%d') AS d FROM events",

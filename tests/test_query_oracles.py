@@ -30,7 +30,10 @@ CHECK = ["q_word_stats", "q_doc_freq", "q_allpair_jaccard",
          "q_dup_cluster_sizes", "q_shingle_stats",
          "q_funnel_view_purchase", "q_events_distinct",
          "q_percent_rank_len", "q_cohort_retention",
-         "q_cube_lang_source", "q_mad_len", "q_click_heavy_users"]
+         "q_cube_lang_source", "q_mad_len", "q_click_heavy_users",
+         "q_mode_event_type", "q_user_days_purchase_no_error",
+         "q_user_days_purchase_and_error", "q_len_histogram",
+         "q_weighted_sample", "q_lang_sources_agg"]
 
 
 @pytest.fixture(scope="module")
