@@ -2166,6 +2166,136 @@ def q_lang_sources_agg(sf_dir: str):
     return partition_apply(keyed, "lang_h", agg_part, default_partitions())
 
 
+def q_moving_sum_daily(sf_dir: str):
+    """Bounded-frame window aggregate: 3-day ROWS moving sum of event
+    value per type. Daily totals reduce distributed (integer cents, like
+    q_events_daily); the sliding frame is a cumsum difference inside a
+    type-keyed partition — no per-row loop, one exchange after the
+    |types|x|days|-bounded daily reduce."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_sized(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def add_day(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100)), pa.int64())
+        return pa.table({"event_type": t["event_type"],
+                         "d": pc.strftime(t["ts"], format="%Y-%m-%d"),
+                         "cents": cents})
+
+    daily = ds.map_batches(add_day, batch_format="pyarrow") \
+        .groupby(["event_type", "d"]).aggregate(Sum("cents",
+                                                    alias_name="cents"))
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return t.append_column("et_h", pa.array(
+            hash_str_array(t["event_type"]), pa.uint64()))
+
+    def window(part: pa.Table) -> pa.Table:
+        et = np.asarray(part["event_type"].to_pylist(), dtype=object)
+        d = np.asarray(part["d"].to_pylist(), dtype=object)
+        cents = part["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, einv = np.unique(et, return_inverse=True)
+        o = np.lexsort((d, einv))  # ISO day strings sort chronologically
+        ei, cs = einv[o], cents[o]
+        cum = np.cumsum(cs)
+        starts = np.flatnonzero(np.concatenate(([True], ei[1:] != ei[:-1])))
+        run_id = (np.cumsum(np.concatenate(([True],
+                                            ei[1:] != ei[:-1]))) - 1)
+        pos = np.arange(len(ei)) - starts[run_id]
+        back = np.minimum(pos, 2)  # ROWS BETWEEN 2 PRECEDING AND CURRENT:
+        lo = np.arange(len(ei)) - back  # clamping at the run start keeps
+        mov = cum - np.where(lo > 0, cum[lo - 1], 0)  # frames in-run
+        return pa.table({"event_type": pa.array(et[o]),
+                         "d": pa.array(d[o]),
+                         "mov3": pa.array(mov.astype(np.float64) / 100.0)})
+
+    keyed_ds = daily.map_batches(keyed, batch_format="pyarrow")
+    return partition_apply(keyed_ds, "et_h", window, default_partitions())
+
+
+def _sorted_events_partition(part: pa.Table):
+    """(order, uid, run-start mask) for per-user sequences ordered by
+    (ts, event_id) — the shared spine of the sequence-analytics ops."""
+    uid = part["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = part["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    eid = part["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.lexsort((eid, ts, uid))
+    uo = uid[o]
+    first = np.concatenate(([True], uo[1:] != uo[:-1]))
+    return o, uo, first
+
+
+def q_event_transitions(sf_dir: str):
+    """Markov transition counts: (prev event_type -> next) per-user
+    adjacent pairs ordered by (ts, event_id). One user-keyed exchange;
+    the shift is vectorized over sorted runs; partial (prev, next, n)
+    counts merge in a |types|^2-bounded groupby."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_sized(sf_dir, "events",
+                     ["event_id", "ts", "user_id", "event_type"])
+
+    def transitions(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"prev": pa.array([], pa.string()),
+                             "next": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        o, _, first = _sorted_events_partition(part)
+        et = np.asarray(part["event_type"].to_pylist(), dtype=object)[o]
+        types, code = np.unique(et, return_inverse=True)
+        k = len(types)
+        sel = ~first  # rows that HAVE a previous event in the same run
+        pair = code[np.flatnonzero(sel) - 1] * k + code[sel]
+        up, inv = np.unique(pair, return_inverse=True)
+        return pa.table({"prev": pa.array(types[up // k]),
+                         "next": pa.array(types[up % k]),
+                         "n": pa.array(np.bincount(inv).astype(np.int64))})
+
+    parts = partition_apply(ds, "user_id", transitions,
+                            default_partitions())
+    agg = parts.groupby(["prev", "next"]).aggregate(Sum("n",
+                                                        alias_name="cnt"))
+    return agg.map_batches(
+        lambda t: pa.table({"prev": t["prev"], "next": t["next"],
+                            "cnt": pc.cast(t["cnt"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_first_event_per_user(sf_dir: str):
+    """First-touch attribution: each user's earliest event (ts, then
+    event_id tie-break), timestamp carried as integer epoch-us so the
+    compare is exact. Same single user-keyed exchange as
+    [[q_event_transitions]]."""
+    ds = _read_sized(sf_dir, "events",
+                     ["event_id", "ts", "user_id", "event_type"])
+
+    def first_touch(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "first_type": pa.array([], pa.string()),
+                             "first_us": pa.array([], pa.int64())})
+        o, uo, first = _sorted_events_partition(part)
+        sel = o[first]
+        ts = part["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = np.asarray(part["event_type"].to_pylist(), dtype=object)
+        return pa.table({"user_id": pa.array(uo[first], pa.int64()),
+                         "first_type": pa.array(et[sel]),
+                         "first_us": pa.array(ts[sel], pa.int64())})
+
+    return partition_apply(ds, "user_id", first_touch,
+                           default_partitions())
+
+
+def q_edit_distance_dups(sf_dir: str):
+    """Edit-distance near-dup pairs over short docs (blocked all-pairs
+    byte Levenshtein — see pipelines/editdist.py for the vectorized DP
+    and the blocking contract shared with the oracle)."""
+    from ray_data_mplsh.pipelines.editdist import edit_distance_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+    return edit_distance_pairs(ds, max_len=250, bucket=64, max_dist=60)
+
+
 def q_cube_lang_source(sf_dir: str):
     """GROUP BY CUBE(lang, source): the rollup lattice plus the
     source-only margin — same plan as q_rollup_lang_source (distributed
@@ -2460,6 +2590,10 @@ QUERIES = {
     "q_len_histogram": q_len_histogram,
     "q_weighted_sample": q_weighted_sample,
     "q_lang_sources_agg": q_lang_sources_agg,
+    "q_edit_distance_dups": q_edit_distance_dups,
+    "q_moving_sum_daily": q_moving_sum_daily,
+    "q_event_transitions": q_event_transitions,
+    "q_first_event_per_user": q_first_event_per_user,
 }
 
 ORACLE_SQL = {
@@ -2775,6 +2909,31 @@ ORACLE_SQL = {
     "q_lang_sources_agg":
         "SELECT lang, string_agg(DISTINCT source, ',' ORDER BY source) "
         "AS sources FROM documents GROUP BY lang",
+    "q_edit_distance_dups":
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+        "CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist "
+        "FROM documents a JOIN documents b ON a.lang = b.lang "
+        "AND (a.n_chars // 64) = (b.n_chars // 64) AND a.doc_id < b.doc_id "
+        "WHERE a.n_chars <= 250 AND b.n_chars <= 250 "
+        "AND levenshtein(a.text, b.text) <= 60",
+    "q_moving_sum_daily":
+        "WITH daily AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS d, "
+        "SUM(CAST(round(value * 100) AS BIGINT)) AS cents "
+        "FROM events GROUP BY 1, 2) "
+        "SELECT event_type, d, "
+        "CAST(SUM(cents) OVER (PARTITION BY event_type ORDER BY d "
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 "
+        "AS mov3 FROM daily",
+    "q_event_transitions":
+        "WITH s AS (SELECT user_id, event_type, LAG(event_type) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events) "
+        "SELECT prev, event_type AS next, CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM s WHERE prev IS NOT NULL GROUP BY 1, 2",
+    "q_first_event_per_user":
+        "SELECT user_id, event_type AS first_type, "
+        "epoch_us(ts) AS first_us FROM (SELECT *, ROW_NUMBER() OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events) "
+        "WHERE rn = 1",
     "q_events_distinct":
         "SELECT DISTINCT user_id, event_type, "
         "strftime(ts, '%Y-%m-%d') AS d FROM events",

@@ -33,7 +33,9 @@ CHECK = ["q_word_stats", "q_doc_freq", "q_allpair_jaccard",
          "q_cube_lang_source", "q_mad_len", "q_click_heavy_users",
          "q_mode_event_type", "q_user_days_purchase_no_error",
          "q_user_days_purchase_and_error", "q_len_histogram",
-         "q_weighted_sample", "q_lang_sources_agg"]
+         "q_weighted_sample", "q_lang_sources_agg",
+         "q_edit_distance_dups", "q_moving_sum_daily",
+         "q_event_transitions", "q_first_event_per_user"]
 
 
 @pytest.fixture(scope="module")
