@@ -2166,6 +2166,75 @@ def q_lang_sources_agg(sf_dir: str):
     return partition_apply(keyed, "lang_h", agg_part, default_partitions())
 
 
+def q_unpivot_event_metrics(sf_dir: str):
+    """UNPIVOT/melt: wide numeric columns -> long (metric, v) rows, built
+    as two pruned map-side projections composed with Dataset.union — a
+    stateless width change, no exchange at any scale."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def proj(col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "event_id": t["event_id"],
+                "metric": pa.array([col] * t.num_rows, pa.string()),
+                "v": pc.cast(t[col], pa.float64())})
+        return fn
+
+    a = ds.map_batches(proj("value"), batch_format="pyarrow")
+    b = ds.map_batches(proj("user_id"), batch_format="pyarrow")
+    return a.union(b)
+
+
+def q_dup_rate_by_source(sf_dir: str):
+    """Dedup ATTRIBUTION report: per source, how many docs are exact-text
+    copies (non-min doc_id in their text group) and the dup rate. One
+    text-hash exchange with exact in-partition grouping (same spine as
+    q_dup_cluster_sizes); per-partition partials bound the second
+    exchange at |sources| rows; the rate is one float division replayed
+    identically in SQL."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_th", pa.array(hash_str_array(b["text"]), pa.uint64()))
+
+    def mark(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "dup_cnt": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        codes, _ = pd.factorize(part["text"].to_pandas(), sort=False)
+        did = part["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gmin = np.full(int(codes.max()) + 1, np.iinfo(np.int64).max,
+                       np.int64)
+        np.minimum.at(gmin, codes, did)
+        is_dup = (did != gmin[codes]).astype(np.float64)
+        s = np.asarray(part["source"].to_pylist(), dtype=object)
+        us, inv = np.unique(s, return_inverse=True)
+        return pa.table({
+            "source": pa.array(us),
+            "dup_cnt": pa.array(np.bincount(
+                inv, weights=is_dup).astype(np.int64)),
+            "cnt": pa.array(np.bincount(inv).astype(np.int64))})
+
+    parts = partition_apply(ds.map_batches(add_hash,
+                                           batch_format="pyarrow"),
+                            "_th", mark, default_partitions())
+    agg = parts.groupby("source").aggregate(
+        Sum("dup_cnt", alias_name="dup_cnt"), Sum("cnt", alias_name="cnt"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "source": t["source"],
+            "dup_cnt": pc.cast(t["dup_cnt"], pa.int64()),
+            "cnt": pc.cast(t["cnt"], pa.int64()),
+            "dup_rate": pc.divide(
+                pc.cast(t["dup_cnt"], pa.float64()),
+                pc.cast(pc.cast(t["cnt"], pa.int64()), pa.float64()))}),
+        batch_format="pyarrow")
+
+
 def q_moving_sum_daily(sf_dir: str):
     """Bounded-frame window aggregate: 3-day ROWS moving sum of event
     value per type. Daily totals reduce distributed (integer cents, like
@@ -2594,6 +2663,8 @@ QUERIES = {
     "q_moving_sum_daily": q_moving_sum_daily,
     "q_event_transitions": q_event_transitions,
     "q_first_event_per_user": q_first_event_per_user,
+    "q_unpivot_event_metrics": q_unpivot_event_metrics,
+    "q_dup_rate_by_source": q_dup_rate_by_source,
 }
 
 ORACLE_SQL = {
@@ -2934,6 +3005,18 @@ ORACLE_SQL = {
         "epoch_us(ts) AS first_us FROM (SELECT *, ROW_NUMBER() OVER "
         "(PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events) "
         "WHERE rn = 1",
+    "q_unpivot_event_metrics":
+        "SELECT event_id, 'value' AS metric, value AS v FROM events "
+        "UNION ALL SELECT event_id, 'user_id' AS metric, "
+        "CAST(user_id AS DOUBLE) AS v FROM events",
+    "q_dup_rate_by_source":
+        "SELECT source, "
+        "CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS dup_cnt, CAST(COUNT(*) AS BIGINT) AS cnt, "
+        "CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) "
+        "/ COUNT(*) AS dup_rate FROM (SELECT source, ROW_NUMBER() OVER "
+        "(PARTITION BY text ORDER BY doc_id) AS rn FROM documents) "
+        "GROUP BY source",
     "q_events_distinct":
         "SELECT DISTINCT user_id, event_type, "
         "strftime(ts, '%Y-%m-%d') AS d FROM events",
