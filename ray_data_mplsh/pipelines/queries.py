@@ -2166,6 +2166,94 @@ def q_lang_sources_agg(sf_dir: str):
     return partition_apply(keyed, "lang_h", agg_part, default_partitions())
 
 
+def q_tpch_q3(sf_dir: str):
+    """TPC-H Q3 shape (segment-filtered 3-table join, grouped revenue,
+    top-10): zero-shuffle join plan — the customer side reduces to a
+    sorted key array, the filtered orders side to a small table, both
+    ray.put ONCE and probed map-side in the lineitem scan (the fact table
+    never leaves its partitions before the |orders|-bounded groupby).
+    Revenue is exact: cents x (100 - disc_pct) integer partials, one
+    float division replayed in SQL. The broadcast sides are bounded by
+    the filters' selectivity; above broadcast size the plan flips to the
+    keyed-exchange join of stages/relational.py (same flip rule as
+    semi_anti_join). Tie-break on l_orderkey makes the LIMIT set
+    deterministic in both engines."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    CUT = int(pd.Timestamp("1998-06-01").value // 1000)  # epoch us
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    ck = cust.map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+                   .select(["c_custkey"]), batch_format="pyarrow")
+    parts = [b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+             for b in ck.iter_batches(batch_size=65536,
+                                      batch_format="pyarrow")]
+    ckeys = np.sort(np.concatenate(parts)) if parts \
+        else np.empty(0, np.int64)
+    ckeys_ref = ray.put(ckeys)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                      "o_orderdate", "o_orderpriority"])
+
+    def ofilt(t: pa.Table) -> pa.Table:
+        keys = ray.get(ckeys_ref)
+        od = t["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        oc = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = (od < CUT) & np.isin(oc, keys)
+        return t.filter(pa.array(m)).select(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    oparts = [b for b in orders.map_batches(ofilt, batch_format="pyarrow")
+              .iter_batches(batch_size=65536, batch_format="pyarrow")]
+    o_tbl = pa.concat_tables(oparts) if oparts else pa.schema(
+        [("o_orderkey", pa.int64()), ("o_orderdate", pa.timestamp("us")),
+         ("o_orderpriority", pa.string())]).empty_table()
+    okeys = np.sort(o_tbl["o_orderkey"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64))
+    okeys_ref = ray.put(okeys)
+
+    li = _read_sized(sf_dir, "lineitem",
+                     ["l_orderkey", "l_extendedprice", "l_discount",
+                      "l_shipdate"])
+
+    def lpart(t: pa.Table) -> pa.Table:
+        keys = ray.get(okeys_ref)
+        sd = t["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = (sd > CUT) & np.isin(ok, keys)
+        ok = ok[m]
+        ep = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100)),
+                     pa.int64()).to_numpy(zero_copy_only=False)[m]
+        dc = pc.cast(pc.round(pc.multiply(t["l_discount"], 100)),
+                     pa.int64()).to_numpy(zero_copy_only=False)[m]
+        uo, inv = np.unique(ok, return_inverse=True)
+        rev = np.zeros(len(uo), np.int64)
+        np.add.at(rev, inv, ep * (100 - dc))  # int64-exact partials
+        return pa.table({"l_orderkey": pa.array(uo, pa.int64()),
+                         "rev_micro": pa.array(rev)})
+
+    agg = li.map_batches(lpart, batch_format="pyarrow") \
+        .groupby("l_orderkey").aggregate(Sum("rev_micro",
+                                             alias_name="rev_micro"))
+    joined = broadcast_join(agg, o_tbl, left_on="l_orderkey",
+                            right_on="o_orderkey")
+
+    def finish(t: pa.Table) -> pa.Table:
+        rev = pc.cast(t["rev_micro"], pa.int64())
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "revenue": pc.divide(pc.cast(rev, pa.float64()), 10000.0),
+            "o_orderdate": t["o_orderdate"],
+            "o_orderpriority": t["o_orderpriority"]})
+
+    return joined.map_batches(finish, batch_format="pyarrow") \
+        .sort(["revenue", "l_orderkey"], descending=[True, False]) \
+        .limit(10)
+
+
 def q_unpivot_event_metrics(sf_dir: str):
     """UNPIVOT/melt: wide numeric columns -> long (metric, v) rows, built
     as two pruned map-side projections composed with Dataset.union — a
@@ -2663,6 +2751,7 @@ QUERIES = {
     "q_moving_sum_daily": q_moving_sum_daily,
     "q_event_transitions": q_event_transitions,
     "q_first_event_per_user": q_first_event_per_user,
+    "q_tpch_q3": q_tpch_q3,
     "q_unpivot_event_metrics": q_unpivot_event_metrics,
     "q_dup_rate_by_source": q_dup_rate_by_source,
 }
@@ -3005,6 +3094,17 @@ ORACLE_SQL = {
         "epoch_us(ts) AS first_us FROM (SELECT *, ROW_NUMBER() OVER "
         "(PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events) "
         "WHERE rn = 1",
+    "q_tpch_q3":
+        "SELECT l_orderkey, CAST(SUM(CAST(round(l_extendedprice*100) AS "
+        "BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS "
+        "DOUBLE) / 10000.0 AS revenue, o_orderdate, o_orderpriority "
+        "FROM customer, orders, lineitem "
+        "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey "
+        "AND l_orderkey = o_orderkey "
+        "AND o_orderdate < TIMESTAMP '1998-06-01' "
+        "AND l_shipdate > TIMESTAMP '1998-06-01' "
+        "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+        "ORDER BY revenue DESC, l_orderkey LIMIT 10",
     "q_unpivot_event_metrics":
         "SELECT event_id, 'value' AS metric, value AS v FROM events "
         "UNION ALL SELECT event_id, 'user_id' AS metric, "
