@@ -2254,6 +2254,74 @@ def q_tpch_q3(sf_dir: str):
         .limit(10)
 
 
+def q_late_shipments(sf_dir: str):
+    """TPC-H Q12 shape on two LARGE sides: lineitem INNER JOIN orders via
+    the keyed-exchange m:n join (stages/relational.inner_join — the
+    honest fact-fact all-to-all, no broadcast), then late-shipment
+    (shipdate > orderdate + 365d, exact epoch-us integer compare) counts
+    per order priority with batch partials bounding the final exchange
+    at |priorities| rows."""
+    from ray.data.aggregate import Sum
+
+    from ray_data_mplsh.stages.relational import inner_join
+
+    YEAR_US = np.int64(365) * 86_400_000_000
+    orders = _read_sized(sf_dir, "orders",
+                         ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = _read_sized(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    j = inner_join(li, orders, left_on="l_orderkey",
+                   right_on="o_orderkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        od = t["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        late = (sd > od + YEAR_US).astype(np.float64)
+        p = np.asarray(t["o_orderpriority"].to_pylist(), dtype=object)
+        up, inv = np.unique(p, return_inverse=True)
+        return pa.table({
+            "o_orderpriority": pa.array(up),
+            "late_cnt": pa.array(np.bincount(
+                inv, weights=late).astype(np.int64)),
+            "cnt": pa.array(np.bincount(inv).astype(np.int64))})
+
+    agg = j.map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_orderpriority").aggregate(
+            Sum("late_cnt", alias_name="late_cnt"),
+            Sum("cnt", alias_name="cnt"))
+    return agg.map_batches(
+        lambda t: pa.table({"o_orderpriority": t["o_orderpriority"],
+                            "late_cnt": pc.cast(t["late_cnt"], pa.int64()),
+                            "cnt": pc.cast(t["cnt"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_profile_events(sf_dir: str):
+    """Data-profiling operator: per-column null count + row count over
+    the events table in ONE streaming pass — the schema-health report a
+    curation pipeline runs before anything else. Per-batch partials are
+    |columns| rows; the exchange never carries data rows."""
+    from ray.data.aggregate import Sum
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ds = _read_sized(sf_dir, "events", cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "col": pa.array(cols, pa.string()),
+            "n_null": pa.array([t[c].null_count for c in cols], pa.int64()),
+            "cnt": pa.array([t.num_rows] * len(cols), pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("col").aggregate(Sum("n_null", alias_name="n_null"),
+                                  Sum("cnt", alias_name="cnt"))
+    return agg.map_batches(
+        lambda t: pa.table({"col": t["col"],
+                            "n_null": pc.cast(t["n_null"], pa.int64()),
+                            "cnt": pc.cast(t["cnt"], pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q_unpivot_event_metrics(sf_dir: str):
     """UNPIVOT/melt: wide numeric columns -> long (metric, v) rows, built
     as two pruned map-side projections composed with Dataset.union — a
@@ -2752,6 +2820,8 @@ QUERIES = {
     "q_event_transitions": q_event_transitions,
     "q_first_event_per_user": q_first_event_per_user,
     "q_tpch_q3": q_tpch_q3,
+    "q_late_shipments": q_late_shipments,
+    "q_profile_events": q_profile_events,
     "q_unpivot_event_metrics": q_unpivot_event_metrics,
     "q_dup_rate_by_source": q_dup_rate_by_source,
 }
@@ -3105,6 +3175,27 @@ ORACLE_SQL = {
         "AND l_shipdate > TIMESTAMP '1998-06-01' "
         "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
         "ORDER BY revenue DESC, l_orderkey LIMIT 10",
+    "q_late_shipments":
+        "SELECT o_orderpriority, "
+        "CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 365 DAY "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS late_cnt, "
+        "CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY o_orderpriority",
+    "q_profile_events":
+        "SELECT col, n_null, cnt FROM ("
+        "SELECT 'event_id' AS col, CAST(COUNT(*) - COUNT(event_id) AS "
+        "BIGINT) AS n_null, CAST(COUNT(*) AS BIGINT) AS cnt FROM events "
+        "UNION ALL SELECT 'ts', CAST(COUNT(*) - COUNT(ts) AS BIGINT), "
+        "CAST(COUNT(*) AS BIGINT) FROM events "
+        "UNION ALL SELECT 'user_id', CAST(COUNT(*) - COUNT(user_id) AS "
+        "BIGINT), CAST(COUNT(*) AS BIGINT) FROM events "
+        "UNION ALL SELECT 'event_type', CAST(COUNT(*) - COUNT(event_type) "
+        "AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM events "
+        "UNION ALL SELECT 'value', CAST(COUNT(*) - COUNT(value) AS "
+        "BIGINT), CAST(COUNT(*) AS BIGINT) FROM events "
+        "UNION ALL SELECT 'props', CAST(COUNT(*) - COUNT(props) AS "
+        "BIGINT), CAST(COUNT(*) AS BIGINT) FROM events)",
     "q_unpivot_event_metrics":
         "SELECT event_id, 'value' AS metric, value AS v FROM events "
         "UNION ALL SELECT event_id, 'user_id' AS metric, "

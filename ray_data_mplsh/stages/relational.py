@@ -117,8 +117,20 @@ def semi_anti_join(left, right, *, left_on: str, right_on: str,
                            default_partitions(num_partitions))
 
 
+def inner_join(left, right, *, left_on: str, right_on: str,
+               num_partitions: int = 0):
+    """Distributed INNER equi-join for two LARGE sides (neither fits a
+    broadcast): the full_outer_join exchange/expansion plan minus the
+    unmatched-row padding. Use broadcast_join when one side is a
+    dimension table; this is the honest all-to-all for fact-fact."""
+    return full_outer_join(left, right, left_on=left_on,
+                           right_on=right_on,
+                           num_partitions=num_partitions,
+                           _join_type="inner")
+
+
 def full_outer_join(left, right, *, left_on: str, right_on: str,
-                    num_partitions: int = 0):
+                    num_partitions: int = 0, _join_type: str = "full_outer"):
     """Distributed FULL OUTER equi-join on an integer key, m:n duplicate
     semantics (every left row x every right row per matched key;
     unmatched rows from either side padded with nulls).
@@ -193,6 +205,8 @@ def full_outer_join(left, right, *, left_on: str, right_on: str,
         matched = pa.table(
             {c: (matched[c] if c in lcols else rpart[c])
              for c in allcols})
+        if _join_type == "inner":
+            return matched
         return pa.concat_tables(
             [matched,
              body.take(pa.array(lonly, pa.int64())),
