@@ -2254,6 +2254,23 @@ def q_tpch_q3(sf_dir: str):
         .limit(10)
 
 
+def q_kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd's k-means over the embeddings table (iterative
+    algorithm family — see pipelines/kmeans.py): returns per-cluster
+    sizes. Rows-only (no SQL twin for iterative refinement); pinned
+    against a single-process numpy reference in tests/test_kmeans.py."""
+    import ray.data
+
+    from ray_data_mplsh.pipelines.kmeans import kmeans
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    _, _, _, counts = kmeans(ds, k=8, iters=5)
+    return pa.table({"cluster": pa.array(np.arange(len(counts),
+                                                   dtype=np.int64)),
+                     "n": pa.array(counts, pa.int64())})
+
+
 def q_late_shipments(sf_dir: str):
     """TPC-H Q12 shape on two LARGE sides: lineitem INNER JOIN orders via
     the keyed-exchange m:n join (stages/relational.inner_join — the
@@ -2821,6 +2838,7 @@ QUERIES = {
     "q_first_event_per_user": q_first_event_per_user,
     "q_tpch_q3": q_tpch_q3,
     "q_late_shipments": q_late_shipments,
+    "q_kmeans_embeddings": q_kmeans_embeddings,
     "q_profile_events": q_profile_events,
     "q_unpivot_event_metrics": q_unpivot_event_metrics,
     "q_dup_rate_by_source": q_dup_rate_by_source,
