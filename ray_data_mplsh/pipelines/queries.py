@@ -2254,6 +2254,46 @@ def q_tpch_q3(sf_dir: str):
         .limit(10)
 
 
+def q_global_rank_len(sf_dir: str):
+    """GLOBAL window ranking WITHOUT a global sort: RANK() over all docs
+    by n_chars = (# strictly smaller values) + 1, answered from the
+    value-count CDF (the q_quantiles combiner) broadcast to a map-side
+    searchsorted — one tiny exchange over |distinct lengths| rows, data
+    rows never move."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def vc(t: pa.Table) -> pa.Table:
+        vals, cnts = np.unique(
+            t["n_chars"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"v": pa.array(vals, pa.int64()),
+                         "c": pa.array(cnts, pa.int64())})
+
+    agg = ds.map_batches(vc, batch_format="pyarrow") \
+        .groupby("v").aggregate(Sum("c", alias_name="c"))
+    vs, cs = [], []
+    for b in agg.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        vs.append(b["v"].to_numpy(zero_copy_only=False).astype(np.int64))
+        cs.append(b["c"].to_numpy(zero_copy_only=False).astype(np.int64))
+    v = np.concatenate(vs) if vs else np.empty(0, np.int64)
+    c = np.concatenate(cs) if cs else np.empty(0, np.int64)
+    o = np.argsort(v, kind="stable")
+    v, c = v[o], c[o]
+    below = np.concatenate(([0], np.cumsum(c)))[:-1]  # strictly-smaller
+    ref = ray.put((v, below))
+
+    def rank(t: pa.Table) -> pa.Table:
+        vv, bb = ray.get(ref)
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = bb[np.searchsorted(vv, x)] + 1
+        return pa.table({"doc_id": t["doc_id"], "n_chars": t["n_chars"],
+                         "rnk": pa.array(r, pa.int64())})
+
+    return ds.map_batches(rank, batch_format="pyarrow")
+
+
 def q_kmeans_embeddings(sf_dir: str):
     """Distributed Lloyd's k-means over the embeddings table (iterative
     algorithm family — see pipelines/kmeans.py): returns per-cluster
@@ -2839,6 +2879,7 @@ QUERIES = {
     "q_tpch_q3": q_tpch_q3,
     "q_late_shipments": q_late_shipments,
     "q_kmeans_embeddings": q_kmeans_embeddings,
+    "q_global_rank_len": q_global_rank_len,
     "q_profile_events": q_profile_events,
     "q_unpivot_event_metrics": q_unpivot_event_metrics,
     "q_dup_rate_by_source": q_dup_rate_by_source,
@@ -3214,6 +3255,10 @@ ORACLE_SQL = {
         "BIGINT), CAST(COUNT(*) AS BIGINT) FROM events "
         "UNION ALL SELECT 'props', CAST(COUNT(*) - COUNT(props) AS "
         "BIGINT), CAST(COUNT(*) AS BIGINT) FROM events)",
+    "q_global_rank_len":
+        "SELECT doc_id, n_chars, "
+        "CAST(RANK() OVER (ORDER BY n_chars) AS BIGINT) AS rnk "
+        "FROM documents",
     "q_unpivot_event_metrics":
         "SELECT event_id, 'value' AS metric, value AS v FROM events "
         "UNION ALL SELECT event_id, 'user_id' AS metric, "
