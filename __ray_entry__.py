@@ -6,7 +6,7 @@ sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB. Ray is initialised by the driver BEFORE this module is imported:
 no ``ray.init()`` / ``ray.shutdown()`` here or anywhere in the library.
 
-Query inventory (91 entries; * = bit-exact DuckDB oracle, rest rows-only
+Query inventory (92 entries; * = bit-exact DuckDB oracle, rest rows-only
 with pytest gates — see SURVEY.md Appendix B):
   dedup family: q_exact_dedup*, q_dedup_documents, q_minhash_pairs,
     q_simhash_pairs, q_ngram_jaccard, q_embedding_near_dup,
@@ -76,6 +76,7 @@ with pytest gates — see SURVEY.md Appendix B):
     q_kmeans_embeddings (iterative distributed Lloyd's, rows-only;
     numpy-reference pinned in test_kmeans),
     q_global_rank_len* (global RANK via broadcast CDF, no global sort),
+    q_user_activity_histogram* (key-skew count-of-counts profiler),
     q_dup_rate_by_source* (dedup attribution report),
     q_distinct_users* (exact per-group COUNT DISTINCT via user-keyed
     exchange), q_left_join_counts* (LEFT OUTER join, fact side

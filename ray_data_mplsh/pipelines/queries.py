@@ -2254,6 +2254,34 @@ def q_tpch_q3(sf_dir: str):
         .limit(10)
 
 
+def q_user_activity_histogram(sf_dir: str):
+    """Key-skew profiler: the count-of-counts histogram of events per
+    user — the diagnostic that sizes hot keys BEFORE a user-keyed
+    exchange. Per-batch per-user partials -> |users|-bounded groupby ->
+    |distinct activity levels|-bounded second reduce."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read_sized(sf_dir, "events", ["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uu, inv = np.unique(uid, return_inverse=True)
+        return pa.table({"user_id": pa.array(uu, pa.int64()),
+                         "n": pa.array(np.bincount(inv).astype(np.int64))})
+
+    per_user = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Sum("n", alias_name="n_events"))
+    agg = per_user.map_batches(
+        lambda t: pa.table({"n_events": pc.cast(t["n_events"],
+                                                pa.int64())}),
+        batch_format="pyarrow") \
+        .groupby("n_events").aggregate(Count(alias_name="n_users"))
+    return agg.map_batches(
+        lambda t: pa.table({"n_events": t["n_events"],
+                            "n_users": pc.cast(t["n_users"], pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q_global_rank_len(sf_dir: str):
     """GLOBAL window ranking WITHOUT a global sort: RANK() over all docs
     by n_chars = (# strictly smaller values) + 1, answered from the
@@ -2880,6 +2908,7 @@ QUERIES = {
     "q_late_shipments": q_late_shipments,
     "q_kmeans_embeddings": q_kmeans_embeddings,
     "q_global_rank_len": q_global_rank_len,
+    "q_user_activity_histogram": q_user_activity_histogram,
     "q_profile_events": q_profile_events,
     "q_unpivot_event_metrics": q_unpivot_event_metrics,
     "q_dup_rate_by_source": q_dup_rate_by_source,
@@ -3259,6 +3288,10 @@ ORACLE_SQL = {
         "SELECT doc_id, n_chars, "
         "CAST(RANK() OVER (ORDER BY n_chars) AS BIGINT) AS rnk "
         "FROM documents",
+    "q_user_activity_histogram":
+        "SELECT n_events, CAST(COUNT(*) AS BIGINT) AS n_users FROM "
+        "(SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events "
+        "FROM events GROUP BY user_id) GROUP BY n_events",
     "q_unpivot_event_metrics":
         "SELECT event_id, 'value' AS metric, value AS v FROM events "
         "UNION ALL SELECT event_id, 'user_id' AS metric, "
