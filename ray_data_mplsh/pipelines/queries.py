@@ -2523,6 +2523,62 @@ def q_moving_sum_daily(sf_dir: str):
     return partition_apply(keyed_ds, "et_h", window, default_partitions())
 
 
+def q_moving_sum_range(sf_dir: str):
+    """TIME-based (RANGE) window frame — distinct semantics from the
+    ROWS frame of [[q_moving_sum_daily]]: per type, the sum over days in
+    [d-2, d] that EXIST, found by a searchsorted over the run's day
+    ordinals (gaps shrink the frame instead of reaching further back).
+    Same distributed integer-cents daily reduce; the frame is two
+    vectorized searchsorteds per type run."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_sized(sf_dir, "events", ["ts", "event_type", "value"])
+    US_PER_DAY = np.int64(86_400_000_000)
+
+    def add_day(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100)), pa.int64())
+        day = t["ts"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // US_PER_DAY
+        return pa.table({"event_type": t["event_type"],
+                         "day": pa.array(day, pa.int64()),
+                         "cents": cents})
+
+    daily = ds.map_batches(add_day, batch_format="pyarrow") \
+        .groupby(["event_type", "day"]).aggregate(
+            Sum("cents", alias_name="cents"))
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return t.append_column("et_h", pa.array(
+            hash_str_array(t["event_type"]), pa.uint64()))
+
+    def window(part: pa.Table) -> pa.Table:
+        et = np.asarray(part["event_type"].to_pylist(), dtype=object)
+        day = part["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = part["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, einv = np.unique(et, return_inverse=True)
+        o = np.lexsort((day, einv))
+        ei, dy, cs = einv[o], day[o], cents[o]
+        cum = np.concatenate(([0], np.cumsum(cs)))
+        starts = np.flatnonzero(np.concatenate(([True], ei[1:] != ei[:-1])))
+        run_id = np.cumsum(np.concatenate(([True],
+                                           ei[1:] != ei[:-1]))) - 1
+        # frame start: first in-run index with day >= d-2 (days are
+        # sorted within a run; offset the searchsorted into the run)
+        lo = np.empty(len(ei), np.int64)
+        ends = np.append(starts[1:], len(ei))
+        for s, e in zip(starts, ends):       # loop over TYPE RUNS
+            lo[s:e] = s + np.searchsorted(dy[s:e], dy[s:e] - 2, side="left")
+        mov = cum[np.arange(1, len(ei) + 1)] - cum[lo]
+        ts = pa.array(dy * np.int64(86_400_000_000)).cast(
+            pa.timestamp("us"))
+        return pa.table({"event_type": pa.array(et[o]),
+                         "d": pc.strftime(ts, format="%Y-%m-%d"),
+                         "mov3d": pa.array(mov.astype(np.float64) / 100.0)})
+
+    keyed_ds = daily.map_batches(keyed, batch_format="pyarrow")
+    return partition_apply(keyed_ds, "et_h", window, default_partitions())
+
+
 def _sorted_events_partition(part: pa.Table):
     """(order, uid, run-start mask) for per-user sequences ordered by
     (ts, event_id) — the shared spine of the sequence-analytics ops."""
@@ -2909,6 +2965,7 @@ QUERIES = {
     "q_kmeans_embeddings": q_kmeans_embeddings,
     "q_global_rank_len": q_global_rank_len,
     "q_user_activity_histogram": q_user_activity_histogram,
+    "q_moving_sum_range": q_moving_sum_range,
     "q_profile_events": q_profile_events,
     "q_unpivot_event_metrics": q_unpivot_event_metrics,
     "q_dup_rate_by_source": q_dup_rate_by_source,
@@ -3292,6 +3349,14 @@ ORACLE_SQL = {
         "SELECT n_events, CAST(COUNT(*) AS BIGINT) AS n_users FROM "
         "(SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events "
         "FROM events GROUP BY user_id) GROUP BY n_events",
+    "q_moving_sum_range":
+        "WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS dd, "
+        "SUM(CAST(round(value * 100) AS BIGINT)) AS cents "
+        "FROM events GROUP BY 1, 2) "
+        "SELECT event_type, strftime(dd, '%Y-%m-%d') AS d, "
+        "CAST(SUM(cents) OVER (PARTITION BY event_type ORDER BY dd "
+        "RANGE BETWEEN INTERVAL 2 DAY PRECEDING AND CURRENT ROW) "
+        "AS DOUBLE) / 100.0 AS mov3d FROM daily",
     "q_unpivot_event_metrics":
         "SELECT event_id, 'value' AS metric, value AS v FROM events "
         "UNION ALL SELECT event_id, 'user_id' AS metric, "

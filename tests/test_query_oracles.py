@@ -38,7 +38,7 @@ CHECK = ["q_word_stats", "q_doc_freq", "q_allpair_jaccard",
          "q_event_transitions", "q_first_event_per_user",
          "q_unpivot_event_metrics", "q_dup_rate_by_source", "q_tpch_q3",
          "q_late_shipments", "q_profile_events", "q_global_rank_len",
-         "q_user_activity_histogram"]
+         "q_user_activity_histogram", "q_moving_sum_range"]
 
 
 @pytest.fixture(scope="module")
@@ -70,6 +70,49 @@ def test_query_matches_oracle(ray_session, oracle_con, name):
     b = sql_df[cols].sort_values(cols).reset_index(drop=True)
     assert list(a.dtypes) == list(b.dtypes), name
     pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+def test_moving_sum_frames_with_day_gaps(ray_session, tmp_path):
+    """The sf corpora have contiguous days, where ROWS and RANGE frames
+    coincide — fuzz both window queries on gappy per-type day sets so
+    the frame semantics actually diverge, each vs its DuckDB oracle."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(17)
+    rows = []
+    base = pd.Timestamp("2024-03-01").value // 1000
+    for ty in ("a", "b", "c"):
+        days = np.unique(rng.choice(30, size=rng.integers(3, 12),
+                                    replace=False))
+        for d in days:  # gappy day grid per type
+            for _ in range(int(rng.integers(1, 4))):
+                rows.append((base + int(d) * 86_400_000_000
+                             + int(rng.integers(0, 86_400_000_000)),
+                             ty, round(float(rng.uniform(0, 99)), 2)))
+    t = pa.table({
+        "ts": pa.array([r[0] for r in rows],
+                       pa.int64()).cast(pa.timestamp("us")),
+        "event_type": pa.array([r[1] for r in rows]),
+        "value": pa.array([r[2] for r in rows], pa.float64())})
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"'{tmp_path}/events.parquet'")
+    outs = {}
+    for name in ("q_moving_sum_daily", "q_moving_sum_range"):
+        got = _as_df(QUERIES[name](str(tmp_path)))
+        want = con.sql(ORACLE_SQL[name]).df()
+        cols = sorted(want.columns)
+        a = got[cols].sort_values(cols).reset_index(drop=True)
+        b = want[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_exact=True)
+        outs[name] = a
+    # the gaps must make the two frame semantics actually differ
+    assert not outs["q_moving_sum_daily"]["mov3"].equals(
+        outs["q_moving_sum_range"]["mov3d"])
 
 
 def test_crossdoc_ngrams_hash_only_path_equal(ray_session):
