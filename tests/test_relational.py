@@ -157,6 +157,39 @@ def test_full_outer_join_matches_duckdb(ray_session):
     con.close()
 
 
+def test_inner_join_matches_duckdb(ray_session):
+    """inner_join = the full_outer expansion minus padding: m:n
+    duplicates, partially disjoint key ranges (unmatched rows on both
+    sides must be DROPPED), several partition counts — vs DuckDB."""
+    import duckdb
+    import pandas as pd
+
+    from ray_data_mplsh.stages.relational import inner_join
+
+    rng = np.random.Generator(np.random.PCG64(13))
+    left = pa.table({
+        "k": pa.array(rng.integers(0, 60, 400), pa.int64()),
+        "lv": pa.array(rng.integers(0, 10**6, 400), pa.int64())})
+    right = pa.table({
+        "rk": pa.array(rng.integers(30, 90, 250), pa.int64()),
+        "rv": pa.array(rng.integers(0, 10**6, 250), pa.int64())})
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    want = con.sql(
+        "SELECT k, lv, rk, rv FROM l JOIN r ON l.k = r.rk").df()
+    cols = list(want.columns)
+    want = want.sort_values(cols).reset_index(drop=True)
+    for parts in (1, 7):
+        got = inner_join(
+            from_arrow_blocks(left, target_rows=64),
+            from_arrow_blocks(right, target_rows=64),
+            left_on="k", right_on="rk", num_partitions=parts
+        ).to_pandas()[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_exact=True)
+    con.close()
+
+
 def test_full_outer_join_empty_side(ray_session):
     from ray_data_mplsh.stages.relational import full_outer_join
 
