@@ -6,7 +6,7 @@ sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB. Ray is initialised by the driver BEFORE this module is imported:
 no ``ray.init()`` / ``ray.shutdown()`` here or anywhere in the library.
 
-Query inventory (93 entries; * = bit-exact DuckDB oracle, rest rows-only
+Query inventory (94 entries; * = bit-exact DuckDB oracle, rest rows-only
 with pytest gates — see SURVEY.md Appendix B):
   dedup family: q_exact_dedup*, q_dedup_documents, q_minhash_pairs,
     q_simhash_pairs, q_ngram_jaccard, q_embedding_near_dup,
@@ -78,6 +78,7 @@ with pytest gates — see SURVEY.md Appendix B):
     q_global_rank_len* (global RANK via broadcast CDF, no global sort),
     q_user_activity_histogram* (key-skew count-of-counts profiler),
     q_moving_sum_range* (time-based RANGE window frame; gappy-day fuzz),
+    q_pattern_counts* (actor-pool regex scan, Arrow RE2 kernel),
     q_dup_rate_by_source* (dedup attribution report),
     q_distinct_users* (exact per-group COUNT DISTINCT via user-keyed
     exchange), q_left_join_counts* (LEFT OUTER join, fact side

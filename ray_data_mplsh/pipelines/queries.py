@@ -2254,6 +2254,37 @@ def q_tpch_q3(sf_dir: str):
         .limit(10)
 
 
+class _PatternScanner:
+    """Actor-pool text-pattern scan stage (the stateful map_batches
+    pattern: registry/setup once per actor in __init__, vectorized work
+    per batch in __call__ — the slot where a PII model or a big compiled
+    automaton would live). Counting uses Arrow's RE2 kernel, the same
+    engine DuckDB uses, so the counts are oracle-exact."""
+
+    PATTERNS = {"n_long_words": "[a-z]{6,}", "n_vowel_runs": "[aeiou]{2,}"}
+
+    def __init__(self):
+        self.patterns = dict(self.PATTERNS)  # per-actor registry
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out = {"doc_id": t["doc_id"]}
+        for name, pat in self.patterns.items():
+            out[name] = pc.cast(
+                pc.count_substring_regex(t["text"], pattern=pat),
+                pa.int64())
+        return pa.table(out)
+
+
+def q_pattern_counts(sf_dir: str):
+    """Per-doc regex pattern counts on an ACTOR POOL — map-side only, no
+    exchange; see _PatternScanner. Autoscaling (1, 4) pool: a FIXED pool
+    of cluster-width actors reserves every CPU and starves the upstream
+    read tasks (deadlocks a 4-CPU test session)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(_PatternScanner, batch_format="pyarrow",
+                          concurrency=(1, 4))
+
+
 def q_user_activity_histogram(sf_dir: str):
     """Key-skew profiler: the count-of-counts histogram of events per
     user — the diagnostic that sizes hot keys BEFORE a user-keyed
@@ -2966,6 +2997,7 @@ QUERIES = {
     "q_global_rank_len": q_global_rank_len,
     "q_user_activity_histogram": q_user_activity_histogram,
     "q_moving_sum_range": q_moving_sum_range,
+    "q_pattern_counts": q_pattern_counts,
     "q_profile_events": q_profile_events,
     "q_unpivot_event_metrics": q_unpivot_event_metrics,
     "q_dup_rate_by_source": q_dup_rate_by_source,
@@ -3357,6 +3389,12 @@ ORACLE_SQL = {
         "CAST(SUM(cents) OVER (PARTITION BY event_type ORDER BY dd "
         "RANGE BETWEEN INTERVAL 2 DAY PRECEDING AND CURRENT ROW) "
         "AS DOUBLE) / 100.0 AS mov3d FROM daily",
+    "q_pattern_counts":
+        "SELECT doc_id, "
+        "CAST(len(regexp_extract_all(text, '[a-z]{6,}')) AS BIGINT) "
+        "AS n_long_words, "
+        "CAST(len(regexp_extract_all(text, '[aeiou]{2,}')) AS BIGINT) "
+        "AS n_vowel_runs FROM documents",
     "q_unpivot_event_metrics":
         "SELECT event_id, 'value' AS metric, value AS v FROM events "
         "UNION ALL SELECT event_id, 'user_id' AS metric, "

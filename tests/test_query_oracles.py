@@ -38,7 +38,8 @@ CHECK = ["q_word_stats", "q_doc_freq", "q_allpair_jaccard",
          "q_event_transitions", "q_first_event_per_user",
          "q_unpivot_event_metrics", "q_dup_rate_by_source", "q_tpch_q3",
          "q_late_shipments", "q_profile_events", "q_global_rank_len",
-         "q_user_activity_histogram", "q_moving_sum_range"]
+         "q_user_activity_histogram", "q_moving_sum_range",
+         "q_pattern_counts"]
 
 
 @pytest.fixture(scope="module")
