@@ -116,6 +116,33 @@ def test_moving_sum_frames_with_day_gaps(ray_session, tmp_path):
         outs["q_moving_sum_range"]["mov3d"])
 
 
+def test_mode_tie_break_tie_heavy(ray_session, tmp_path):
+    """q_mode_event_type's lexicographic tie-break, fuzzed where ties are
+    GUARANTEED (tiny per-user counts over few types) — the sf corpora
+    rarely produce exact count ties."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(23)
+    n = 300
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 40, n).astype(np.int64)),
+        "event_type": pa.array(
+            rng.choice(["z", "a", "m"], n).astype(object))})
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = _as_df(QUERIES["q_mode_event_type"](str(tmp_path)))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"'{tmp_path}/events.parquet'")
+    want = con.sql(ORACLE_SQL["q_mode_event_type"]).df()
+    cols = sorted(want.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
 def test_crossdoc_ngrams_hash_only_path_equal(ray_session):
     """Scale mode (128-bit gram keys, no gram strings shuffled) must
     produce the identical coverage table as the oracle string mode."""
