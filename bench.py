@@ -88,6 +88,10 @@ def bench_default() -> None:
         "metric": "e2e_dedup_wall",
         "value": headline_s,
         "unit": "sec",
+        # self-describing protocol: 'value' is the min over
+        # 'headline_samples' (single-run records like BENCH_r01 predate
+        # this field and are protocol 'single-run')
+        "protocol": f"min-of-{max(HEADLINE_REPS, 1)}",
         "queries": qtimes,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,

@@ -53,6 +53,20 @@ def hash_str_array(values) -> np.ndarray:
     return pd.util.hash_array(arr, categorize=False).astype(np.uint64)
 
 
+def knuth_hash32(ids: np.ndarray) -> np.ndarray:
+    """SQL-replayable 32-bit multiplicative hash of integer ids: the HIGH
+    word of (id mod 2^32) * 2654435761 (Fibonacci hashing proper).
+
+    Sampling decisions (``h % m``, ``h % m < w``) must be derived from
+    these HIGH bits: the multiplier is odd with K ≡ 1 (mod 8), so the low
+    bits of the low product word are the id's own low bits — a power-of-two
+    modulus on the low word is systematic id-stride sampling, not hashing.
+    DuckDB replay: ``((id % 4294967296) * 2654435761::HUGEINT) //
+    4294967296``."""
+    ids = np.asarray(ids, dtype=np.uint64)
+    return ((ids % U64(2**32)) * U64(2654435761)) >> U64(32)
+
+
 def hash_bytes_u64(data: bytes) -> int:
     """Single-value deterministic 64-bit hash of a byte string."""
     return int(pd.util.hash_array(np.array([data], dtype=object),
@@ -177,11 +191,14 @@ def minhash_signatures(shingles: np.ndarray, offsets: np.ndarray,
 # --- O(n) rolling polynomial window hashes ---------------------------------
 
 def _inv_u64(a: np.uint64) -> np.uint64:
-    """Multiplicative inverse of an odd a mod 2^64 (Newton iteration)."""
-    x = a
-    for _ in range(6):
-        x = x * (U64(2) - a * x)
-    return x
+    """Multiplicative inverse of an odd a mod 2^64 (Newton iteration).
+    Wraparound is the intended mod-2^64 arithmetic; errstate silences the
+    numpy scalar overflow warnings it would otherwise emit at import."""
+    with np.errstate(over="ignore"):
+        x = a
+        for _ in range(6):
+            x = x * (U64(2) - a * x)
+        return x
 
 
 _POLY_Q = _inv_u64(_POLY_P)          # P is odd -> invertible mod 2^64

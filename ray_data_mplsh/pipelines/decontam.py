@@ -68,9 +68,18 @@ def contains_any(ds, snippets: list[str], *, text_col: str = "text",
             cand = valid & (hs[i] == g)
             for p in np.flatnonzero(cand):
                 d = doc[p]
-                if not hit_doc[d] and np.array_equal(
-                        data[p:p + length], blist[i[p]]):
-                    hit_doc[d] = True
+                if hit_doc[d]:
+                    continue
+                # walk the FULL run of snippets sharing this 64-bit hash
+                # (searchsorted is leftmost): two distinct same-length
+                # snippets colliding on the hash must each be byte-checked,
+                # or a real containment could be silently missed
+                j = i[p]
+                while j < len(hs) and hs[j] == g[p]:
+                    if np.array_equal(data[p:p + length], blist[j]):
+                        hit_doc[d] = True
+                        break
+                    j += 1
         keep = ~hit_doc if invert else hit_doc
         return t.select([id_col]).filter(pa.array(keep))
 

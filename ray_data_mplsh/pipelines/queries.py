@@ -17,7 +17,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ray_data_mplsh.config import MPLSHConfig
-from ray_data_mplsh.functions.hashing import hash_str_array
+from ray_data_mplsh.functions.hashing import hash_str_array, knuth_hash32
 from ray_data_mplsh.stages.shuffle import (
     broadcast_join, default_partitions, group_runs, partition_apply,
 )
@@ -700,16 +700,15 @@ def q_events_sliding(sf_dir: str):
 
 def q_sample(sf_dir: str):
     """Deterministic 1-in-20 sample (op 32) via a multiplicative hash both
-    engines compute identically (Knuth constant mod 2^32) — bit-exact vs
-    the DuckDB oracle, unlike RNG sampling whose stream is
-    engine-specific. The hash is uniform enough for QA sampling and needs
-    no broadcast state."""
+    engines compute identically (high word of Knuth-constant product, see
+    knuth_hash32) — bit-exact vs the DuckDB oracle, unlike RNG sampling
+    whose stream is engine-specific. The hash is uniform enough for QA
+    sampling and needs no broadcast state."""
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
 
     def pick(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = ((ids % np.uint64(2**32)) * np.uint64(2654435761)) \
-            % np.uint64(2**32)
+        h = knuth_hash32(
+            t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64))
         return t.filter(pa.array(h % np.uint64(20) == 0))
 
     return ds.map_batches(pick, batch_format="pyarrow")
@@ -822,8 +821,7 @@ def q_stratified_sample(sf_dir: str):
     def pick(part: pa.Table) -> pa.Table:
         lang = np.asarray(part["lang"].to_pylist(), dtype=object)
         did = part["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = ((did % np.uint64(2**32)) * np.uint64(2654435761)) \
-            % np.uint64(2**32)
+        h = knuth_hash32(did)
         _, inv = np.unique(lang, return_inverse=True)
         o = np.lexsort((did, h, inv))
         gi = inv[o]
@@ -1398,9 +1396,8 @@ def q_mixture_sample(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "source", "lang"])
 
     def pick(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = ((ids % np.uint64(2**32)) * np.uint64(2654435761)) \
-            % np.uint64(2**32)
+        h = knuth_hash32(
+            t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64))
         m = np.full(t.num_rows, 8, np.uint64)
         m[pc.is_in(t["source"], value_set=pa.array(["src0", "src1"]))
           .to_numpy(zero_copy_only=False)] = 2
@@ -1601,9 +1598,8 @@ def q_curation_e2e(sf_dir: str):
         return part.take(pa.array(o[first])).drop_columns(["_th"])
 
     def finish(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = ((ids % np.uint64(2**32)) * np.uint64(2654435761)) \
-            % np.uint64(2**32)
+        h = knuth_hash32(
+            t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64))
         m = np.full(t.num_rows, 8, np.uint64)
         m[pc.is_in(t["source"], value_set=pa.array(["src0", "src1"]))
           .to_numpy(zero_copy_only=False)] = 2
@@ -2124,9 +2120,8 @@ def q_weighted_sample(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
 
     def pick(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = ((ids % np.uint64(2**32)) * np.uint64(2654435761)) \
-            % np.uint64(2**32)
+        h = knuth_hash32(
+            t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64))
         w = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.uint64)
         return t.filter(pa.array(h % np.uint64(1000) < w))
 
@@ -3122,7 +3117,7 @@ ORACLE_SQL = {
     "q_sample":
         "SELECT doc_id, lang, n_chars FROM documents "
         "WHERE ((doc_id % 4294967296) * 2654435761::HUGEINT) "
-        "% 4294967296 % 20 = 0",
+        "// 4294967296 % 20 = 0",
     "q_quantiles":
         " UNION ALL ".join(
             f"SELECT {q}::DOUBLE AS q, quantile_disc(n_chars, {q}) "
@@ -3137,7 +3132,7 @@ ORACLE_SQL = {
         "SELECT doc_id, lang FROM ("
         "SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang "
         "ORDER BY ((doc_id % 4294967296) * 2654435761::HUGEINT) "
-        "% 4294967296, doc_id) AS rk FROM documents) WHERE rk <= 2",
+        "// 4294967296, doc_id) AS rk FROM documents) WHERE rk <= 2",
     "q_heavy_hitters_exact":
         "SELECT source AS key, CAST(count(*) AS BIGINT) AS cnt "
         "FROM documents GROUP BY source ORDER BY cnt DESC, key LIMIT 5",
@@ -3252,7 +3247,7 @@ ORACLE_SQL = {
         "AS n_shared FROM g JOIN c USING (gram) GROUP BY g.doc_id",
     "q_mixture_sample":
         "SELECT doc_id, source, lang FROM documents WHERE "
-        "((doc_id % 4294967296) * 2654435761::HUGEINT) % 4294967296 "
+        "((doc_id % 4294967296) * 2654435761::HUGEINT) // 4294967296 "
         "% (CASE WHEN source IN ('src0', 'src1') THEN 2 "
         "WHEN source IN ('src2', 'src3') THEN 4 ELSE 8 END) = 0",
     "q_prefix_dup_groups":
@@ -3313,7 +3308,7 @@ ORACLE_SQL = {
     "q_weighted_sample":
         "SELECT doc_id, lang, n_chars FROM documents "
         "WHERE ((doc_id % 4294967296) * 2654435761::HUGEINT) "
-        "% 4294967296 % 1000 < n_chars",
+        "// 4294967296 % 1000 < n_chars",
     "q_lang_sources_agg":
         "SELECT lang, string_agg(DISTINCT source, ',' ORDER BY source) "
         "AS sources FROM documents GROUP BY lang",
@@ -3492,7 +3487,7 @@ ORACLE_SQL = {
         "d AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY text), "
         "k AS (SELECT f.* FROM f JOIN d USING (doc_id)), "
         "m AS (SELECT * FROM k WHERE "
-        "((doc_id % 4294967296) * 2654435761::HUGEINT) % 4294967296 "
+        "((doc_id % 4294967296) * 2654435761::HUGEINT) // 4294967296 "
         "% (CASE WHEN source IN ('src0', 'src1') THEN 2 "
         "WHEN source IN ('src2', 'src3') THEN 4 ELSE 8 END) = 0) "
         "SELECT doc_id, lang, source, "

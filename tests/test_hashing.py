@@ -187,3 +187,29 @@ def test_winnow_batch_empty_and_unicode():
     for i, t in enumerate(texts):
         f = np.unique(winnow_fingerprints(t, 5, 4)[0])
         assert np.array_equal(fp[di == i], f)
+
+
+def test_utf8_flat_offset_widths():
+    """large_string (int64 offsets) and sliced arrays must decode to the
+    same (offsets, bytes) as the plain string (int32 offsets) path — an
+    int32 read of an int64 buffer returns garbage with no error."""
+    import pyarrow as pa
+
+    from ray_data_mplsh.stages.output import _utf8_flat
+
+    texts = ["ab", "c", "", "défg", "hij" * 40]
+    want_off, want_data = _utf8_flat(pa.array(texts, pa.string()))
+    for typ in (pa.large_string(), pa.string()):
+        off, data = _utf8_flat(pa.array(texts, typ))
+        assert np.array_equal(off, want_off), typ
+        assert np.array_equal(data, want_data), typ
+        # sliced array: non-zero col.offset path
+        off, data = _utf8_flat(pa.array(texts, typ).slice(1, 3))
+        woff, wdata = _utf8_flat(pa.array(texts[1:4], pa.string()))
+        assert np.array_equal(off, woff), typ
+        assert np.array_equal(data, wdata), typ
+    # binary flavors route through the same branches
+    boff, bdata = _utf8_flat(pa.array([t.encode() for t in texts],
+                                      pa.large_binary()))
+    assert np.array_equal(boff, want_off)
+    assert np.array_equal(bdata, want_data)
