@@ -2273,12 +2273,16 @@ class _PatternScanner:
 
 def q_pattern_counts(sf_dir: str):
     """Per-doc regex pattern counts on an ACTOR POOL — map-side only, no
-    exchange; see _PatternScanner. Autoscaling (1, 4) pool: a FIXED pool
-    of cluster-width actors reserves every CPU and starves the upstream
-    read tasks (deadlocks a 4-CPU test session)."""
+    exchange; see _PatternScanner. Autoscaling (1, CPUs-1) pool: the min=1
+    floor keeps a 4-CPU test session from deadlocking (a FIXED pool of
+    cluster-width actors reserves every CPU and starves the upstream read
+    tasks), while the pool_size() ceiling lets the scan use the whole
+    cluster instead of the former hard cap of 4 actors."""
+    from ray_data_mplsh.stages.shuffle import pool_size
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(_PatternScanner, batch_format="pyarrow",
-                          concurrency=(1, 4))
+                          concurrency=(1, pool_size()))
 
 
 def q_user_activity_histogram(sf_dir: str):

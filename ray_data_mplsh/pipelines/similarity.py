@@ -5,8 +5,10 @@ vectors [MPLSH §2] — realized Ray-Data-first over the testdata
 ``embeddings`` table (vec_id:int64, embedding:list<float>, label:int32):
 
 * ``knn_bruteforce``: exact cosine top-k — the query matrix is broadcast
-  once via ``ray.put``; every batch does one NumPy matmul against it; a
-  driver-side heap merges per-batch top-k (k * n_queries rows, tiny).
+  once via ``ray.put``; every batch does one NumPy matmul against it; the
+  per-batch partial top-k rows are merged by a DISTRIBUTED query-keyed
+  exchange (``_merge_topk``), so the driver only ever sees the final
+  k * n_queries rows.
 * ``knn_lsh``: the scale path — random-hyperplane LSH (SimHash for
   vectors, [Charikar02]) with MULTI-PROBE probing: query buckets plus the
   lowest-|margin| bit-flip buckets, score-ordered per [MPLSH §4.3] via
@@ -51,6 +53,55 @@ def _topk_per_query(q: np.ndarray, v: np.ndarray, c: np.ndarray, k: int
     rank = np.arange(len(qs)) - starts[run_id]
     sel = o[rank < k]
     return q[sel], v[sel], c[sel]
+
+
+_KNN_SCHEMA = pa.schema([("query_id", pa.int64()), ("vec_id", pa.int64()),
+                         ("cosine", pa.float64())])
+
+
+def _knn_table(q: np.ndarray, v: np.ndarray, c: np.ndarray) -> pa.Table:
+    return pa.Table.from_arrays([
+        pa.array(np.asarray(q, np.int64), pa.int64()),
+        pa.array(np.asarray(v, np.int64), pa.int64()),
+        pa.array(np.asarray(c, np.float64), pa.float64())],
+        schema=_KNN_SCHEMA)
+
+
+def _merge_topk(cand, k: int, n_queries: int) -> pa.Table:
+    """Distributed final top-k merge over per-batch partials.
+
+    ONE query_id-keyed exchange reduces the O(#batches * k * nq) partial
+    rows to <= k rows per query INSIDE the cluster; the driver collects
+    only the final k*nq rows. (Replaces the former driver-side pandas
+    gather, which at 100 TB — millions of batches — would have collected
+    hundreds of millions of candidate rows on one node.) Exact (q, v)
+    duplicates (the same candidate via several LSH tables / probe lists)
+    are dropped inside the exchange: a pair's rows all carry the same
+    query_id, so they meet in one partition."""
+    from ray_data_mplsh.stages.shuffle import (
+        default_partitions, partition_apply,
+    )
+
+    # at most n_queries partitions are non-empty — don't pay for more
+    P = max(min(default_partitions(0), max(n_queries, 1)), 1)
+
+    def reduce_part(part: pa.Table) -> pa.Table:
+        q = part["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = part["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = part["cosine"].to_numpy(zero_copy_only=False)
+        return _knn_table(*_topk_per_query(q, v, c, k))
+
+    merged = partition_apply(cand, "query_id", reduce_part, P)
+    parts = [b for b in merged.iter_batches(batch_size=65536,
+                                            batch_format="pyarrow")]
+    if not parts:
+        return _KNN_SCHEMA.empty_table()
+    out = pa.concat_tables(parts)
+    q = out["query_id"].to_numpy(zero_copy_only=False)
+    v = out["vec_id"].to_numpy(zero_copy_only=False)
+    c = out["cosine"].to_numpy(zero_copy_only=False)
+    o = np.lexsort((v, -c, q))
+    return out.take(pa.array(o))
 
 
 def _emb_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
@@ -106,22 +157,20 @@ def knn_bruteforce(embeddings, query_ids: np.ndarray, queries: np.ndarray,
                    k: int = 10):
     """Exact cosine top-k of each query against the full table.
 
-    Per-batch partial top-k streams out of the cluster; the final exact
-    merge over (#batches * k * nq) rows happens driver-side (tiny).
-    Returns a pyarrow table (query_id, vec_id, cosine) with k rows/query.
-    """
+    Per-batch partial top-k (k rows/query/batch) feeds the distributed
+    query-keyed merge (_merge_topk); only the final k*nq rows reach the
+    driver. Returns a pyarrow table (query_id, vec_id, cosine)."""
     import ray
+
+    from ray_data_mplsh.stages.shuffle import pool_size
 
     q_ref = ray.put((np.asarray(query_ids, np.int64),
                      np.asarray(queries, np.float32)))
     partial = embeddings.map_batches(
         _BruteScorer, fn_constructor_args=(q_ref, k),
-        batch_format="pyarrow", batch_size=4096, concurrency=(1, 4),
-        num_cpus=1).to_pandas()
-    out = partial.sort_values(["query_id", "cosine", "vec_id"],
-                              ascending=[True, False, True]) \
-        .groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    return pa.Table.from_pandas(out, preserve_index=False)
+        batch_format="pyarrow", batch_size=4096,
+        concurrency=(1, pool_size()), num_cpus=1)
+    return _merge_topk(partial, k, len(query_ids))
 
 
 def _hyperplanes(d: int, n_bits: int, seed: int) -> np.ndarray:
@@ -167,7 +216,8 @@ def knn_lsh(embeddings, query_ids: np.ndarray, queries: np.ndarray,
 
     Data side: each vector lands in 1 bucket per table. Query side: the
     exact bucket + (n_probes-1) perturbed buckets per table. Candidates
-    are exact-cosine-scored and merged driver-side.
+    are exact-cosine-scored per batch and merged by the distributed
+    query-keyed top-k exchange (_merge_topk).
     """
     import ray
 
@@ -249,14 +299,13 @@ def knn_lsh(embeddings, query_ids: np.ndarray, queries: np.ndarray,
                              "vec_id": pa.array(ov, pa.int64()),
                              "cosine": pa.array(oc, pa.float64())})
 
+    from ray_data_mplsh.stages.shuffle import pool_size
+
     cand = embeddings.map_batches(Prober, batch_format="pyarrow",
-                                  batch_size=4096, concurrency=(1, 4),
-                                  num_cpus=1).to_pandas()
-    cand = cand.drop_duplicates(["query_id", "vec_id"])
-    out = cand.sort_values(["query_id", "cosine", "vec_id"],
-                           ascending=[True, False, True]) \
-        .groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    return pa.Table.from_pandas(out, preserve_index=False)
+                                  batch_size=4096,
+                                  concurrency=(1, pool_size()), num_cpus=1)
+    # (q, v) duplicates from several tables dedup inside the keyed merge
+    return _merge_topk(cand, k, len(qids))
 
 
 def knn_ivf(embeddings, query_ids: np.ndarray, queries: np.ndarray,
@@ -267,7 +316,8 @@ def knn_ivf(embeddings, query_ids: np.ndarray, queries: np.ndarray,
 
     Scale shape: the centroid matrix is tiny and broadcast; assignment is
     one matmul per batch; each batch contributes candidates only for the
-    queries probing its vectors' centroids. Exact re-rank driver-side.
+    queries probing its vectors' centroids; the exact re-rank runs in the
+    distributed query-keyed top-k exchange (_merge_topk).
     """
     import ray
 
@@ -332,16 +382,8 @@ def knn_ivf(embeddings, query_ids: np.ndarray, queries: np.ndarray,
                          "cosine": pa.array(oc)})
 
     cand = embeddings.map_batches(scan, batch_format="pyarrow",
-                                  batch_size=4096).to_pandas()
-    if cand.empty:
-        return pa.table({"query_id": pa.array([], pa.int64()),
-                         "vec_id": pa.array([], pa.int64()),
-                         "cosine": pa.array([], pa.float64())})
-    out = cand.drop_duplicates(["query_id", "vec_id"]) \
-        .sort_values(["query_id", "cosine", "vec_id"],
-                     ascending=[True, False, True]) \
-        .groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    return pa.Table.from_pandas(out, preserve_index=False)
+                                  batch_size=4096)
+    return _merge_topk(cand, k, len(qids))
 
 
 def embedding_near_dup(embeddings, *, threshold: float = 0.95,

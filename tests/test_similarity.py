@@ -118,6 +118,34 @@ def test_knn_ivf_recall_vs_bruteforce(emb_data):
     assert hits / (nq * k) >= 0.8, f"IVF recall {hits/(nq*k):.2f}"
 
 
+def test_merge_topk_equals_pandas_reference(ray_session):
+    """The distributed query-keyed top-k merge must be bit-identical to
+    the former driver-side pandas gather (drop_duplicates + sort +
+    groupby.head(k)) on partials with duplicate (q, v) rows and ties."""
+    import pandas as pd
+    import ray.data
+
+    from ray_data_mplsh.pipelines.similarity import _merge_topk
+    from ray_data_mplsh.stages.shuffle import from_arrow_blocks
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    nq, k, n = 6, 5, 4000
+    q = rng.integers(0, nq, n).astype(np.int64)
+    v = rng.integers(0, 300, n).astype(np.int64)
+    # quantized cosines force ties; duplicates get IDENTICAL cosine (the
+    # real invariant: the same candidate scored in two LSH tables)
+    c = np.round(rng.random(300), 2)[v]
+    tbl = pa.table({"query_id": pa.array(q), "vec_id": pa.array(v),
+                    "cosine": pa.array(c, pa.float64())})
+    got = _merge_topk(from_arrow_blocks(tbl, target_rows=256),
+                      k, nq).to_pandas()
+    want = tbl.to_pandas().drop_duplicates(["query_id", "vec_id"]) \
+        .sort_values(["query_id", "cosine", "vec_id"],
+                     ascending=[True, False, True]) \
+        .groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
+
+
 def test_embedding_near_dup_finds_planted(emb_data):
     from ray_data_mplsh.pipelines.similarity import embedding_near_dup
 
