@@ -460,13 +460,26 @@ def q_knn_ivf(sf_dir: str):
     return knn_ivf(emb, ids, q, k=_KNN_K)
 
 
+_ENDUP_THRESHOLD = 0.45
+
+
 def q_embedding_near_dup(sf_dir: str):
-    """Embedding-cosine near-dup pairs (rows-only; precision/recall gated
-    in pytest)."""
+    """Embedding-cosine similarity self-join at a data-calibrated
+    threshold. The sf fixtures plant no near-identical vectors (max
+    pairwise cosine ~0.51), so the driver row runs the engine's EXACT
+    broadcast path (embedding_near_dup's small-side gate) at 0.45 — this
+    makes the row non-vacuous AND bit-checkable against the
+    list_cosine_similarity oracle; the LSH-bucketed scale path of the same
+    operator is recall-gated on planted near-dups in
+    tests/test_similarity.py. Cosine is dropped from the surface (the
+    oracle's float32 kernel rounds differently); the pair SET is exact —
+    the nearest pairwise cosine sits >= 1e-4 from the threshold at every
+    sf, orders of magnitude beyond the float32/float64 disagreement."""
     from ray_data_mplsh.pipelines.similarity import embedding_near_dup
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return embedding_near_dup(emb, threshold=0.9)
+    t = embedding_near_dup(emb, threshold=_ENDUP_THRESHOLD)
+    return t.select(["a", "b"])
 
 
 # --- language ID (n-gram/marker heuristic with exact SQL parity) -----------
@@ -3118,6 +3131,11 @@ ORACLE_SQL = {
         "r AS (SELECT query_id, vec_id, ROW_NUMBER() OVER "
         "(PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rk FROM s) "
         f"SELECT query_id, vec_id FROM r WHERE rk <= {_KNN_K}",
+    "q_embedding_near_dup":
+        "SELECT a.vec_id AS a, b.vec_id AS b "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "AND list_cosine_similarity(a.embedding, b.embedding) "
+        f">= {_ENDUP_THRESHOLD}",
     "q_sample":
         "SELECT doc_id, lang, n_chars FROM documents "
         "WHERE ((doc_id % 4294967296) * 2654435761::HUGEINT) "

@@ -386,16 +386,84 @@ def knn_ivf(embeddings, query_ids: np.ndarray, queries: np.ndarray,
     return _merge_topk(cand, k, len(qids))
 
 
+def _near_dup_exact(embeddings, threshold: float) -> pa.Table:
+    """Exact small-side cosine threshold self-join: the full normalized
+    matrix is broadcast ONCE (n * d floats — the gate guarantees it is
+    broadcast-sized), every batch does one float64 matmul against it and
+    emits only its (a < b, cos >= threshold) pairs, so each unordered pair
+    surfaces exactly once and no shuffle is needed. float64 throughout so
+    the threshold compare agrees with a double-precision SQL oracle."""
+    import ray
+
+    from ray_data_mplsh.stages.shuffle import cached_get
+
+    ids_l, m_l = [], []
+    for b in embeddings.iter_batches(batch_size=8192,
+                                     batch_format="pyarrow"):
+        ids_l.append(b["vec_id"].to_numpy(zero_copy_only=False)
+                     .astype(np.int64))
+        m_l.append(_emb_matrix(b).astype(np.float64))
+    if not ids_l:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    all_ids = np.concatenate(ids_l)
+    allm = np.concatenate(m_l, axis=0)
+    n = np.linalg.norm(allm, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    allm /= n
+    ref = ray.put((all_ids, allm))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        gids, gm = cached_get(ref)
+        mb = _emb_matrix(batch).astype(np.float64)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if mb.size == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        nb = np.linalg.norm(mb, axis=1, keepdims=True)
+        nb[nb == 0] = 1.0
+        mb /= nb
+        sims = mb @ gm.T                        # (B, n)
+        mask = (sims >= threshold) & (ids[:, None] < gids[None, :])
+        i, j = np.nonzero(mask)
+        return pa.table({"a": pa.array(ids[i], pa.int64()),
+                         "b": pa.array(gids[j], pa.int64()),
+                         "cosine": pa.array(sims[i, j], pa.float64())})
+
+    parts = [b for b in embeddings.map_batches(
+        scan, batch_format="pyarrow", batch_size=4096)
+        .iter_batches(batch_size=65536, batch_format="pyarrow")]
+    if not parts or sum(t.num_rows for t in parts) == 0:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    out = pa.concat_tables(parts)
+    order = pc.sort_indices(
+        out, sort_keys=[("a", "ascending"), ("b", "ascending")])
+    return out.take(order)
+
+
 def embedding_near_dup(embeddings, *, threshold: float = 0.95,
                        n_bits: int = 10, n_tables: int = 6,
                        seed: int = 0xC0FFEE, num_partitions: int = 0,
-                       bucket_cap: int = 256):
+                       bucket_cap: int = 256, exact_max_vecs: int = 20_000):
     """Embedding-cosine near-dup pairs: hyperplane buckets -> within-bucket
     exact cosine -> pairs >= threshold. The vectors ride through the
-    shuffle as columns (d floats/row), pairing is vectorized per bucket."""
+    shuffle as columns (d floats/row), pairing is vectorized per bucket.
+
+    Hybrid plan like every small-side gate in this engine: at or below
+    ``exact_max_vecs`` vectors the EXACT broadcast threshold-join runs
+    instead (recall 1.0 by construction, O(n^2 d) flops — cheap at
+    broadcast sizes); above it, the LSH-bucketed approximate path (recall
+    gated in tests on planted near-dups). ``exact_max_vecs=0`` forces the
+    LSH path."""
     from ray_data_mplsh.stages.shuffle import default_partitions
 
     P = default_partitions(num_partitions)
+    if exact_max_vecs > 0 and embeddings.count() <= exact_max_vecs:
+        return _near_dup_exact(embeddings, threshold)
 
     def bucketize(batch: pa.Table) -> pa.Table:
         m = _normalize(_emb_matrix(batch).astype(np.float32))

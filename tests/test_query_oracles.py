@@ -39,14 +39,15 @@ CHECK = ["q_word_stats", "q_doc_freq", "q_allpair_jaccard",
          "q_unpivot_event_metrics", "q_dup_rate_by_source", "q_tpch_q3",
          "q_late_shipments", "q_profile_events", "q_global_rank_len",
          "q_user_activity_histogram", "q_moving_sum_range",
-         "q_pattern_counts"]
+         "q_pattern_counts", "q_embedding_near_dup", "q_sample",
+         "q_stratified_sample"]
 
 
 @pytest.fixture(scope="module")
 def oracle_con():
     con = duckdb.connect()
     for tbl in ("documents", "events", "customer", "orders", "supplier",
-                "lineitem"):
+                "lineitem", "embeddings", "region", "nation"):
         con.sql(f"CREATE VIEW {tbl} AS "
                 f"SELECT * FROM '{SF_DIR}/{tbl}.parquet'")
     yield con

@@ -118,6 +118,29 @@ def test_knn_ivf_recall_vs_bruteforce(emb_data):
     assert hits / (nq * k) >= 0.8, f"IVF recall {hits/(nq*k):.2f}"
 
 
+def test_embedding_near_dup_exact_path_matches_numpy(emb_data):
+    """The small-side EXACT broadcast path (default gate) must return
+    precisely the numpy all-pairs >= threshold set, pairs a < b, and be a
+    superset of whatever the LSH path finds."""
+    from ray_data_mplsh.pipelines.similarity import embedding_near_dup
+
+    ds, tbl, m, ids, _ = emb_data
+    thr = 0.95
+    res = embedding_near_dup(ds, threshold=thr).to_pandas()
+    m64 = m.astype(np.float64)
+    m64 /= np.linalg.norm(m64, axis=1, keepdims=True)
+    sims = m64 @ m64.T
+    i, j = np.triu_indices(len(ids), k=1)
+    hit = sims[i, j] >= thr
+    want = {(int(ids[a]), int(ids[b])) for a, b in zip(i[hit], j[hit])}
+    got = {(int(a), int(b)) for a, b in zip(res.a, res.b)}
+    assert got == want
+    assert (res.a < res.b).all()
+    lsh = embedding_near_dup(ds, threshold=thr, n_bits=8, n_tables=8,
+                             exact_max_vecs=0).to_pandas()
+    assert {(int(a), int(b)) for a, b in zip(lsh.a, lsh.b)} <= got
+
+
 def test_merge_topk_equals_pandas_reference(ray_session):
     """The distributed query-keyed top-k merge must be bit-identical to
     the former driver-side pandas gather (drop_duplicates + sort +
@@ -150,8 +173,11 @@ def test_embedding_near_dup_finds_planted(emb_data):
     from ray_data_mplsh.pipelines.similarity import embedding_near_dup
 
     ds, tbl, m, ids, true_pairs = emb_data
+    # exact_max_vecs=0 forces the LSH-bucketed scale path (the default
+    # small-side gate would route this broadcast-sized fixture to the
+    # exact path, which is separately pinned below)
     res = embedding_near_dup(ds, threshold=0.95, n_bits=8,
-                             n_tables=8).to_pandas()
+                             n_tables=8, exact_max_vecs=0).to_pandas()
     found = {(int(a), int(b)) for a, b in zip(res.a, res.b)}
     # precision: every reported pair really is >= threshold
     pos = {int(v): i for i, v in enumerate(ids)}
