@@ -527,20 +527,55 @@ def q_simhash_pairs(sf_dir: str):
     return simhash_pairs(docs, cfg, default_partitions())
 
 
-def q_ngram_jaccard(sf_dir: str):
-    """Exact n-gram (k-word shingle) Jaccard over LSH candidate pairs:
-    candidates from the MinHash band shuffle, verified against the TRUE
-    shingle-set Jaccard (not the signature estimate). Rows-only."""
-    from ray_data_mplsh.config import MPLSHConfig as C
-    from ray_data_mplsh.pipelines.dedup import run_dedup
-    from ray_data_mplsh.pipelines.ngram import exact_jaccard_pairs
-    from ray_data_mplsh.sources import read_documents
+_NGJ_MIN_J = 0.8
 
-    docs = read_documents(sf_dir)
-    cfg = C(min_chars=10)
-    res = run_dedup(docs, cfg, extract=False, url_col="doc_id",
-                    text_col="text", skip_substring=True)
-    return exact_jaccard_pairs(res.pairs, res.docs, cfg)
+
+def q_ngram_jaccard(sf_dir: str):
+    """n-gram (5-word-shingle) near-dup pairs with the TRUE shingle-set
+    Jaccard >= theta (0.8): exact-text reps (min doc_id per text, ORIGINAL
+    ids — unlike run_dedup, whose url-hash ids no SQL can replay) ->
+    MinHash band/probe candidate shuffle -> exact Jaccard scoring of the
+    candidates only (never all pairs). DuckDB-oracled: at theta=0.8 the
+    16x8-band + multi-probe candidate recall is 1.0 on the sf corpora
+    (planted dups sit near J~1, where the per-pair miss probability is
+    <1e-7), so {candidates with exact J >= theta} == {ALL pairs with
+    J >= theta}, which the oracle computes by brute force with
+    list_intersect over string shingles (hashed-set Jaccard == string-set
+    Jaccard absent 64-bit collisions, the engine's standing assumption)."""
+    from ray_data_mplsh.pipelines.ngram import exact_jaccard_pairs
+    from ray_data_mplsh.stages.bands import band_stage
+    from ray_data_mplsh.stages.minhash import minhash_stage
+    from ray_data_mplsh.stages.pairs import pairs_stage
+
+    cfg = MPLSHConfig()
+    P = default_partitions()
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.uint64()),
+            "text": t["text"],
+            "_th": pa.array(hash_str_array(t["text"]), pa.uint64())})
+
+    def rep_part(part: pa.Table) -> pa.Table:
+        ids = part["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        codes, _ = pd.factorize(part["text"].to_pandas(), sort=False)
+        o = np.lexsort((ids, codes))
+        first = np.empty(len(o), bool)
+        first[:1] = True
+        first[1:] = codes[o][1:] != codes[o][:-1]
+        return part.take(pa.array(o[first])).drop_columns(["_th"])
+
+    reps = partition_apply(docs.map_batches(keyed, batch_format="pyarrow"),
+                           "_th", rep_part, P).materialize()
+    sigs = minhash_stage(reps, cfg).materialize()
+    pairs = pairs_stage(band_stage(sigs, cfg), cfg, P)
+    res = exact_jaccard_pairs(pairs, reps, cfg, min_jaccard=_NGJ_MIN_J)
+    return res.map_batches(
+        lambda t: pa.table({"a": pc.cast(t["a"], pa.int64()),
+                            "b": pc.cast(t["b"], pa.int64()),
+                            "jaccard": t["jaccard"]}),
+        batch_format="pyarrow")
 
 
 def q_fingerprints(sf_dir: str):
@@ -3046,6 +3081,18 @@ ORACLE_SQL = {
         "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard "
         "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) "
         "SELECT a, b, jaccard FROM j WHERE jaccard >= 0.05",
+    "q_ngram_jaccard":
+        "WITH r AS (SELECT MIN(doc_id) AS doc_id, text FROM documents "
+        "GROUP BY text), "
+        "d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM r), "
+        "sh AS (SELECT doc_id, list_distinct(list_transform("
+        "range(1, len(ws) - 3), i -> array_to_string(ws[i:i+4], ' '))) AS s "
+        "FROM d WHERE len(ws) >= 5), "
+        "j AS (SELECT a.doc_id AS a, b.doc_id AS b, "
+        "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / "
+        "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard "
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) "
+        f"SELECT a, b, jaccard FROM j WHERE jaccard >= {_NGJ_MIN_J}",
     "q_allpair_containment":
         "WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws "
         "FROM documents WHERE doc_id < 256), "

@@ -40,7 +40,7 @@ CHECK = ["q_word_stats", "q_doc_freq", "q_allpair_jaccard",
          "q_late_shipments", "q_profile_events", "q_global_rank_len",
          "q_user_activity_histogram", "q_moving_sum_range",
          "q_pattern_counts", "q_embedding_near_dup", "q_sample",
-         "q_stratified_sample"]
+         "q_stratified_sample", "q_ngram_jaccard"]
 
 
 @pytest.fixture(scope="module")
