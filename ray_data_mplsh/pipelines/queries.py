@@ -807,8 +807,12 @@ def q_top_docs_per_lang(sf_dir: str):
 
 def q_kmv_distinct(sf_dir: str):
     """KMV approximate COUNT(DISTINCT source): combiner-style sketch, no
-    shuffle. Rows-only (approximate by construction; error-bound gated in
-    tests/test_sketch.py); returned as one (column, estimate) row."""
+    shuffle; one (column, estimate) row. DuckDB-oracled via the sketch's
+    own exactness regime: with fewer than k=1024 distinct values the
+    merged sketch holds every distinct hash and kmv_estimate returns the
+    EXACT distinct count, so the oracle is plain COUNT(DISTINCT) — the sf
+    corpora have 20 sources. (The estimator tail, kept >= k, stays
+    error-bound gated in tests/test_sketch.py.)"""
     from ray_data_mplsh.pipelines.sketch import approx_distinct
 
     ds = _read(sf_dir, "documents", ["source"])
@@ -820,8 +824,13 @@ def q_kmv_distinct(sf_dir: str):
 def q_heavy_hitters(sf_dir: str):
     """Misra-Gries approximate top-5 sources with lower-bound counts —
     the unbounded-cardinality path next to the exact q_top_sources.
-    Rows-only (counts are lower bounds; guarantees gated in
-    tests/test_sinks.py)."""
+    DuckDB-oracled via the sketch's exactness regime: _mg_merge only
+    decrements when a summary exceeds its 64 counters, so with <= 64
+    distinct keys (the sf corpora have 20 sources) every per-batch
+    summary and the final merge are exact sums and the 'lower bounds'
+    ARE the true counts — the oracle is the exact GROUP BY top-5. (The
+    decrement path stays guarantee-gated on a Zipf stream in
+    tests/test_sketch.py.)"""
     from ray_data_mplsh.pipelines.sketch import approx_top_k
 
     ds = _read(sf_dir, "documents", ["source"])
@@ -3205,6 +3214,16 @@ ORACLE_SQL = {
     "q_heavy_hitters_exact":
         "SELECT source AS key, CAST(count(*) AS BIGINT) AS cnt "
         "FROM documents GROUP BY source ORDER BY cnt DESC, key LIMIT 5",
+    # exact-regime oracles (see the query docstrings): with 20 distinct
+    # sources the MG summary never decrements and the KMV sketch holds
+    # every hash, so both sketches return exact answers on these corpora
+    "q_heavy_hitters":
+        "SELECT source AS key, CAST(count(*) AS BIGINT) AS cnt_lower_bound "
+        "FROM documents GROUP BY source "
+        "ORDER BY cnt_lower_bound DESC, key LIMIT 5",
+    "q_kmv_distinct":
+        "SELECT 'source' AS \"column\", "
+        "CAST(COUNT(DISTINCT source) AS DOUBLE) AS estimate FROM documents",
     # replay the SplitMix64 finalizer in SQL: HUGEINT split-multiplies
     # (lo32 + hi32*2^32) keep every product under 2^97, mod 2^64 after
     # each step — bit-identical to functions/hashing.py mix64

@@ -40,7 +40,8 @@ CHECK = ["q_word_stats", "q_doc_freq", "q_allpair_jaccard",
          "q_late_shipments", "q_profile_events", "q_global_rank_len",
          "q_user_activity_histogram", "q_moving_sum_range",
          "q_pattern_counts", "q_embedding_near_dup", "q_sample",
-         "q_stratified_sample", "q_ngram_jaccard"]
+         "q_stratified_sample", "q_ngram_jaccard", "q_kmv_distinct",
+         "q_heavy_hitters"]
 
 
 @pytest.fixture(scope="module")
