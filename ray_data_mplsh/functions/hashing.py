@@ -53,6 +53,68 @@ def hash_str_array(values) -> np.ndarray:
     return pd.util.hash_array(arr, categorize=False).astype(np.uint64)
 
 
+def utf8_flat(col) -> tuple[np.ndarray, np.ndarray]:
+    """(byte offsets int64 len n+1, concatenated utf-8 bytes uint8) of a
+    string column — zero-copy views of the Arrow offset/data buffers
+    (Arrow strings ARE utf-8, so this equals per-doc str.encode).
+
+    Offset width is type-dependent: string/binary carry int32 offsets,
+    large_string/large_binary int64 — misreading one as the other returns
+    garbage offsets with no error, so the branch is explicit and any other
+    type (e.g. string_view) is first cast to a plain offset layout."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if pa.types.is_string(t) or pa.types.is_binary(t):
+        off_dtype = np.int32
+    elif pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+        off_dtype = np.int64
+    else:
+        return utf8_flat(col.cast(pa.large_string()))
+    n = len(col)
+    bufs = col.buffers()
+    if n == 0 or bufs[2] is None:
+        return np.zeros(n + 1, np.int64), np.empty(0, np.uint8)
+    off = np.frombuffer(bufs[1], dtype=off_dtype)[
+        col.offset:col.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)[off[0]:off[-1]]
+    return off - off[0], data
+
+
+def poly_str_hashes(values) -> np.ndarray:
+    """SQL-replayable uint64 hash per string: ``mix64(sum_j byte[j] *
+    P^(L-1-j) mod 2^64)`` — a Horner fold of the utf-8 bytes with
+    ``_POLY_P``, finalized with the SplitMix64 mixer.
+
+    Unlike ``hash_str_array`` (pandas SipHash — not expressible in SQL),
+    a DuckDB oracle replays this bit-exactly with HUGEINT split-multiplies
+    (P_hi=2654435769, P_lo=2135587861; see the q_simhash_pairs oracle).
+    Used by stages whose NUMERIC hash bits an oracle must reproduce (the
+    SimHash bit votes); SipHash stays the default elsewhere. Vectorized
+    as <= max_len masked Horner passes over the flat byte buffer (tokens
+    are short, so this is a handful of whole-array ops). Nulls hash
+    like ''."""
+    import pyarrow as pa
+
+    if not isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = pa.array(np.asarray(values, dtype=object), pa.string())
+    offs, data = utf8_flat(values)
+    lens = np.diff(offs)
+    acc = np.zeros(len(lens), np.uint64)
+    if len(data):
+        u = data.astype(np.uint64)
+        starts = offs[:-1]
+        for t in range(int(lens.max())):
+            m = lens > t
+            am = acc[m]
+            np.multiply(am, _POLY_P, out=am)
+            np.add(am, u[starts[m] + t], out=am)
+            acc[m] = am
+    return mix64(acc)
+
+
 def knuth_hash32(ids: np.ndarray) -> np.ndarray:
     """SQL-replayable 32-bit multiplicative hash of integer ids: the HIGH
     word of (id mod 2^32) * 2654435761 (Fibonacci hashing proper).

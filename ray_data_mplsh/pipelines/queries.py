@@ -518,13 +518,27 @@ def q_lang_id(sf_dir: str):
 
 def q_simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs (op 13c): 64-bit signature, 16-bit block
-    banding, score-ordered bit-flip multi-probe. Rows-only; gated by
-    tests/test_simhash.py against a brute-force Hamming oracle."""
+    banding, score-ordered bit-flip multi-probe. DuckDB-oracled END TO
+    END: the word hash is poly_str_hashes (Horner + SplitMix64 — both
+    replayable with HUGEINT split-multiplies), so the oracle recomputes
+    the full signature (word hashes -> 5-word shingle hashes -> per-bit
+    majority votes -> 4x16-bit blocks) in SQL and brute-forces all pairs
+    at Hamming <= 3 with bit_count(xor). Recall is 1.0 BY CONSTRUCTION
+    (pigeonhole: 3 differing bits cannot touch all 4 blocks, so every
+    qualifying pair shares an exact block key), hence candidate
+    generation == brute force and the row is bit-exact, not rows-only.
+    Also gated against a brute-force Hamming oracle in
+    tests/test_simhash.py."""
     from ray_data_mplsh.stages.simhash import simhash_pairs
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     cfg = MPLSHConfig(min_chars=10)
-    return simhash_pairs(docs, cfg, default_partitions())
+    pairs = simhash_pairs(docs, cfg, default_partitions())
+    return pairs.map_batches(
+        lambda t: pa.table({"a": pc.cast(t["a"], pa.int64()),
+                            "b": pc.cast(t["b"], pa.int64()),
+                            "hamming": t["hamming"]}),
+        batch_format="pyarrow")
 
 
 _NGJ_MIN_J = 0.8
@@ -3060,7 +3074,74 @@ QUERIES = {
     "q_dup_rate_by_source": q_dup_rate_by_source,
 }
 
+# --- SQL replay fragments for hash-bearing oracles -------------------------
+# Horner fold step: acc*P + c mod 2^64 with P = 0x9E3779B97F4A7C15 split
+# into 32-bit halves so every HUGEINT product stays under 2^97
+_HORNER_STEP = (
+    "((acc * 2135587861 + ((acc * 2654435769) % 4294967296) * 4294967296) "
+    "% 18446744073709551616 + c) % 18446744073709551616")
+
+
+def _mix64_sql(src: str, incol: str, outcol: str, keep: str) -> str:
+    """CTE chain replaying the SplitMix64 finalizer on ``incol`` of ``src``
+    (the q_kmv_doc_ids technique, factored for reuse)."""
+    return (
+        f"m1_{outcol} AS (SELECT {keep}, xor({incol}, {incol} >> 30) "
+        f"AS m1 FROM {src}), "
+        f"m2_{outcol} AS (SELECT {keep}, (m1 * 484763065 + "
+        f"((m1 * 3210233709) % 4294967296) * 4294967296) "
+        f"% 18446744073709551616 AS m2 FROM m1_{outcol}), "
+        f"m3_{outcol} AS (SELECT {keep}, xor(m2, m2 >> 27) "
+        f"AS m3 FROM m2_{outcol}), "
+        f"m4_{outcol} AS (SELECT {keep}, (m3 * 321982955 + "
+        f"((m3 * 2496678331) % 4294967296) * 4294967296) "
+        f"% 18446744073709551616 AS m4 FROM m3_{outcol}), "
+        f"m5_{outcol} AS (SELECT {keep}, xor(m4, m4 >> 31) "
+        f"AS {outcol} FROM m4_{outcol})")
+
+
+# full SimHash signature replay: word poly-hashes -> 5-word shingle
+# hashes -> per-bit majority votes -> 4x16-bit blocks -> all pairs at
+# Hamming <= 3 (recall 1.0 by the pigeonhole block-banding guarantee, so
+# this brute force equals the banded candidate generation)
+_SIMHASH_SQL = (
+    "WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws "
+    "FROM documents), "
+    "wrows AS (SELECT doc_id, unnest(range(1, len(ws)+1)) AS wpos, "
+    "unnest(ws) AS w FROM d WHERE len(ws) >= 5), "
+    "h0t AS (SELECT doc_id, wpos, "
+    "list_reduce(list_prepend(CAST(0 AS HUGEINT), "
+    "list_transform(range(1, length(w)+1), "
+    "i -> CAST(unicode(w[i]) AS HUGEINT))), "
+    f"(acc, c) -> {_HORNER_STEP}) AS h0 FROM wrows), "
+    + _mix64_sql("h0t", "h0", "wh", "doc_id, wpos") + ", "
+    "whl AS (SELECT doc_id, list(wh ORDER BY wpos) AS whl "
+    "FROM m5_wh GROUP BY doc_id), "
+    "g0t AS (SELECT doc_id, unnest(list_transform(range(1, len(whl) - 3), "
+    "p -> list_reduce(list_prepend(CAST(0 AS HUGEINT), whl[p:p+4]), "
+    f"(acc, c) -> {_HORNER_STEP}))) AS g0 FROM whl), "
+    + _mix64_sql("g0t", "g0", "sh", "doc_id") + ", "
+    "bits AS (SELECT unnest(range(0, 64)) AS bit), "
+    "votes AS (SELECT doc_id, bit, SUM(CASE WHEN "
+    "(sh // CAST(power(2, bit) AS HUGEINT)) % 2 = 1 THEN 1 ELSE -1 END) "
+    "AS v FROM m5_sh CROSS JOIN bits GROUP BY 1, 2), "
+    "blocks AS (SELECT doc_id, bit // 16 AS blk, CAST(SUM(CASE WHEN v > 0 "
+    "THEN CAST(power(2, bit % 16) AS BIGINT) ELSE 0 END) AS BIGINT) AS bv "
+    "FROM votes GROUP BY 1, 2), "
+    "sig AS (SELECT doc_id, MAX(CASE WHEN blk = 0 THEN bv END) AS b0, "
+    "MAX(CASE WHEN blk = 1 THEN bv END) AS b1, "
+    "MAX(CASE WHEN blk = 2 THEN bv END) AS b2, "
+    "MAX(CASE WHEN blk = 3 THEN bv END) AS b3 FROM blocks GROUP BY doc_id) "
+    "SELECT x.doc_id AS a, y.doc_id AS b, "
+    "CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) + "
+    "bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS BIGINT) "
+    "AS hamming "
+    "FROM sig x JOIN sig y ON x.doc_id < y.doc_id "
+    "WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) + "
+    "bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 3")
+
 ORACLE_SQL = {
+    "q_simhash_pairs": _SIMHASH_SQL,
     "q_exact_dedup":
         "SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text",
     "q_word_stats":

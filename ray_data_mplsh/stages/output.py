@@ -104,32 +104,9 @@ def assign_and_mark(docs_with_rep, labels, cfg: MPLSHConfig):
 
 # ------------------------- substring pass (op 24) -------------------------
 
-def _utf8_flat(col) -> tuple[np.ndarray, np.ndarray]:
-    """(byte offsets int64 len n+1, concatenated utf-8 bytes uint8) of a
-    string column — zero-copy views of the Arrow offset/data buffers
-    (Arrow strings ARE utf-8, so this equals per-doc str.encode).
-
-    Offset width is type-dependent: string/binary carry int32 offsets,
-    large_string/large_binary int64 — misreading one as the other returns
-    garbage offsets with no error, so the branch is explicit and any other
-    type (e.g. string_view) is first cast to a plain offset layout."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    t = col.type
-    if pa.types.is_string(t) or pa.types.is_binary(t):
-        off_dtype = np.int32
-    elif pa.types.is_large_string(t) or pa.types.is_large_binary(t):
-        off_dtype = np.int64
-    else:
-        return _utf8_flat(col.cast(pa.large_string()))
-    n = len(col)
-    bufs = col.buffers()
-    if n == 0 or bufs[2] is None:
-        return np.zeros(n + 1, np.int64), np.empty(0, np.uint8)
-    off = np.frombuffer(bufs[1], dtype=off_dtype)[
-        col.offset:col.offset + n + 1].astype(np.int64)
-    data = np.frombuffer(bufs[2], dtype=np.uint8)[off[0]:off[-1]]
-    return off - off[0], data
+# canonical implementation lives in functions/hashing.py (poly_str_hashes
+# shares it); kept under the old name here for its many callers
+from ray_data_mplsh.functions.hashing import utf8_flat as _utf8_flat  # noqa: E402
 
 
 def _fingerprint_emitter(cfg: MPLSHConfig):

@@ -10,7 +10,7 @@ import pytest
 from ray_data_mplsh.config import MPLSHConfig
 from ray_data_mplsh.functions.extract import tokenize_batch
 from ray_data_mplsh.functions.hashing import (
-    hash_str_array, rolling_shingle_hashes,
+    poly_str_hashes, rolling_shingle_hashes,
 )
 from ray_data_mplsh.stages.simhash import (
     SimHasher, _popcount64, simhash_pairs, simhash_with_margins,
@@ -72,7 +72,7 @@ def _brute_hamming_pairs(texts, cfg, max_hamming):
                                          pa.uint64()),
                       "text": pa.array(texts)})
     words, offs = tokenize_batch(batch["text"])
-    wh = hash_str_array(words)
+    wh = poly_str_hashes(words)
     sh, soffs = rolling_shingle_hashes(wh, offs, cfg.k_shingle)
     sig, _ = simhash_with_margins(sh, soffs)
     keep = np.diff(soffs) > 0
