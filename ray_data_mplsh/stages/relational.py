@@ -118,7 +118,8 @@ def semi_anti_join(left, right, *, left_on: str, right_on: str,
 
 
 def inner_join(left, right, *, left_on: str, right_on: str,
-               num_partitions: int = 0):
+               num_partitions: int = 0, hot_key_threshold: int = 1 << 22,
+               salt_shards: int = 16):
     """Distributed INNER equi-join for two LARGE sides (neither fits a
     broadcast): the full_outer_join exchange/expansion plan minus the
     unmatched-row padding. Use broadcast_join when one side is a
@@ -126,11 +127,58 @@ def inner_join(left, right, *, left_on: str, right_on: str,
     return full_outer_join(left, right, left_on=left_on,
                            right_on=right_on,
                            num_partitions=num_partitions,
+                           hot_key_threshold=hot_key_threshold,
+                           salt_shards=salt_shards,
                            _join_type="inner")
 
 
+def _hot_join_keys(left, right, left_on: str, right_on: str,
+                   threshold: int) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted hot key array, shard_left flag per key): keys whose m x n
+    expansion exceeds ``threshold`` rows. Per-side per-batch count
+    combiners -> one tiny groupby -> driver keeps ONLY the hot rows (few
+    by definition). shard_left = the left side has more rows for that key
+    (shard the larger side, replicate the smaller)."""
+    from ray.data.aggregate import Sum
+
+    def counts(ds, col, lname, rname):
+        def partial(t: pa.Table) -> pa.Table:
+            v = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            uk, cnt = np.unique(v, return_counts=True)
+            return pa.table({"k": pa.array(uk, pa.int64()),
+                             lname: pa.array(cnt.astype(np.int64)),
+                             rname: pa.array(np.zeros(len(uk), np.int64))})
+        return ds.map_batches(partial, batch_format="pyarrow")
+
+    u = counts(left, left_on, "_cl", "_cr").union(
+        counts(right, right_on, "_cr", "_cl"))
+    agg = u.groupby("k").aggregate(Sum("_cl", alias_name="cl"),
+                                   Sum("_cr", alias_name="cr"))
+
+    def only_hot(t: pa.Table) -> pa.Table:
+        cl = t["cl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cr = t["cr"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(cl * cr > threshold))
+
+    rows = [b for b in agg.map_batches(only_hot, batch_format="pyarrow")
+            .iter_batches(batch_size=65536, batch_format="pyarrow")]
+    if not rows or sum(t.num_rows for t in rows) == 0:
+        return np.empty(0, np.int64), np.empty(0, bool)
+    hot = pa.concat_tables(rows)
+    k = hot["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cl = hot["cl"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cr = hot["cr"].to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.argsort(k)
+    return k[o], (cl >= cr)[o]
+
+
+_SALT = "__fj_salt"
+_HOT = "__fj_hot"
+
+
 def full_outer_join(left, right, *, left_on: str, right_on: str,
-                    num_partitions: int = 0, _join_type: str = "full_outer"):
+                    num_partitions: int = 0, hot_key_threshold: int = 1 << 22,
+                    salt_shards: int = 16, _join_type: str = "full_outer"):
     """Distributed FULL OUTER equi-join on an integer key, m:n duplicate
     semantics (every left row x every right row per matched key;
     unmatched rows from either side padded with nulls).
@@ -141,10 +189,24 @@ def full_outer_join(left, right, *, left_on: str, right_on: str,
     expansion: both sides are key-sorted, matched keys emit their
     cross-product via repeat/arange gather indices, unmatched rows are
     appended with null columns from the other side. No driver
-    materialization, no per-key Python loop; skew caveat: a single hot
-    key's cross-product lands in one partition (pairs.py salting applies
-    if that ever binds). Key columns keep both names (SQL FULL JOIN
-    shape); use ``pc.coalesce`` downstream for the merged key."""
+    materialization, no per-key Python loop. Key columns keep both names
+    (SQL FULL JOIN shape); use ``pc.coalesce`` downstream for the merged
+    key.
+
+    HOT-KEY SALTING (SURVEY.md B.1, the pairs.py op-15 machinery applied
+    to m:n joins): a key whose cl x cr expansion exceeds
+    ``hot_key_threshold`` rows would serialize one partition, so a cheap
+    count pre-pass (per-batch combiners + one |distinct|-bounded groupby;
+    only the hot rows — few by definition — reach the driver) finds such
+    keys. Their LARGER side is sharded across ``salt_shards`` salt values
+    and their smaller side is replicated to every shard; the exchange
+    routes on hash(key, salt), so each shard builds a disjoint slice of
+    the cross-product and the union over shards is exactly the m:n
+    expansion, each pair produced once. Hot keys have both sides
+    non-empty, so unmatched-row padding (suppressed for hot rows) is
+    unaffected. Cost: the pre-pass re-executes both input plans once;
+    ``hot_key_threshold=0`` disables detection and restores the
+    single-pass plan."""
     lschema = left.schema().base_schema
     rschema = right.schema().base_schema
     lcols = [f.name for f in lschema]
@@ -153,6 +215,20 @@ def full_outer_join(left, right, *, left_on: str, right_on: str,
         raise ValueError("full_outer_join requires disjoint column names")
     allcols = lcols + rcols
     key = "__fj_key"
+    S = max(int(salt_shards), 1)
+
+    if hot_key_threshold > 0:
+        hot_keys, hot_shard_left = _hot_join_keys(
+            left, right, left_on, right_on, hot_key_threshold)
+    else:
+        hot_keys = np.empty(0, np.int64)
+        hot_shard_left = np.empty(0, bool)
+    if len(hot_keys):
+        import ray
+
+        hot_ref = ray.put((hot_keys, hot_shard_left))
+    else:
+        hot_ref = None
 
     def pad(t: pa.Table, side: int) -> pa.Table:
         arrs, names = [], []
@@ -168,7 +244,37 @@ def full_outer_join(left, right, *, left_on: str, right_on: str,
         arrs += [kv, pa.array(np.full(t.num_rows, side, np.int8),
                               pa.int8())]
         names += [key, _SIDE]
-        return pa.table(dict(zip(names, arrs)))
+        out = pa.table(dict(zip(names, arrs)))
+        n = out.num_rows
+        if hot_ref is None:
+            return out.append_column(
+                _SALT, pa.array(np.zeros(n, np.int8), pa.int8())) \
+                .append_column(
+                    _HOT, pa.array(np.zeros(n, np.int8), pa.int8()))
+        hk, hl = cached_get(hot_ref)
+        k = kv.to_numpy(zero_copy_only=False)
+        i = np.clip(np.searchsorted(hk, k), 0, len(hk) - 1)
+        is_hot = hk[i] == k
+        # shard this row iff its side is the hot key's larger side
+        shard = is_hot & (hl[i] if side == 0 else ~hl[i])
+        repl = is_hot & ~shard
+        salt = np.zeros(n, np.int8)
+        # round-robin within the batch spreads a hot run evenly; shard
+        # assignment need not be stable across runs, only disjoint
+        salt[shard] = (np.arange(int(shard.sum())) % S).astype(np.int8)
+        out = out.append_column(_SALT, pa.array(salt, pa.int8())) \
+            .append_column(_HOT, pa.array(is_hot.astype(np.int8),
+                                          pa.int8()))
+        if not repl.any():
+            return out
+        # replicate the smaller side's hot rows to every salt shard
+        ri = np.flatnonzero(repl)
+        keep = out.filter(pa.array(~repl))
+        reps = out.take(pa.array(np.tile(ri, S), pa.int64()))
+        rs = np.repeat(np.arange(S, dtype=np.int8), len(ri))
+        reps = reps.set_column(reps.schema.get_field_index(_SALT), _SALT,
+                               pa.array(rs, pa.int8()))
+        return pa.concat_tables([keep, reps])
 
     both = left.map_batches(lambda t: pad(t, 0),
                             batch_format="pyarrow").union(
@@ -177,18 +283,24 @@ def full_outer_join(left, right, *, left_on: str, right_on: str,
     def per_part(t: pa.Table) -> pa.Table:
         side = t[_SIDE].to_numpy(zero_copy_only=False)
         k = t[key].to_numpy(zero_copy_only=False)
+        salt = t[_SALT].to_numpy(zero_copy_only=False).astype(np.int64)
+        hot = t[_HOT].to_numpy(zero_copy_only=False).astype(bool)
         li = np.flatnonzero(side == 0)
         ri = np.flatnonzero(side == 1)
-        uk, codes = np.unique(k, return_inverse=True)
+        # groups are (key, salt): non-hot rows all carry salt 0, hot keys
+        # meet only shard-local counterparts (their replicas are routed to
+        # every salt, their shards to exactly one)
+        _, kc = np.unique(k, return_inverse=True)
+        uk, codes = np.unique(kc * np.int64(S) + salt, return_inverse=True)
         nk = len(uk)
         lc, rc = codes[li], codes[ri]
         lo = li[np.argsort(lc, kind="stable")]
         ro = ri[np.argsort(rc, kind="stable")]
         cl = np.bincount(lc, minlength=nk)
         cr = np.bincount(rc, minlength=nk)
-        # right-run start offset per key (into ro)
+        # right-run start offset per group (into ro)
         rs = np.concatenate(([0], np.cumsum(cr)))[:-1]
-        # matched cross-product: each left row repeats cr[its key] times
+        # matched cross-product: each left row repeats cr[its group] times
         lkey = codes[lo]
         rep = cr[lkey]
         out_l = np.repeat(lo, rep)
@@ -196,8 +308,11 @@ def full_outer_join(left, right, *, left_on: str, right_on: str,
         within = np.arange(int(csum[-1]) if len(csum) else 0,
                            dtype=np.int64) - np.repeat(csum - rep, rep)
         out_r = ro[rs[np.repeat(lkey, rep)] + within]
-        lonly = lo[cr[lkey] == 0]
-        ronly = ro[cl[codes[ro]] == 0]
+        # unmatched padding is suppressed for hot rows: a hot key has both
+        # sides non-empty globally, even when one salt shard sees only the
+        # replicated side
+        lonly = lo[(cr[lkey] == 0) & ~hot[lo]]
+        ronly = ro[(cl[codes[ro]] == 0) & ~hot[ro]]
         body = t.select(allcols)
         matched = body.take(pa.array(out_l, pa.int64()))
         # graft the right columns of matched pairs over the left rows' nulls
@@ -213,4 +328,5 @@ def full_outer_join(left, right, *, left_on: str, right_on: str,
              body.take(pa.array(ronly, pa.int64()))])
 
     return partition_apply(both, key, per_part,
-                           default_partitions(num_partitions))
+                           default_partitions(num_partitions),
+                           salt_col=_SALT)

@@ -190,6 +190,45 @@ def test_inner_join_matches_duckdb(ray_session):
     con.close()
 
 
+def test_full_outer_join_hot_key_salting(ray_session):
+    """Forced-salting path: one catastrophically hot key (plus normal
+    keys and unmatched rows on both sides) with the threshold lowered so
+    its m:n expansion is sharded across salt values — the salted output
+    (both join types, several shard counts) must equal DuckDB exactly."""
+    import duckdb
+    import pandas as pd
+
+    from ray_data_mplsh.stages.relational import full_outer_join, inner_join
+
+    rng = np.random.Generator(np.random.PCG64(21))
+    # hot key 7: 600 left x 300 right = 180k >> threshold 10_000;
+    # key 9 is left-only, key 10 right-only; keys 0..5 normal m:n
+    lk = np.concatenate([np.full(600, 7), rng.integers(0, 6, 200), [9]])
+    rk = np.concatenate([np.full(300, 7), rng.integers(0, 6, 120), [10]])
+    left = pa.table({"k": pa.array(lk, pa.int64()),
+                     "lv": pa.array(np.arange(len(lk)), pa.int64())})
+    right = pa.table({"rk": pa.array(rk, pa.int64()),
+                      "rv": pa.array(np.arange(len(rk)), pa.int64())})
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    for jt, sql in (("outer", "FULL OUTER JOIN"), ("inner", "JOIN")):
+        want = con.sql(
+            f"SELECT k, lv, rk, rv FROM l {sql} r ON l.k = r.rk").df()
+        cols = list(want.columns)
+        want = want.sort_values(cols).reset_index(drop=True)
+        fn = full_outer_join if jt == "outer" else inner_join
+        for shards in (4, 16):
+            got = fn(
+                from_arrow_blocks(left, target_rows=64),
+                from_arrow_blocks(right, target_rows=64),
+                left_on="k", right_on="rk", num_partitions=8,
+                hot_key_threshold=10_000, salt_shards=shards
+            ).to_pandas()[cols].sort_values(cols).reset_index(drop=True)
+            pd.testing.assert_frame_equal(got, want, check_exact=True)
+    con.close()
+
+
 def test_full_outer_join_empty_side(ray_session):
     from ray_data_mplsh.stages.relational import full_outer_join
 
