@@ -6,15 +6,23 @@ sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB. Ray is initialised by the driver BEFORE this module is imported:
 no ``ray.init()`` / ``ray.shutdown()`` here or anywhere in the library.
 
-Query inventory (94 entries; * = bit-exact DuckDB oracle, rest rows-only
-with pytest gates — see SURVEY.md Appendix B):
+Query inventory (94 entries, 87 with bit-exact DuckDB oracles; * =
+oracle, rest rows-only with pytest gates — see SURVEY.md Appendix B).
+The registry lists every oracle-bearing query FIRST (the driver signs a
+prefix of it), rows-only entries last:
   dedup family: q_exact_dedup*, q_dedup_documents, q_minhash_pairs,
-    q_simhash_pairs, q_ngram_jaccard, q_embedding_near_dup,
+    q_simhash_pairs* (full SQL signature replay: poly word hashes +
+    SplitMix64 CTEs + bit votes + bit_count(xor) pairing),
+    q_ngram_jaccard* (candidates over original-id exact-text reps,
+    recall 1.0 at theta -> brute-force list_intersect oracle),
+    q_embedding_near_dup* (exact small-side path at a data-calibrated
+    threshold -> list_cosine_similarity threshold join),
     q_allpair_jaccard* (deterministic pair set -> list_intersect
     oracle), q_allpair_containment* (asymmetric Broder containment,
     both directions, shared intersect kernel)
   similarity search: q_knn_bruteforce* (list_cosine_similarity oracle),
-    q_knn_lsh (multi-probe ANN), q_knn_ivf (IVF-flat)
+    q_knn_lsh (multi-probe ANN), q_knn_ivf (IVF-flat) — both with the
+    distributed query-keyed top-k merge
   multimodal: q_media_dedup (exact byte dedup over the synthetic media
     table; resize/near-dup stages are pytest-gated in test_multimodal)
   text analysis: q_lang_id*, q_token_counts*, q_bpe_token_counts*,
@@ -103,17 +111,20 @@ with pytest gates — see SURVEY.md Appendix B):
     tiny |days|-row groupby result)
 
 Rows-only rationale (driver contract permits omitting SQL for
-non-expressible ops): q_minhash_pairs / q_dedup_documents /
-q_simhash_pairs / q_ngram_jaccard depend on LSH candidate generation
-(custom 64-bit hashes + banding) that SQL cannot reproduce
-(q_allpair_jaccard* covers the same exact-Jaccard kernel with a
-deterministic pair set, closing the oracle gap for the scoring math);
-q_knn_lsh / q_knn_ivf / q_embedding_near_dup are approximate by design
-(probe/centroid-dependent candidate sets); q_fingerprints is winnowing
-(rolling-hash argmin windows); q_kmv_distinct / q_heavy_hitters are
-sketches whose outputs are estimates/lower bounds by contract. Each is
-pytest-gated instead: brute-force Hamming / DSU / recall /
-kernel-invariant / error-bound oracles.
+non-expressible ops; only 6 of 94 entries remain rows-only):
+q_minhash_pairs / q_dedup_documents depend on url-hash doc ids
+(SipHash) that SQL cannot replay — q_ngram_jaccard* now covers the same
+band/probe candidate generation with original ids, and
+q_allpair_jaccard* pins the exact-Jaccard scoring kernel; q_knn_lsh /
+q_knn_ivf are approximate by design (probe/centroid-dependent candidate
+sets; q_knn_bruteforce* pins the scoring + distributed merge);
+q_fingerprints is winnowing (rolling-hash rightmost-argmin windows);
+q_kmeans_embeddings is iterative (numpy-reference pinned);
+q_media_dedup has no sf media table (planted-dup pytest oracle). The
+former no-oracle rows q_simhash_pairs, q_ngram_jaccard,
+q_embedding_near_dup, q_kmv_distinct and q_heavy_hitters are now
+bit-exact: the sketches via their provable-exactness regimes (20
+distinct sources < counters/slots), the rest per above.
 """
 
 from __future__ import annotations

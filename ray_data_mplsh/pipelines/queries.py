@@ -3672,3 +3672,10 @@ ORACLE_SQL = {
             f"THEN '{lg}'" for lg in sorted(_LANG_MARKERS))
         + " END AS pred_lang FROM documents",
 }
+
+# The driver signs correctness rows for only a prefix of this registry
+# (50 entries in rounds 1-2), so oracle-bearing queries are ordered FIRST:
+# every driver-signed row then carries the strong value-hash check, while
+# rows-only entries (pytest-gated by contract) follow.
+QUERIES = {**{k: v for k, v in QUERIES.items() if k in ORACLE_SQL},
+           **{k: v for k, v in QUERIES.items() if k not in ORACLE_SQL}}

@@ -63,6 +63,19 @@ def _as_df(res) -> pd.DataFrame:
     return pd.DataFrame(res)
 
 
+def test_registry_lists_oracled_queries_first():
+    """The driver signs correctness rows for a PREFIX of the registry:
+    every oracle-bearing query must precede every rows-only one, every
+    oracle key must have a query, and the first 50 slots (the driver's
+    round-1/2 window) must all be oracle-checkable."""
+    names = list(QUERIES)
+    n_or = sum(1 for k in names if k in ORACLE_SQL)
+    assert all(k in ORACLE_SQL for k in names[:n_or])
+    assert not [k for k in ORACLE_SQL if k not in QUERIES]
+    assert all(k in ORACLE_SQL for k in names[:min(50, n_or)])
+    assert n_or >= 50
+
+
 @pytest.mark.parametrize("name", CHECK)
 def test_query_matches_oracle(ray_session, oracle_con, name):
     ray_df = _as_df(QUERIES[name](SF_DIR))
