@@ -140,15 +140,14 @@ def resize_media(media, *, max_side: int = 512):
     return media.map_batches(resize, batch_format="pyarrow")
 
 
-def media_exact_dedup(media, *, num_partitions: int = 0):
-    """Exact byte-identical media dedup: rows are routed by a 64-bit
-    payload hash (one exchange), then grouped on the EXACT payload bytes
-    within the partition (the hash only co-locates — pairs.py collision
-    rule); emits (media_id, rep_id) with rep = min media_id per payload."""
+def _payload_exact_dedup(media, num_partitions: int):
+    """Direct path: (media_id, payload) ride a 64-bit-hash-routed
+    exchange, grouped on the EXACT payload bytes within the partition
+    (the hash only co-locates — pairs.py collision rule); emits
+    (media_id, rep_id) with rep = min media_id per payload."""
     import pandas as pd
 
-    from ray_data_mplsh.stages.shuffle import (default_partitions,
-                                               partition_apply)
+    from ray_data_mplsh.stages.shuffle import partition_apply
 
     def add_hash(t: pa.Table) -> pa.Table:
         hs = np.fromiter((hash_bytes_u64(p) for p in t["payload"]
@@ -169,8 +168,78 @@ def media_exact_dedup(media, *, num_partitions: int = 0):
                          "rep_id": pa.array(rep[codes], pa.uint64())})
 
     hashed = media.map_batches(add_hash, batch_format="pyarrow")
-    return partition_apply(hashed, "_ph", dedup_part,
-                           default_partitions(num_partitions))
+    return partition_apply(hashed, "_ph", dedup_part, num_partitions)
+
+
+def media_exact_dedup(media, *, num_partitions: int = 0,
+                      project_hash: bool = True):
+    """Exact byte-identical media dedup -> (media_id, rep_id), rep = min
+    media_id per payload.
+
+    SCALE PATH (default, SURVEY.md B.1): payloads are huge (MBs) while
+    ids+hashes are 24 bytes, so the exchange ships only a PROJECTED
+    (media_id, 128-bit payload hash) table. Rows whose 128-bit hash is
+    unique in its group are their own reps without their bytes ever
+    moving; only multi-member hash groups (the actual dup candidates, a
+    tiny fraction of a web corpus) are byte-CONFIRMED: their rows are
+    semi-joined back to the media table (hybrid broadcast/shuffle via
+    semi_anti_join) and run through the direct byte-grouping exchange, so
+    a 128-bit collision can co-locate but never merge distinct payloads.
+    ``project_hash=False`` keeps the one-pass direct path (fine when
+    payloads are small); both paths are equality-pinned in
+    tests/test_multimodal.py."""
+    from ray_data_mplsh.stages.relational import semi_anti_join
+    from ray_data_mplsh.stages.shuffle import (default_partitions,
+                                               partition_apply)
+
+    P = default_partitions(num_partitions)
+    if not project_hash:
+        return _payload_exact_dedup(media, P)
+
+    def project(t: pa.Table) -> pa.Table:
+        ps = t["payload"].to_pylist()
+        lo = np.fromiter((hash_bytes_u64(p) for p in ps),
+                         np.uint64, len(ps))
+        hi = np.fromiter((hash_bytes_u64(b"\x01" + p) for p in ps),
+                         np.uint64, len(ps))
+        return pa.table({"media_id": t["media_id"],
+                         "_hlo": pa.array(lo, pa.uint64()),
+                         "_hhi": pa.array(hi, pa.uint64())})
+
+    def classify(part: pa.Table) -> pa.Table:
+        ids = part["media_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        lo = part["_hlo"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        hi = part["_hhi"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        o = np.lexsort((hi, lo))
+        slo, shi = lo[o], hi[o]
+        new = np.concatenate(([True], (slo[1:] != slo[:-1]) |
+                              (shi[1:] != shi[:-1])))
+        gid = np.cumsum(new) - 1
+        sizes = np.bincount(gid)
+        cand = np.empty(len(ids), bool)
+        cand[o] = sizes[gid] > 1
+        return pa.table({"media_id": pa.array(ids, pa.uint64()),
+                         "_cand": pa.array(cand, pa.bool_())})
+
+    marked = partition_apply(media.map_batches(project,
+                                               batch_format="pyarrow"),
+                             "_hlo", classify, P).materialize()
+    singles = marked.map_batches(
+        lambda t: pa.table({
+            "media_id": (s := t.filter(pa.compute.invert(t["_cand"]))
+                         )["media_id"],
+            "rep_id": s["media_id"]}),
+        batch_format="pyarrow")
+    cand_ids = marked.map_batches(
+        lambda t: t.filter(t["_cand"]).select(["media_id"]),
+        batch_format="pyarrow")
+    cand_media = semi_anti_join(
+        media.map_batches(lambda t: t.select(["media_id", "payload"]),
+                          batch_format="pyarrow"),
+        cand_ids, left_on="media_id", right_on="media_id",
+        num_partitions=P)
+    return singles.union(_payload_exact_dedup(cand_media, P))
 
 
 def media_near_dup(media, *, threshold: float = 0.999, **kwargs):

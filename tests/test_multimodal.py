@@ -72,6 +72,23 @@ def test_media_exact_dedup_planted(ray_session):
     assert out.rep_id.nunique() == 30
 
 
+def test_media_exact_dedup_projected_equals_direct(ray_session):
+    """The hash-projected scale path (ids+128-bit hashes ride the
+    exchange, only multi-member hash groups get byte-confirmed) must
+    produce the exact same (media_id, rep_id) mapping as the direct
+    all-bytes exchange — including when every payload is unique."""
+    from ray_data_mplsh.stages.multimodal import media_exact_dedup
+
+    for n, nd in ((80, 25), (40, 40)):  # planted dups / all-unique
+        proj = media_exact_dedup(synth_media(n, seed=11, n_distinct=nd),
+                                 num_partitions=4, project_hash=True) \
+            .to_pandas().sort_values("media_id").reset_index(drop=True)
+        direct = media_exact_dedup(synth_media(n, seed=11, n_distinct=nd),
+                                   num_partitions=4, project_hash=False) \
+            .to_pandas().sort_values("media_id").reset_index(drop=True)
+        assert proj.equals(direct), (n, nd)
+
+
 def test_media_near_dup_finds_planted_pairs(ray_session):
     from ray_data_mplsh.stages.multimodal import media_near_dup
 
