@@ -132,36 +132,49 @@ def inner_join(left, right, *, left_on: str, right_on: str,
                            _join_type="inner")
 
 
-def _hot_join_keys(left, right, left_on: str, right_on: str,
-                   threshold: int) -> tuple[np.ndarray, np.ndarray]:
+def _hot_join_keys(base, key: str, threshold: int) \
+        -> tuple[np.ndarray, np.ndarray]:
     """(sorted hot key array, shard_left flag per key): keys whose m x n
-    expansion exceeds ``threshold`` rows. Per-side per-batch count
-    combiners -> one tiny groupby -> driver keeps ONLY the hot rows (few
-    by definition). shard_left = the left side has more rows for that key
-    (shard the larger side, replicate the smaller)."""
-    from ray.data.aggregate import Sum
+    expansion exceeds ``threshold`` rows, counted from the MATERIALIZED
+    padded union (``base`` carries ``key`` + ``_SIDE``), so the join
+    inputs' upstream plans are never re-executed. Per-batch (key, side)
+    count combiners -> a coarse hash-partitioned exchange summed within
+    each partition (partition_apply on the int32 ``_part`` key — Ray's
+    sort-based groupby on the raw 10^5+-cardinality key column measured
+    ~8x slower for the same reduce) -> driver keeps ONLY the hot rows
+    (few by definition). shard_left = the left side has more rows for
+    that key (shard the larger side, replicate the smaller)."""
+    from ray_data_mplsh.stages.shuffle import (default_partitions,
+                                               partition_apply)
 
-    def counts(ds, col, lname, rname):
-        def partial(t: pa.Table) -> pa.Table:
-            v = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
-            uk, cnt = np.unique(v, return_counts=True)
-            return pa.table({"k": pa.array(uk, pa.int64()),
-                             lname: pa.array(cnt.astype(np.int64)),
-                             rname: pa.array(np.zeros(len(uk), np.int64))})
-        return ds.map_batches(partial, batch_format="pyarrow")
+    def partial(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t[_SIDE].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(k, return_inverse=True)
+        cl = np.bincount(inv, weights=(s == 0), minlength=len(uk))
+        cr = np.bincount(inv, weights=(s == 1), minlength=len(uk))
+        return pa.table({"k": pa.array(uk, pa.int64()),
+                         "_cl": pa.array(cl.astype(np.int64)),
+                         "_cr": pa.array(cr.astype(np.int64))})
 
-    u = counts(left, left_on, "_cl", "_cr").union(
-        counts(right, right_on, "_cr", "_cl"))
-    agg = u.groupby("k").aggregate(Sum("_cl", alias_name="cl"),
-                                   Sum("_cr", alias_name="cr"))
+    def sum_hot(part: pa.Table) -> pa.Table:
+        k = part["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uk, inv = np.unique(k, return_inverse=True)
+        cl = np.zeros(len(uk), np.int64)
+        cr = np.zeros(len(uk), np.int64)
+        np.add.at(cl, inv, part["_cl"].to_numpy(zero_copy_only=False)
+                  .astype(np.int64))
+        np.add.at(cr, inv, part["_cr"].to_numpy(zero_copy_only=False)
+                  .astype(np.int64))
+        hot = cl * cr > threshold
+        return pa.table({"k": pa.array(uk[hot], pa.int64()),
+                         "cl": pa.array(cl[hot]), "cr": pa.array(cr[hot])})
 
-    def only_hot(t: pa.Table) -> pa.Table:
-        cl = t["cl"].to_numpy(zero_copy_only=False).astype(np.int64)
-        cr = t["cr"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return t.filter(pa.array(cl * cr > threshold))
+    u = base.map_batches(partial, batch_format="pyarrow")
+    agg = partition_apply(u, "k", sum_hot, default_partitions(0))
 
-    rows = [b for b in agg.map_batches(only_hot, batch_format="pyarrow")
-            .iter_batches(batch_size=65536, batch_format="pyarrow")]
+    rows = [b for b in agg.iter_batches(batch_size=65536,
+                                        batch_format="pyarrow")]
     if not rows or sum(t.num_rows for t in rows) == 0:
         return np.empty(0, np.int64), np.empty(0, bool)
     hot = pa.concat_tables(rows)
@@ -204,9 +217,11 @@ def full_outer_join(left, right, *, left_on: str, right_on: str,
     the cross-product and the union over shards is exactly the m:n
     expansion, each pair produced once. Hot keys have both sides
     non-empty, so unmatched-row padding (suppressed for hot rows) is
-    unaffected. Cost: the pre-pass re-executes both input plans once;
-    ``hot_key_threshold=0`` disables detection and restores the
-    single-pass plan."""
+    unaffected. Cost: the padded union is materialized once (a spillable
+    stage boundary holding the same rows the exchange ships anyway) so
+    the count pass and the salt pass read object-store blocks instead of
+    re-executing the input plans; ``hot_key_threshold=0`` disables
+    detection and restores the fully streaming single-pass plan."""
     lschema = left.schema().base_schema
     rschema = right.schema().base_schema
     lcols = [f.name for f in lschema]
@@ -216,19 +231,6 @@ def full_outer_join(left, right, *, left_on: str, right_on: str,
     allcols = lcols + rcols
     key = "__fj_key"
     S = max(int(salt_shards), 1)
-
-    if hot_key_threshold > 0:
-        hot_keys, hot_shard_left = _hot_join_keys(
-            left, right, left_on, right_on, hot_key_threshold)
-    else:
-        hot_keys = np.empty(0, np.int64)
-        hot_shard_left = np.empty(0, bool)
-    if len(hot_keys):
-        import ray
-
-        hot_ref = ray.put((hot_keys, hot_shard_left))
-    else:
-        hot_ref = None
 
     def pad(t: pa.Table, side: int) -> pa.Table:
         arrs, names = [], []
@@ -244,25 +246,47 @@ def full_outer_join(left, right, *, left_on: str, right_on: str,
         arrs += [kv, pa.array(np.full(t.num_rows, side, np.int8),
                               pa.int8())]
         names += [key, _SIDE]
-        out = pa.table(dict(zip(names, arrs)))
-        n = out.num_rows
+        return pa.table(dict(zip(names, arrs)))
+
+    base = left.map_batches(lambda t: pad(t, 0),
+                            batch_format="pyarrow").union(
+        right.map_batches(lambda t: pad(t, 1), batch_format="pyarrow"))
+
+    hot_ref = None
+    if hot_key_threshold > 0:
+        # one stage boundary instead of a second input scan: the padded
+        # union is pinned in the object store (spillable; the downstream
+        # exchange materializes the same rows anyway), the count pass
+        # reads those blocks zero-copy, and the salt pass below reuses
+        # them — upstream plans (parquet reads, transforms) execute once
+        base = base.materialize()
+        hot_keys, hot_shard_left = _hot_join_keys(
+            base, key, hot_key_threshold)
+        if len(hot_keys):
+            import ray
+
+            hot_ref = ray.put((hot_keys, hot_shard_left))
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
         if hot_ref is None:
-            return out.append_column(
+            return t.append_column(
                 _SALT, pa.array(np.zeros(n, np.int8), pa.int8())) \
                 .append_column(
                     _HOT, pa.array(np.zeros(n, np.int8), pa.int8()))
         hk, hl = cached_get(hot_ref)
-        k = kv.to_numpy(zero_copy_only=False)
+        k = t[key].to_numpy(zero_copy_only=False)
+        side = t[_SIDE].to_numpy(zero_copy_only=False)
         i = np.clip(np.searchsorted(hk, k), 0, len(hk) - 1)
         is_hot = hk[i] == k
         # shard this row iff its side is the hot key's larger side
-        shard = is_hot & (hl[i] if side == 0 else ~hl[i])
+        shard = is_hot & np.where(side == 0, hl[i], ~hl[i])
         repl = is_hot & ~shard
         salt = np.zeros(n, np.int8)
         # round-robin within the batch spreads a hot run evenly; shard
         # assignment need not be stable across runs, only disjoint
         salt[shard] = (np.arange(int(shard.sum())) % S).astype(np.int8)
-        out = out.append_column(_SALT, pa.array(salt, pa.int8())) \
+        out = t.append_column(_SALT, pa.array(salt, pa.int8())) \
             .append_column(_HOT, pa.array(is_hot.astype(np.int8),
                                           pa.int8()))
         if not repl.any():
@@ -276,9 +300,7 @@ def full_outer_join(left, right, *, left_on: str, right_on: str,
                                pa.array(rs, pa.int8()))
         return pa.concat_tables([keep, reps])
 
-    both = left.map_batches(lambda t: pad(t, 0),
-                            batch_format="pyarrow").union(
-        right.map_batches(lambda t: pad(t, 1), batch_format="pyarrow"))
+    both = base.map_batches(add_salt, batch_format="pyarrow")
 
     def per_part(t: pa.Table) -> pa.Table:
         side = t[_SIDE].to_numpy(zero_copy_only=False)
