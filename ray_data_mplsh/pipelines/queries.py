@@ -19,7 +19,8 @@ import pyarrow.compute as pc
 from ray_data_mplsh.config import MPLSHConfig
 from ray_data_mplsh.functions.hashing import hash_str_array, knuth_hash32
 from ray_data_mplsh.stages.shuffle import (
-    broadcast_join, default_partitions, group_runs, partition_apply,
+    broadcast_join, cached_get, default_partitions, group_runs,
+    partition_apply,
 )
 
 
@@ -2980,6 +2981,307 @@ def q_cohort_retention(sf_dir: str):
     return agg.map_batches(fmt, batch_format="pyarrow")
 
 
+def q_tpch_q5(sf_dir: str):
+    """TPC-H Q5 shape (regional same-nation revenue, 6-table join):
+    the whole dimension chain region -> nation -> customer / supplier
+    collapses into two broadcast lookup arrays (custkey -> nationkey
+    restricted to the region, suppkey -> nationkey), date-filtered
+    orders reduce to a sorted (orderkey -> customer-nation) broadcast
+    (bounded by the date filter's selectivity — above broadcast size
+    this side flips to the keyed exchange, the q_tpch_q3 rule), and the
+    lineitem fact table never leaves its partitions: each batch looks
+    up both nations, keeps same-nation rows, and emits <= |nations|
+    integer-cent partials. Revenue is exact (cents x (100 - disc_pct)
+    int64 sums); the one float division is replayed in SQL."""
+    import ray
+
+    LO = int(pd.Timestamp("1996-01-01").value // 1000)
+    HI = int(pd.Timestamp("1997-01-01").value // 1000)
+    REGION = "ASIA"
+
+    # region + nation are driver-tiny (5 / 25 rows)
+    reg = pa.concat_tables(
+        [b for b in _read(sf_dir, "region", ["r_regionkey", "r_name"])
+         .iter_batches(batch_size=4096, batch_format="pyarrow")])
+    rk = reg.filter(pc.equal(reg["r_name"], REGION))["r_regionkey"] \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    nat = pa.concat_tables(
+        [b for b in _read(sf_dir, "nation",
+                          ["n_nationkey", "n_name", "n_regionkey"])
+         .iter_batches(batch_size=4096, batch_format="pyarrow")])
+    in_reg = np.isin(nat["n_regionkey"].to_numpy(zero_copy_only=False)
+                     .astype(np.int64), rk)
+    nkeys = nat["n_nationkey"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)[in_reg]
+    nnames = np.asarray(nat["n_name"].to_pylist(), dtype=object)[in_reg]
+    no = np.argsort(nkeys)
+    nkeys, nnames = nkeys[no], nnames[no]
+
+    def keyed_lookup(table: str, kcol: str, vcol: str, keep_keys):
+        parts_k, parts_v = [], []
+        for b in _read(sf_dir, table, [kcol, vcol]).iter_batches(
+                batch_size=65536, batch_format="pyarrow"):
+            k = b[kcol].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = b[vcol].to_numpy(zero_copy_only=False).astype(np.int64)
+            if keep_keys is not None:
+                m = np.isin(v, keep_keys)
+                k, v = k[m], v[m]
+            parts_k.append(k)
+            parts_v.append(v)
+        k = np.concatenate(parts_k) if parts_k else np.empty(0, np.int64)
+        v = np.concatenate(parts_v) if parts_v else np.empty(0, np.int64)
+        o = np.argsort(k)
+        return k[o], v[o]
+
+    ck, cn = keyed_lookup("customer", "c_custkey", "c_nationkey", nkeys)
+    sk, sn = keyed_lookup("supplier", "s_suppkey", "s_nationkey", None)
+    cref = ray.put((ck, cn))
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ofilt(t: pa.Table) -> pa.Table:
+        k, v = cached_get(cref)
+        od = t["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        oc = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = (od >= LO) & (od < HI)
+        if len(k):
+            i = np.clip(np.searchsorted(k, oc), 0, len(k) - 1)
+            m &= k[i] == oc
+            cnat = v[i]
+        else:
+            m &= False
+            cnat = np.zeros(len(oc), np.int64)
+        return pa.table({
+            "ok": t["o_orderkey"].cast(pa.int64()).filter(pa.array(m)),
+            "cnat": pa.array(cnat[m], pa.int64())})
+
+    op = [b for b in orders.map_batches(ofilt, batch_format="pyarrow")
+          .iter_batches(batch_size=65536, batch_format="pyarrow")]
+    ot = pa.concat_tables(op) if op else pa.table(
+        {"ok": pa.array([], pa.int64()), "cnat": pa.array([], pa.int64())})
+    okeys = ot["ok"].to_numpy(zero_copy_only=False).astype(np.int64)
+    onat = ot["cnat"].to_numpy(zero_copy_only=False).astype(np.int64)
+    oo = np.argsort(okeys)
+    oref = ray.put((okeys[oo], onat[oo], sk, sn))
+
+    li = _read_sized(sf_dir, "lineitem",
+                     ["l_orderkey", "l_suppkey", "l_extendedprice",
+                      "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok, on, skk, snn = cached_get(oref)
+        lo = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ls = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(ok):
+            return pa.table({"nkey": pa.array([], pa.int64()),
+                             "rev_micro": pa.array([], pa.int64())})
+        i = np.clip(np.searchsorted(ok, lo), 0, len(ok) - 1)
+        m = ok[i] == lo
+        j = np.clip(np.searchsorted(skk, ls), 0, max(len(skk) - 1, 0))
+        m &= (skk[j] == ls) if len(skk) else False
+        # same-nation constraint: supplier nation == customer nation
+        m &= snn[j] == on[i]
+        nk = on[i][m]
+        ep = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100)),
+                     pa.int64()).to_numpy(zero_copy_only=False)[m]
+        dc = pc.cast(pc.round(pc.multiply(t["l_discount"], 100)),
+                     pa.int64()).to_numpy(zero_copy_only=False)[m]
+        uk, inv = np.unique(nk, return_inverse=True)
+        rev = np.zeros(len(uk), np.int64)
+        np.add.at(rev, inv, ep * (100 - dc))
+        return pa.table({"nkey": pa.array(uk, pa.int64()),
+                         "rev_micro": pa.array(rev)})
+
+    from ray.data.aggregate import Sum
+
+    agg = li.map_batches(partial, batch_format="pyarrow") \
+        .groupby("nkey").aggregate(Sum("rev_micro",
+                                       alias_name="rev_micro"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        nk = t["nkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = np.searchsorted(nkeys, nk)
+        rev = pc.cast(t["rev_micro"], pa.int64())
+        return pa.table({
+            "n_name": pa.array(nnames[i], pa.string()),
+            "revenue": pc.divide(pc.cast(rev, pa.float64()), 10000.0)})
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .sort("revenue", descending=True)
+
+
+def q_canonical_urls(sf_dir: str):
+    """Pins the S1 ``canonicalize_urls`` kernel (SURVEY.md op 8 —
+    lowercase scheme+host, preserve path case, strip fragment) to a
+    DuckDB oracle: the documents table has no url column, so a url is
+    DERIVED deterministically from (doc_id, source) with three shapes —
+    scheme-less, scheme+host only, scheme+host+path — built by the same
+    expression in both engines; the SQL replays the canonicalization
+    generically with split_part/lower/substr rather than hand-computed
+    expected strings, so a kernel behavior change breaks the match."""
+    from ray_data_mplsh.stages.docs import canonicalize_urls
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def build(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = pd.Series(np.asarray(t["source"].to_pylist(), dtype=object))
+        ids = pd.Series(did).astype(str)
+        m = did % 5
+        u0 = src + "/RAW/" + ids + "#F"
+        u1 = "HTTPS://" + src.str.upper() + ".NET#Sec"
+        u2 = "HTTP://WWW." + src.str.upper() + ".COM/Docs/" + ids + "#frag"
+        urls = pd.Series(
+            np.where(m == 0, u0, np.where(m == 1, u1, u2)).astype(object))
+        cu = canonicalize_urls(urls)
+        return pa.table({
+            "doc_id": pa.array(did, pa.int64()),
+            "curl": pa.array(cu.to_numpy(dtype=object), pa.string())})
+
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
+def q_parts_by_brand(sf_dir: str):
+    """Per-brand part stats (the first query over the ``part`` dimension
+    table): count + avg retail price. Exact float parity with DuckDB's
+    AVG: prices are exact in cents, so partials carry integer cent sums
+    and one double division runs at the end — the same arithmetic the
+    SQL replays (SUM(CAST(ROUND(p*100) AS BIGINT)) / 100.0 / COUNT)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["p_retailprice"], 100)),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        b = np.asarray(t["p_brand"].to_pylist(), dtype=object)
+        ub, inv = np.unique(b, return_inverse=True)
+        return pa.table({
+            "p_brand": pa.array(ub),
+            "n_parts": pa.array(np.bincount(inv).astype(np.int64)),
+            "cents": pa.array(np.bincount(inv, weights=cents)
+                              .astype(np.int64))})
+
+    agg = _read(sf_dir, "part", ["p_brand", "p_retailprice"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("p_brand").aggregate(
+            Sum("n_parts", alias_name="n_parts"),
+            Sum("cents", alias_name="cents"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n_parts"], pa.int64())
+        c = pc.cast(t["cents"], pa.int64()).to_numpy(zero_copy_only=False)
+        nn = n.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "p_brand": t["p_brand"], "n_parts": n,
+            "avg_price": pa.array(c / 100.0 / nn, pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: share of lineitem revenue from PROMO-type parts
+    in one shipdate window. ``part`` reduces to a broadcast int8
+    is-promo flag indexed by partkey (dimension side never shuffles);
+    per-batch integer partials (cents x (100 - disc_pct)) make revenue
+    exact, and the single promo/total double division is replayed
+    verbatim in the SQL oracle."""
+    import ray
+
+    LO = int(pd.Timestamp("1997-03-01").value // 1000)
+    HI = int(pd.Timestamp("1997-09-01").value // 1000)
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    pk_parts, fl_parts = [], []
+    for b in part.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        pk_parts.append(b["p_partkey"].to_numpy(zero_copy_only=False)
+                        .astype(np.int64))
+        fl_parts.append(pc.equal(b["p_type"], "PROMO").to_numpy(
+            zero_copy_only=False).astype(np.int8))
+    pk = np.concatenate(pk_parts) if pk_parts else np.empty(0, np.int64)
+    fl = np.concatenate(fl_parts) if fl_parts else np.empty(0, np.int8)
+    o = np.argsort(pk)
+    ref = ray.put((pk[o], fl[o]))
+
+    li = _read_sized(sf_dir, "lineitem",
+                     ["l_partkey", "l_extendedprice", "l_discount",
+                      "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, promo = cached_get(ref)
+        sd = t["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        m = (sd >= LO) & (sd < HI)
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[m]
+        ep = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100)),
+                     pa.int64()).to_numpy(zero_copy_only=False)[m]
+        dc = pc.cast(pc.round(pc.multiply(t["l_discount"], 100)),
+                     pa.int64()).to_numpy(zero_copy_only=False)[m]
+        rev = ep * (100 - dc)
+        i = np.clip(np.searchsorted(keys, lp), 0, max(len(keys) - 1, 0))
+        isp = promo[i] * (keys[i] == lp) if len(keys) else \
+            np.zeros(len(lp), np.int8)
+        return pa.table({
+            "promo_micro": pa.array([int(rev[isp.astype(bool)].sum())],
+                                    pa.int64()),
+            "total_micro": pa.array([int(rev.sum())], pa.int64())})
+
+    parts = [b for b in li.map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_size=65536, batch_format="pyarrow")]
+    tot = pa.concat_tables(parts)
+    pm = int(pc.sum(tot["promo_micro"]).as_py() or 0)
+    tm = int(pc.sum(tot["total_micro"]).as_py() or 0)
+    return pa.table({"promo_revenue_pct":
+                     pa.array([100.0 * pm / tm if tm else 0.0],
+                              pa.float64())})
+
+
+def q_top_parts_revenue(sf_dir: str):
+    """Top-10 parts by lineitem revenue with brand/name attached: fact
+    partials (|parts in batch|-bounded integer cent sums) -> one
+    |parts|-bounded groupby -> broadcast join against the dimension
+    table -> global top-k, ties broken on p_partkey for a deterministic
+    LIMIT set in both engines."""
+    from ray.data.aggregate import Sum
+
+    li = _read_sized(sf_dir, "lineitem",
+                     ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ep = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100)),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        dc = pc.cast(pc.round(pc.multiply(t["l_discount"], 100)),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(lp, return_inverse=True)
+        rev = np.zeros(len(uk), np.int64)
+        np.add.at(rev, inv, ep * (100 - dc))
+        return pa.table({"p_partkey": pa.array(uk, pa.int64()),
+                         "rev_micro": pa.array(rev)})
+
+    agg = li.map_batches(partial, batch_format="pyarrow") \
+        .groupby("p_partkey").aggregate(Sum("rev_micro",
+                                            alias_name="rev_micro"))
+
+    part_rows = [b for b in
+                 _read(sf_dir, "part", ["p_partkey", "p_name", "p_brand"])
+                 .iter_batches(batch_size=65536, batch_format="pyarrow")]
+    ptbl = pa.concat_tables(part_rows)
+    joined = broadcast_join(agg, ptbl, left_on="p_partkey",
+                            right_on="p_partkey")
+
+    def finish(t: pa.Table) -> pa.Table:
+        rev = pc.cast(t["rev_micro"], pa.int64())
+        return pa.table({
+            "p_partkey": pc.cast(t["p_partkey"], pa.int64()),
+            "p_name": t["p_name"], "p_brand": t["p_brand"],
+            "revenue": pc.divide(pc.cast(rev, pa.float64()), 10000.0)})
+
+    return joined.map_batches(finish, batch_format="pyarrow") \
+        .sort(["revenue", "p_partkey"], descending=[True, False]) \
+        .limit(10)
+
+
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_lang_counts": q_lang_counts,
@@ -3072,6 +3374,11 @@ QUERIES = {
     "q_profile_events": q_profile_events,
     "q_unpivot_event_metrics": q_unpivot_event_metrics,
     "q_dup_rate_by_source": q_dup_rate_by_source,
+    "q_canonical_urls": q_canonical_urls,
+    "q_tpch_q5": q_tpch_q5,
+    "q_parts_by_brand": q_parts_by_brand,
+    "q_promo_revenue": q_promo_revenue,
+    "q_top_parts_revenue": q_top_parts_revenue,
 }
 
 # --- SQL replay fragments for hash-bearing oracles -------------------------
@@ -3572,6 +3879,56 @@ ORACLE_SQL = {
         "/ COUNT(*) AS dup_rate FROM (SELECT source, ROW_NUMBER() OVER "
         "(PARTITION BY text ORDER BY doc_id) AS rn FROM documents) "
         "GROUP BY source",
+    "q_tpch_q5":
+        "SELECT n_name, CAST(SUM("
+        "CAST(round(l_extendedprice * 100) AS BIGINT) * "
+        "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) "
+        "/ 10000.0 AS revenue "
+        "FROM customer, orders, lineitem, supplier, nation, region "
+        "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+        "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+        "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+        "AND r_name = 'ASIA' "
+        "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1997-01-01' "
+        "GROUP BY n_name ORDER BY revenue DESC",
+    "q_canonical_urls":
+        "WITH u AS (SELECT doc_id, CASE "
+        "WHEN doc_id % 5 = 0 THEN source || '/RAW/' || "
+        "CAST(doc_id AS VARCHAR) || '#F' "
+        "WHEN doc_id % 5 = 1 THEN 'HTTPS://' || upper(source) || "
+        "'.NET#Sec' "
+        "ELSE 'HTTP://WWW.' || upper(source) || '.COM/Docs/' || "
+        "CAST(doc_id AS VARCHAR) || '#frag' END AS url FROM documents), "
+        "s AS (SELECT doc_id, split_part(url, '#', 1) AS su FROM u), "
+        "p AS (SELECT doc_id, su, split_part(su, '://', 2) AS rest "
+        "FROM s) "
+        "SELECT doc_id, CASE WHEN strpos(su, '://') > 0 THEN "
+        "lower(split_part(su, '://', 1)) || '://' || "
+        "lower(split_part(rest, '/', 1)) || "
+        "CASE WHEN strpos(rest, '/') > 0 THEN "
+        "'/' || substr(rest, strpos(rest, '/') + 1) ELSE '' END "
+        "ELSE su END AS curl FROM p",
+    "q_parts_by_brand":
+        "SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts, "
+        "CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT)) AS DOUBLE) "
+        "/ 100.0 / COUNT(*) AS avg_price FROM part GROUP BY p_brand",
+    "q_promo_revenue":
+        "SELECT 100.0 * SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 "
+        "END) / SUM(rev) AS promo_revenue_pct FROM ("
+        "SELECT p_type, CAST(round(l_extendedprice * 100) AS BIGINT) * "
+        "(100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE l_shipdate >= TIMESTAMP '1997-03-01' "
+        "AND l_shipdate < TIMESTAMP '1997-09-01')",
+    "q_top_parts_revenue":
+        "SELECT p_partkey, p_name, p_brand, "
+        "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+        "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) "
+        "/ 10000.0 AS revenue "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "GROUP BY p_partkey, p_name, p_brand "
+        "ORDER BY revenue DESC, p_partkey LIMIT 10",
     "q_events_distinct":
         "SELECT DISTINCT user_id, event_type, "
         "strftime(ts, '%Y-%m-%d') AS d FROM events",

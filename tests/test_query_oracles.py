@@ -41,14 +41,16 @@ CHECK = ["q_word_stats", "q_doc_freq", "q_allpair_jaccard",
          "q_user_activity_histogram", "q_moving_sum_range",
          "q_pattern_counts", "q_embedding_near_dup", "q_sample",
          "q_stratified_sample", "q_ngram_jaccard", "q_kmv_distinct",
-         "q_heavy_hitters", "q_simhash_pairs"]
+         "q_heavy_hitters", "q_simhash_pairs", "q_parts_by_brand",
+         "q_promo_revenue", "q_top_parts_revenue", "q_canonical_urls",
+         "q_tpch_q5"]
 
 
 @pytest.fixture(scope="module")
 def oracle_con():
     con = duckdb.connect()
     for tbl in ("documents", "events", "customer", "orders", "supplier",
-                "lineitem", "embeddings", "region", "nation"):
+                "lineitem", "embeddings", "region", "nation", "part"):
         con.sql(f"CREATE VIEW {tbl} AS "
                 f"SELECT * FROM '{SF_DIR}/{tbl}.parquet'")
     yield con
