@@ -303,17 +303,42 @@ def poly_window_hashes(b: np.ndarray, k: int) -> np.ndarray:
     return (s[k:k + m] - s[0:m]) * pp[k - 1:k - 1 + m]
 
 
+# windows per rightmost_window_argmin chunk: each of the algorithm's ~13
+# full-length temporaries stays ~16 MB, under glibc's 32 MB dynamic mmap
+# threshold cap, so after the first chunk the allocator serves them from
+# the reused heap instead of fresh mmaps — on this box a fresh 57 MB
+# array costs ~66 ms of page faults PER temporary (measured), which made
+# the old single-shot version fault-bound, not compute-bound
+_RWA_CHUNK = 1 << 21
+
+
 def rightmost_window_argmin(g: np.ndarray, w: int) -> np.ndarray:
     """Absolute index of the RIGHTMOST minimum of every length-w window of
     ``g`` (uint64). O(m) two-block algorithm (block size w: each window is
     a block suffix + the next block's prefix); bit-equal to the
-    sliding_window_view reversed-argmin reference (tests fuzz this)."""
+    sliding_window_view reversed-argmin reference (tests fuzz this).
+    Large inputs are processed in independent window-start chunks (a
+    window starting in [s, e) reads only g[s : e+w-1]) purely to bound
+    temporary sizes — results are identical to the single-shot pass."""
     m = len(g)
     nwin = m - w + 1
     if nwin <= 0:
         raise ValueError("need len(g) >= w")
     if w == 1:
         return np.arange(m, dtype=np.int64)
+    if nwin > _RWA_CHUNK:
+        out = np.empty(nwin, np.int64)
+        for s in range(0, nwin, _RWA_CHUNK):
+            e = min(s + _RWA_CHUNK, nwin)
+            out[s:e] = _rwa_block(g[s:e + w - 1], w)
+            out[s:e] += s
+        return out
+    return _rwa_block(g, w)
+
+
+def _rwa_block(g: np.ndarray, w: int) -> np.ndarray:
+    m = len(g)
+    nwin = m - w + 1
     nb = (m + w - 1) // w
     pad = nb * w - m
     vals = np.concatenate(
@@ -325,47 +350,75 @@ def rightmost_window_argmin(g: np.ndarray, w: int) -> np.ndarray:
         np.where(vals <= pre_min, col[None, :], -1), axis=1)
     # suffix rightmost argmin (scanning right-to-left, the existing -- i.e.
     # righter -- candidate wins ties: update on strict <)
-    rv = vals[:, ::-1]
-    rcum = np.minimum.accumulate(rv, axis=1)
+    rcum = np.minimum.accumulate(vals[:, ::-1], axis=1)
     upd_r = np.concatenate(
         [np.ones((nb, 1), bool), rcum[:, 1:] < rcum[:, :-1]], axis=1)
     arg_r = np.maximum.accumulate(np.where(upd_r, col[None, :], -1), axis=1)
-    suf_arg = (w - 1 - arg_r)[:, ::-1]          # per suffix start offset
-    suf_min = rcum[:, ::-1]
-    # combine per window start i = q*w + r
+    # combine via FLAT views (no 2D fancy gathers): window i = q*w + r
+    # reads its suffix part at flat index i and its prefix part at flat
+    # index j = i+w-1 (row q+1 col r-1 for r>=1; for r==0, j lands on
+    # (q, w-1) — the full-block prefix — whose min/argmin equal the
+    # full-block suffix at (q, 0), and the <= tie rule then returns the
+    # same rightmost argmin, so aligned windows need no special case)
+    suf_arg_flat = (w - 1 - arg_r)[:, ::-1].reshape(-1)
+    suf_min_flat = rcum[:, ::-1].reshape(-1)
+    pre_min_flat = pre_min.reshape(-1)
+    pre_arg_flat = pre_arg.reshape(-1)
     i = np.arange(nwin, dtype=np.int64)
-    q, r = i // w, i % w
-    base = q * w
-    aligned = r == 0
-    out = np.empty(nwin, np.int64)
-    out[aligned] = base[aligned] + suf_arg[q[aligned], 0]
-    na = ~aligned
-    qn, rn = q[na], r[na]
-    a_min = suf_min[qn, rn]
-    b_min = pre_min[qn + 1, rn - 1]
-    use_b = b_min <= a_min                      # right part wins ties
-    res = np.where(use_b, (qn + 1) * w + pre_arg[qn + 1, rn - 1],
-                   qn * w + suf_arg[qn, rn])
-    out[na] = res
-    return out
+    r = np.resize(col, nwin)                              # i % w
+    jmod = np.resize(np.concatenate(([np.int64(w - 1)],
+                                     col[:w - 1])), nwin)  # (i+w-1) % w
+    a_arg = (i - r) + suf_arg_flat[:nwin]
+    b_arg = (i + (w - 1) - jmod) + pre_arg_flat[w - 1:w - 1 + nwin]
+    use_b = pre_min_flat[w - 1:w - 1 + nwin] <= suf_min_flat[:nwin]
+    return np.where(use_b, b_arg, a_arg)
 
 
 # --- winnowing fingerprints for the substring pass (op 24; Schleimer et al.,
 #     "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD 2003) ---
 
+# bytes of concatenated text per winnow chunk: keeps every m-sized
+# uint64 temporary in the poly/mix/argmin/expansion passes ~16 MB, under
+# glibc's dynamic mmap threshold cap, so temporaries are served from the
+# reused heap (see _RWA_CHUNK) no matter how large the Arrow batch is
+_WINNOW_CHUNK_BYTES = 2_000_000
+
+
 def winnow_fingerprints_batch(offs: np.ndarray, data: np.ndarray,
                               k: int, w: int
                               ) -> tuple[np.ndarray, np.ndarray]:
-    """Per-doc UNIQUE winnow fingerprints for a whole batch in ONE kernel
-    pass: ``data`` is the concatenated utf-8 bytes of all docs, ``offs``
-    (int64, len n_docs+1) their boundaries. Window minima are intrinsic to
-    the window contents — independent of the kernel's internal block
-    alignment — so one flat ``poly_window_hashes`` +
+    """Per-doc UNIQUE winnow fingerprints for a whole batch: ``data`` is
+    the concatenated utf-8 bytes of all docs, ``offs`` (int64, len
+    n_docs+1) their boundaries. Fingerprints are per-doc (windows never
+    straddle docs), so the batch is processed in doc-aligned chunks of
+    ~_WINNOW_CHUNK_BYTES — results are bit-identical to one flat pass at
+    any chunking (fuzz-pinned in tests/test_hashing.py). Returns
+    (fps uint64, doc_index int64) sorted by (doc, fp)."""
+    n_docs = len(offs) - 1
+    if len(data) > _WINNOW_CHUNK_BYTES and n_docs > 1:
+        fps, dis = [], []
+        d0 = 0
+        while d0 < n_docs:
+            limit = offs[d0] + _WINNOW_CHUNK_BYTES
+            d1 = int(np.searchsorted(offs, limit, side="right")) - 1
+            d1 = min(max(d1, d0 + 1), n_docs)
+            sub = (offs[d0:d1 + 1] - offs[d0]).astype(np.int64)
+            f, di = _winnow_chunk(sub, data[offs[d0]:offs[d1]], k, w)
+            fps.append(f)
+            dis.append(di + d0)
+            d0 = d1
+        return np.concatenate(fps), np.concatenate(dis)
+    return _winnow_chunk(offs, data, k, w)
+
+
+def _winnow_chunk(offs: np.ndarray, data: np.ndarray,
+                  k: int, w: int) -> tuple[np.ndarray, np.ndarray]:
+    """One doc-aligned chunk of winnow_fingerprints_batch. Window minima
+    are intrinsic to the window contents — independent of the kernel's
+    internal block alignment — so one flat ``poly_window_hashes`` +
     ``rightmost_window_argmin`` over the concatenation, masked to window
     starts that lie fully inside one doc, is bit-equal per doc to
-    ``np.unique(winnow_fingerprints(text)[0])`` (fuzz-pinned in
-    tests/test_hashing.py). Returns (fps uint64, doc_index int64) sorted
-    by (doc, fp)."""
+    ``np.unique(winnow_fingerprints(text)[0])``."""
     n_docs = len(offs) - 1
     lens = np.diff(offs)
     e64, e_i = np.empty(0, np.uint64), np.empty(0, np.int64)
