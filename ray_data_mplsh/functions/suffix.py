@@ -129,6 +129,43 @@ def cross_match_intervals(a: str, b: str, min_len: int) -> list[tuple[int, int]]
     return list(zip(starts.tolist(), last.tolist()))
 
 
+def merge_intervals_grouped(doc: "np.ndarray", s: "np.ndarray",
+                            e: "np.ndarray"):
+    """Vectorized per-doc ``merge_intervals`` over interval rows SORTED
+    by (doc, start): returns (run_doc, run_start, run_end) — one row per
+    merged interval, doc-ordered, bit-equal to calling merge_intervals
+    per doc (fuzz-pinned in tests/test_suffix.py). A touching interval
+    (start == running max end) merges, matching the scalar rule.
+
+    The per-doc exclusive running max of ``end`` uses a rank-offset so
+    ONE global cummax never carries across docs (doc ranks are strictly
+    increasing, and rank*B jumps dominate any real end value); requires
+    ranks * B < 2^62 — callers pass driver- or partition-bounded rows,
+    far below that."""
+    import numpy as np
+
+    n = len(doc)
+    if n == 0:
+        z = np.empty(0, np.int64)
+        return z, z, z
+    doc = np.asarray(doc)
+    s = np.asarray(s, dtype=np.int64)
+    e = np.asarray(e, dtype=np.int64)
+    first = np.concatenate(([True], doc[1:] != doc[:-1]))
+    rank = np.cumsum(first) - 1
+    B = np.int64(e.max()) + 1
+    if int(rank[-1]) * int(B) >= (1 << 62):   # pragma: no cover
+        raise ValueError("interval volume exceeds the rank-offset range")
+    cme = np.maximum.accumulate(e + rank * B)
+    prev_cme = np.empty(n, np.int64)
+    prev_cme[0] = -1
+    prev_cme[1:] = cme[:-1] - rank[1:] * B   # exclusive; junk at doc starts
+    newrun = first | (s > prev_cme)
+    starts = np.flatnonzero(newrun)
+    run_e = np.maximum.reduceat(e, starts)
+    return doc[starts], s[starts], run_e
+
+
 def merge_intervals(ivals: list[tuple[int, int]]) -> list[tuple[int, int]]:
     if not ivals:
         return []

@@ -24,7 +24,7 @@ import pyarrow as pa
 from ray_data_mplsh.config import MPLSHConfig
 from ray_data_mplsh.functions.hashing import winnow_fingerprints_batch
 from ray_data_mplsh.functions.suffix import (
-    cross_match_intervals, merge_intervals, remove_intervals,
+    cross_match_intervals, merge_intervals_grouped, remove_intervals,
 )
 from ray_data_mplsh.stages.pairs import dedup_pairs, _pairs_of_runs
 from ray_data_mplsh.stages.shuffle import cached_get, group_runs, \
@@ -354,22 +354,17 @@ def substring_stage(dedup_out, cfg: MPLSHConfig, num_partitions: int):
         s0 = np.concatenate(sss)
         e0 = np.concatenate(ees)
         o = np.lexsort((s0, d))
-        d, s0, e0 = d[o], s0[o], e0[o]
-        starts = np.flatnonzero(np.concatenate(([True], d[1:] != d[:-1])))
-        bounds = np.concatenate([starts, [len(d)]]).astype(np.int64)
-        mids, moffs, ms, me = [], [0], [], []
-        for gi in range(len(starts)):
-            lo, hi = bounds[gi], bounds[gi + 1]
-            merged = merge_intervals(
-                list(zip(s0[lo:hi].tolist(), e0[lo:hi].tolist())))
-            mids.append(d[lo])
-            moffs.append(moffs[-1] + len(merged))
-            ms.extend(x for x, _ in merged)
-            me.extend(x for _, x in merged)
-        span_ids = np.array(mids, np.uint64)
-        span_offs = np.array(moffs, np.int64)
-        span_s = np.array(ms, np.int64)
-        span_e = np.array(me, np.int64)
+        # vectorized per-doc interval merge (bit-equal to the scalar
+        # merge_intervals per doc — fuzz-pinned): no Python loop over
+        # dup-span docs on the driver
+        run_doc, span_s, span_e = merge_intervals_grouped(
+            d[o], s0[o], e0[o])
+        run_first = np.concatenate(([True], run_doc[1:] != run_doc[:-1]))
+        span_ids = run_doc[run_first].astype(np.uint64)
+        span_offs = np.concatenate(
+            ([0], np.cumsum(np.diff(np.concatenate(
+                (np.flatnonzero(run_first), [len(run_doc)])))))
+        ).astype(np.int64)
     else:
         span_ids = np.empty(0, np.uint64)
         span_offs = np.zeros(1, np.int64)

@@ -67,3 +67,30 @@ def test_cross_match_intervals_cover_all_long_matches(a, b, L):
 def test_merge_and_remove_intervals():
     assert merge_intervals([(5, 9), (1, 3), (2, 6)]) == [(1, 9), ]
     assert remove_intervals("hello cruel world", [(5, 11)]) == "hello world"
+
+
+@given(st.lists(st.tuples(st.integers(0, 6), st.integers(0, 40),
+                          st.integers(0, 15)), max_size=120))
+@settings(max_examples=60, deadline=None)
+def test_merge_intervals_grouped_matches_scalar(rows):
+    """The vectorized per-doc merge is bit-equal to merge_intervals run
+    per doc — incl. touching intervals, duplicate starts, single-row
+    docs, and empty input."""
+    from ray_data_mplsh.functions.suffix import merge_intervals_grouped
+
+    d = np.array([r[0] for r in rows], np.uint64)
+    s = np.array([r[1] for r in rows], np.int64)
+    e = s + np.array([r[2] for r in rows], np.int64)
+    o = np.lexsort((s, d))
+    rd_, rs, re_ = merge_intervals_grouped(d[o], s[o], e[o])
+    want_d, want_s, want_e = [], [], []
+    for doc in sorted(set(d.tolist())):
+        m = d == doc
+        merged = merge_intervals(list(zip(s[m].tolist(), e[m].tolist())))
+        for a, b in merged:
+            want_d.append(doc)
+            want_s.append(a)
+            want_e.append(b)
+    assert rd_.tolist() == want_d
+    assert rs.tolist() == want_s
+    assert re_.tolist() == want_e
