@@ -223,7 +223,10 @@ def minhash_signatures(shingles: np.ndarray, offsets: np.ndarray,
     # a full actor pool doesn't saturate the memory bus
     SH_CHUNK = 65536
     pc_ = min(perm_chunk, K)
-    vals = np.empty((min(SH_CHUNK, n_sh), pc_), dtype=np.uint64)
+    # (perm, shingle) layout: the segment-min reduceat then runs along
+    # the CONTIGUOUS axis (measured ~5x faster than axis-0 reduceat on
+    # the (shingle, perm) layout, bit-equal)
+    vals = np.empty((pc_, min(SH_CHUNK, n_sh)), dtype=np.uint64)
     doc_of_start = np.searchsorted(offsets, np.arange(0, n_sh, SH_CHUNK),
                                    side="right") - 1
     for ci, s0 in enumerate(range(0, n_sh, SH_CHUNK)):
@@ -241,12 +244,13 @@ def minhash_signatures(shingles: np.ndarray, offsets: np.ndarray,
         sh = shingles[s0:s1]
         for c0 in range(0, K, pc_):
             c1 = min(c0 + pc_, K)
-            v = vals[:s1 - s0, :c1 - c0]
-            np.multiply(sh[:, None], a[None, c0:c1], out=v)
-            np.add(v, b[None, c0:c1], out=v)
-            part = np.minimum.reduceat(v, seg, axis=0)
+            v = vals[:c1 - c0, :s1 - s0]
+            np.multiply(a[c0:c1, None], sh[None, :], out=v)
+            np.add(v, b[c0:c1, None], out=v)
+            part = np.minimum.reduceat(v, seg, axis=1)
             # fancy-indexed write-back (an out= target would be a copy)
-            sig[seg_docs, c0:c1] = np.minimum(sig[seg_docs, c0:c1], part)
+            sig[seg_docs, c0:c1] = np.minimum(sig[seg_docs, c0:c1],
+                                              part.T)
     return sig
 
 
