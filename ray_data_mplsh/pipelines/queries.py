@@ -3143,6 +3143,38 @@ def q_canonical_urls(sf_dir: str):
     return ds.map_batches(build, batch_format="pyarrow")
 
 
+def q_url_dedup(sf_dir: str):
+    """Canonical-url-keyed dedup (S1 ops 8+9 composed): derive the same
+    3-shape urls as q_canonical_urls, canonicalize, then keep the MIN
+    doc_id per canonical url with the doc count — the exact-dedup
+    pattern keyed on the canonicalizer's output, so a canonicalization
+    change that merges or splits groups breaks the oracle. Per-batch
+    (curl, min_id, cnt) combiners bound the exchange at |distinct urls|."""
+    from ray.data.aggregate import Min, Sum
+
+    base = q_canonical_urls(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cu = np.asarray(t["curl"].to_pylist(), dtype=object)
+        uu, inv = np.unique(cu, return_inverse=True)
+        mn = np.full(len(uu), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mn, inv, did)
+        return pa.table({
+            "curl": pa.array(uu),
+            "doc_id": pa.array(mn, pa.int64()),
+            "n_docs": pa.array(np.bincount(inv).astype(np.int64))})
+
+    agg = base.map_batches(partial, batch_format="pyarrow") \
+        .groupby("curl").aggregate(Min("doc_id", alias_name="doc_id"),
+                                   Sum("n_docs", alias_name="n_docs"))
+    return agg.map_batches(
+        lambda t: pa.table({"curl": t["curl"],
+                            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                            "n_docs": pc.cast(t["n_docs"], pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q_parts_by_brand(sf_dir: str):
     """Per-brand part stats (the first query over the ``part`` dimension
     table): count + avg retail price. Exact float parity with DuckDB's
@@ -3375,6 +3407,7 @@ QUERIES = {
     "q_unpivot_event_metrics": q_unpivot_event_metrics,
     "q_dup_rate_by_source": q_dup_rate_by_source,
     "q_canonical_urls": q_canonical_urls,
+    "q_url_dedup": q_url_dedup,
     "q_tpch_q5": q_tpch_q5,
     "q_parts_by_brand": q_parts_by_brand,
     "q_promo_revenue": q_promo_revenue,
@@ -4029,6 +4062,12 @@ ORACLE_SQL = {
             f"THEN '{lg}'" for lg in sorted(_LANG_MARKERS))
         + " END AS pred_lang FROM documents",
 }
+
+# composed oracle: canonical-url dedup replays the q_canonical_urls CTE
+ORACLE_SQL["q_url_dedup"] = (
+    "WITH c AS (" + ORACLE_SQL["q_canonical_urls"] + ") "
+    "SELECT curl, MIN(doc_id) AS doc_id, "
+    "CAST(COUNT(*) AS BIGINT) AS n_docs FROM c GROUP BY curl")
 
 # The driver signs correctness rows for only a prefix of this registry
 # (50 entries in rounds 1-2), so oracle-bearing queries are ordered FIRST:

@@ -43,7 +43,7 @@ CHECK = ["q_word_stats", "q_doc_freq", "q_allpair_jaccard",
          "q_stratified_sample", "q_ngram_jaccard", "q_kmv_distinct",
          "q_heavy_hitters", "q_simhash_pairs", "q_parts_by_brand",
          "q_promo_revenue", "q_top_parts_revenue", "q_canonical_urls",
-         "q_tpch_q5"]
+         "q_tpch_q5", "q_url_dedup"]
 
 
 @pytest.fixture(scope="module")
