@@ -26,6 +26,9 @@ U64 = np.uint64
 _POLY_P = U64(0x9E3779B97F4A7C15)
 #: Sentinel substituted for a masked band slot in multi-probe keys (op 13).
 MASK_SENTINEL = U64(0xFEEDFACECAFEBEEF)
+#: poly_str_hashes switches from masked whole-array passes to a per-token
+#: power fold above this byte length (covers ~all natural-language tokens).
+_POLY_TOKEN_CAP = 64
 
 
 def mix64(x: np.ndarray | int) -> np.ndarray | np.uint64:
@@ -106,12 +109,33 @@ def poly_str_hashes(values) -> np.ndarray:
     if len(data):
         u = data.astype(np.uint64)
         starts = offs[:-1]
-        for t in range(int(lens.max())):
+        # masked passes are whole-array ops, so they run only up to
+        # _POLY_TOKEN_CAP bytes: one outlier token (URL / base64 blob
+        # surviving punctuation strip) must not make the batch
+        # O(n_words x max_len). Longer tokens finish below with a
+        # per-token vectorized power fold — same Horner value, cost
+        # proportional to the outliers' own bytes.
+        cap = min(int(lens.max()), _POLY_TOKEN_CAP)
+        for t in range(cap):
             m = lens > t
             am = acc[m]
             np.multiply(am, _POLY_P, out=am)
             np.add(am, u[starts[m] + t], out=am)
             acc[m] = am
+        for i in np.flatnonzero(lens > cap):
+            s = int(starts[i]) + cap
+            n = int(lens[i]) - cap
+            seg = u[s:s + n]
+            pw = np.full(n, _POLY_P, np.uint64)
+            pw[0] = U64(1)
+            np.cumprod(pw, out=pw)  # [1, P, P^2, ...] mod 2^64
+            # Horner tail: acc*P^n + sum(seg[j] * P^(n-1-j)), all mod
+            # 2^64 — kept in 1-element array views (scalar uint64 ops
+            # would raise overflow RuntimeWarnings; array ops wrap)
+            av = acc[i:i + 1]
+            np.multiply(av, pw[n - 1:] * _POLY_P, out=av)
+            np.add(av, np.sum(seg * pw[::-1], dtype=np.uint64,
+                              keepdims=True), out=av)
     return mix64(acc)
 
 

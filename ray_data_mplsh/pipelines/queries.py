@@ -19,8 +19,8 @@ import pyarrow.compute as pc
 from ray_data_mplsh.config import MPLSHConfig
 from ray_data_mplsh.functions.hashing import hash_str_array, knuth_hash32
 from ray_data_mplsh.stages.shuffle import (
-    broadcast_join, cached_get, default_partitions, group_runs,
-    partition_apply,
+    broadcast_join, cached_get, default_partitions, gather_capped,
+    group_runs, partition_apply,
 )
 
 
@@ -2234,18 +2234,24 @@ def q_lang_sources_agg(sf_dir: str):
     return partition_apply(keyed, "lang_h", agg_part, default_partitions())
 
 
-def q_tpch_q3(sf_dir: str):
+def q_tpch_q3(sf_dir: str, broadcast_max_rows: int = 4_000_000):
     """TPC-H Q3 shape (segment-filtered 3-table join, grouped revenue,
     top-10): zero-shuffle join plan — the customer side reduces to a
     sorted key array, the filtered orders side to a small table, both
     ray.put ONCE and probed map-side in the lineitem scan (the fact table
     never leaves its partitions before the |orders|-bounded groupby).
     Revenue is exact: cents x (100 - disc_pct) integer partials, one
-    float division replayed in SQL. The broadcast sides are bounded by
-    the filters' selectivity; above broadcast size the plan flips to the
-    keyed-exchange join of stages/relational.py (same flip rule as
-    semi_anti_join). Tie-break on l_orderkey makes the LIMIT set
-    deterministic in both engines."""
+    float division replayed in SQL. The orders-side gather is CAPPED at
+    ``broadcast_max_rows`` (shuffle.gather_capped): above it, the plan
+    flips to the keyed exchange — lineitem is semi-joined to the filtered
+    orders keys (stages/relational.semi_anti_join, which applies its own
+    broadcast/shuffle flip to the key set), the per-order revenue partials
+    ride one |orders|-bounded groupby, and the order attributes attach via
+    stages/relational.inner_join (hot-key detection off: both sides are
+    unique per orderkey, a 1:1 join cannot have a hot key). Path
+    equivalence is force-tested with broadcast_max_rows=0
+    (tests/test_relational.py). Tie-break on l_orderkey makes the LIMIT
+    set deterministic in both engines."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -2274,24 +2280,22 @@ def q_tpch_q3(sf_dir: str):
         return t.filter(pa.array(m)).select(
             ["o_orderkey", "o_orderdate", "o_orderpriority"])
 
-    oparts = [b for b in orders.map_batches(ofilt, batch_format="pyarrow")
-              .iter_batches(batch_size=65536, batch_format="pyarrow")]
-    o_tbl = pa.concat_tables(oparts) if oparts else pa.schema(
+    o_schema = pa.schema(
         [("o_orderkey", pa.int64()), ("o_orderdate", pa.timestamp("us")),
-         ("o_orderpriority", pa.string())]).empty_table()
-    okeys = np.sort(o_tbl["o_orderkey"].to_numpy(zero_copy_only=False)
-                    .astype(np.int64))
-    okeys_ref = ray.put(okeys)
+         ("o_orderpriority", pa.string())])
+    o_ds = orders.map_batches(ofilt, batch_format="pyarrow")
+    o_tbl = gather_capped(o_ds, broadcast_max_rows, o_schema)
 
     li = _read_sized(sf_dir, "lineitem",
                      ["l_orderkey", "l_extendedprice", "l_discount",
                       "l_shipdate"])
 
-    def lpart(t: pa.Table) -> pa.Table:
-        keys = ray.get(okeys_ref)
+    def lpart(t: pa.Table, okeys_ref=None) -> pa.Table:
         sd = t["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        m = (sd > CUT) & np.isin(ok, keys)
+        m = sd > CUT
+        if okeys_ref is not None:
+            m &= np.isin(ok, ray.get(okeys_ref))
         ok = ok[m]
         ep = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100)),
                      pa.int64()).to_numpy(zero_copy_only=False)[m]
@@ -2303,11 +2307,33 @@ def q_tpch_q3(sf_dir: str):
         return pa.table({"l_orderkey": pa.array(uo, pa.int64()),
                          "rev_micro": pa.array(rev)})
 
-    agg = li.map_batches(lpart, batch_format="pyarrow") \
-        .groupby("l_orderkey").aggregate(Sum("rev_micro",
-                                             alias_name="rev_micro"))
-    joined = broadcast_join(agg, o_tbl, left_on="l_orderkey",
-                            right_on="o_orderkey")
+    if o_tbl is not None:
+        # broadcast plan: filtered orders were driver-sized
+        okeys = np.sort(o_tbl["o_orderkey"].to_numpy(zero_copy_only=False)
+                        .astype(np.int64))
+        okeys_ref = ray.put(okeys)
+        agg = li.map_batches(
+            lambda t: lpart(t, okeys_ref), batch_format="pyarrow") \
+            .groupby("l_orderkey").aggregate(Sum("rev_micro",
+                                                 alias_name="rev_micro"))
+        joined = broadcast_join(agg, o_tbl, left_on="l_orderkey",
+                                right_on="o_orderkey")
+    else:
+        # keyed-exchange fallback: the filtered orders side overflowed
+        # the broadcast cap. Materialize it once (object-store-bounded,
+        # spillable — NOT driver memory) so the semi-join key pass and
+        # the attach join don't re-run the orders scan twice more.
+        from ray_data_mplsh.stages.relational import (inner_join,
+                                                      semi_anti_join)
+
+        o_big = o_ds.materialize()
+        li_f = semi_anti_join(li, o_big, left_on="l_orderkey",
+                              right_on="o_orderkey")
+        agg = li_f.map_batches(lpart, batch_format="pyarrow") \
+            .groupby("l_orderkey").aggregate(Sum("rev_micro",
+                                                 alias_name="rev_micro"))
+        joined = inner_join(agg, o_big, left_on="l_orderkey",
+                            right_on="o_orderkey", hot_key_threshold=0)
 
     def finish(t: pa.Table) -> pa.Table:
         rev = pc.cast(t["rev_micro"], pa.int64())
@@ -2981,16 +3007,23 @@ def q_cohort_retention(sf_dir: str):
     return agg.map_batches(fmt, batch_format="pyarrow")
 
 
-def q_tpch_q5(sf_dir: str):
+def q_tpch_q5(sf_dir: str, broadcast_max_rows: int = 4_000_000):
     """TPC-H Q5 shape (regional same-nation revenue, 6-table join):
     the whole dimension chain region -> nation -> customer / supplier
     collapses into two broadcast lookup arrays (custkey -> nationkey
     restricted to the region, suppkey -> nationkey), date-filtered
     orders reduce to a sorted (orderkey -> customer-nation) broadcast
-    (bounded by the date filter's selectivity — above broadcast size
-    this side flips to the keyed exchange, the q_tpch_q3 rule), and the
-    lineitem fact table never leaves its partitions: each batch looks
-    up both nations, keeps same-nation rows, and emits <= |nations|
+    when they fit ``broadcast_max_rows`` (shuffle.gather_capped); above
+    it the plan flips to the keyed exchange — lineitem batches attach
+    the supplier nation map-side (supplier stays a dimension broadcast)
+    and ride stages/relational.inner_join against the filtered-orders
+    Dataset on orderkey (hot-key detection off: the orders side is
+    unique per key, multiplicity is lineitems-per-order), then the
+    same-nation filter and |nations|-bounded partials run post-join.
+    Path equivalence is force-tested with broadcast_max_rows=0
+    (tests/test_relational.py). On the broadcast plan the lineitem fact
+    table never leaves its partitions: each batch looks up both
+    nations, keeps same-nation rows, and emits <= |nations|
     integer-cent partials. Revenue is exact (cents x (100 - disc_pct)
     int64 sums); the one float division is replayed in SQL."""
     import ray
@@ -3057,48 +3090,101 @@ def q_tpch_q5(sf_dir: str):
             "ok": t["o_orderkey"].cast(pa.int64()).filter(pa.array(m)),
             "cnat": pa.array(cnat[m], pa.int64())})
 
-    op = [b for b in orders.map_batches(ofilt, batch_format="pyarrow")
-          .iter_batches(batch_size=65536, batch_format="pyarrow")]
-    ot = pa.concat_tables(op) if op else pa.table(
-        {"ok": pa.array([], pa.int64()), "cnat": pa.array([], pa.int64())})
-    okeys = ot["ok"].to_numpy(zero_copy_only=False).astype(np.int64)
-    onat = ot["cnat"].to_numpy(zero_copy_only=False).astype(np.int64)
-    oo = np.argsort(okeys)
-    oref = ray.put((okeys[oo], onat[oo], sk, sn))
+    o_ds = orders.map_batches(ofilt, batch_format="pyarrow")
+    ot = gather_capped(o_ds, broadcast_max_rows, pa.schema(
+        [("ok", pa.int64()), ("cnat", pa.int64())]))
 
     li = _read_sized(sf_dir, "lineitem",
                      ["l_orderkey", "l_suppkey", "l_extendedprice",
                       "l_discount"])
+    _EMPTY = pa.table({"nkey": pa.array([], pa.int64()),
+                       "rev_micro": pa.array([], pa.int64())})
 
-    def partial(t: pa.Table) -> pa.Table:
-        ok, on, skk, snn = cached_get(oref)
-        lo = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ls = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        if not len(ok):
-            return pa.table({"nkey": pa.array([], pa.int64()),
-                             "rev_micro": pa.array([], pa.int64())})
-        i = np.clip(np.searchsorted(ok, lo), 0, len(ok) - 1)
-        m = ok[i] == lo
-        j = np.clip(np.searchsorted(skk, ls), 0, max(len(skk) - 1, 0))
-        m &= (skk[j] == ls) if len(skk) else False
-        # same-nation constraint: supplier nation == customer nation
-        m &= snn[j] == on[i]
-        nk = on[i][m]
-        ep = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100)),
-                     pa.int64()).to_numpy(zero_copy_only=False)[m]
-        dc = pc.cast(pc.round(pc.multiply(t["l_discount"], 100)),
-                     pa.int64()).to_numpy(zero_copy_only=False)[m]
+    def nation_partial(nk: np.ndarray, micro: np.ndarray) -> pa.Table:
+        """|nations|-bounded partial: sum precomputed integer
+        cents x (100 - disc_pct) values per nation key."""
         uk, inv = np.unique(nk, return_inverse=True)
         rev = np.zeros(len(uk), np.int64)
-        np.add.at(rev, inv, ep * (100 - dc))
+        np.add.at(rev, inv, micro)
         return pa.table({"nkey": pa.array(uk, pa.int64()),
                          "rev_micro": pa.array(rev)})
 
     from ray.data.aggregate import Sum
 
-    agg = li.map_batches(partial, batch_format="pyarrow") \
-        .groupby("nkey").aggregate(Sum("rev_micro",
-                                       alias_name="rev_micro"))
+    if ot is not None:
+        okeys = ot["ok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        onat = ot["cnat"].to_numpy(zero_copy_only=False).astype(np.int64)
+        oo = np.argsort(okeys)
+        oref = ray.put((okeys[oo], onat[oo], sk, sn))
+
+        def partial(t: pa.Table) -> pa.Table:
+            ok, on, skk, snn = cached_get(oref)
+            lo = t["l_orderkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            ls = t["l_suppkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            if not len(ok) or not len(skk):
+                return _EMPTY
+            i = np.clip(np.searchsorted(ok, lo), 0, len(ok) - 1)
+            m = ok[i] == lo
+            j = np.clip(np.searchsorted(skk, ls), 0, len(skk) - 1)
+            m &= skk[j] == ls
+            # same-nation constraint: supplier nation == customer nation
+            m &= snn[j] == on[i]
+            nk = on[i][m]
+            ep = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100)),
+                         pa.int64()).to_numpy(zero_copy_only=False)[m]
+            dc = pc.cast(pc.round(pc.multiply(t["l_discount"], 100)),
+                         pa.int64()).to_numpy(zero_copy_only=False)[m]
+            return nation_partial(nk, ep * (100 - dc))
+
+        agg = li.map_batches(partial, batch_format="pyarrow") \
+            .groupby("nkey").aggregate(Sum("rev_micro",
+                                           alias_name="rev_micro"))
+    else:
+        # keyed-exchange fallback: filtered orders overflowed the
+        # broadcast cap. Supplier nation attaches map-side (dimension
+        # broadcast); the orderkey join rides the m:n exchange.
+        from ray_data_mplsh.stages.relational import inner_join
+
+        sref = ray.put((sk, sn))
+
+        def lmap(t: pa.Table) -> pa.Table:
+            skk, snn = cached_get(sref)
+            lo = t["l_orderkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            ls = t["l_suppkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            if not len(skk):
+                return pa.table({"lok": pa.array([], pa.int64()),
+                                 "snat": pa.array([], pa.int64()),
+                                 "micro": pa.array([], pa.int64())})
+            j = np.clip(np.searchsorted(skk, ls), 0, len(skk) - 1)
+            m = skk[j] == ls
+            ep = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100)),
+                         pa.int64()).to_numpy(zero_copy_only=False)[m]
+            dc = pc.cast(pc.round(pc.multiply(t["l_discount"], 100)),
+                         pa.int64()).to_numpy(zero_copy_only=False)[m]
+            return pa.table({
+                "lok": pa.array(lo[m], pa.int64()),
+                "snat": pa.array(snn[j][m], pa.int64()),
+                "micro": pa.array(ep * (100 - dc), pa.int64())})
+
+        j = inner_join(li.map_batches(lmap, batch_format="pyarrow"),
+                       o_ds, left_on="lok", right_on="ok",
+                       hot_key_threshold=0)
+
+        def post(t: pa.Table) -> pa.Table:
+            sn_ = t["snat"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cn_ = t["cnat"].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = sn_ == cn_
+            micro = t["micro"].to_numpy(
+                zero_copy_only=False).astype(np.int64)[m]
+            return nation_partial(cn_[m], micro)
+
+        agg = j.map_batches(post, batch_format="pyarrow") \
+            .groupby("nkey").aggregate(Sum("rev_micro",
+                                           alias_name="rev_micro"))
 
     def finish(t: pa.Table) -> pa.Table:
         nk = t["nkey"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -3444,6 +3530,19 @@ def _mix64_sql(src: str, incol: str, outcol: str, keep: str) -> str:
 # hashes -> per-bit majority votes -> 4x16-bit blocks -> all pairs at
 # Hamming <= 3 (recall 1.0 by the pigeonhole block-banding guarantee, so
 # this brute force equals the banded candidate generation)
+#
+# PRECONDITION (parity boundary, tests/test_simhash.py): this replay is
+# bit-exact against the engine only on LOWERCASE, SINGLE-SPACED, ASCII
+# text — the testdata documents corpus by construction. Two deliberate
+# divergences outside that regime: (a) the SQL folds CODEPOINTS
+# (unicode(w[i])) where poly_str_hashes folds UTF-8 BYTES — identical
+# iff every char is ASCII; (b) the engine tokenizer casefolds and strips
+# punctuation where the SQL splits the raw string on single spaces —
+# identical iff the text is already normalized. Non-ASCII or punctuated
+# corpora need the tokenizer replayed in SQL (regexp_extract_all +
+# lower) and byte-level folds (encode()); kept codepoint-level here
+# because the fixture contract makes them equivalent and the simpler
+# HUGEINT chain is ~3x faster to oracle.
 _SIMHASH_SQL = (
     "WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws "
     "FROM documents), "
@@ -4070,8 +4169,35 @@ ORACLE_SQL["q_url_dedup"] = (
     "CAST(COUNT(*) AS BIGINT) AS n_docs FROM c GROUP BY curl")
 
 # The driver signs correctness rows for only a prefix of this registry
-# (50 entries in rounds 1-2), so oracle-bearing queries are ordered FIRST:
+# (50 entries in rounds 1-3), so oracle-bearing queries are ordered FIRST:
 # every driver-signed row then carries the strong value-hash check, while
-# rows-only entries (pytest-gated by contract) follow.
-QUERIES = {**{k: v for k, v in QUERIES.items() if k in ORACLE_SQL},
-           **{k: v for k, v in QUERIES.items() if k not in ORACLE_SQL}}
+# rows-only entries (pytest-gated by contract) follow. Within the oracled
+# block, the 50 queries ALREADY hash-signed in round 3 (frozen below —
+# the CORRECTNESS_r03.json key set) rotate to the back so the round-4
+# window signs the oracle-bearing queries that have never carried a
+# driver signature (VERDICT r3 "Next round" #4).
+_SIGNED_R3 = frozenset([
+    'q_exact_dedup', 'q_lang_counts', 'q_len_filter', 'q_top_sources',
+    'q_distinct_langs', 'q_events_daily', 'q_events_props',
+    'q_join_ord_cust', 'q_token_counts', 'q_quality_scores',
+    'q_word_stats', 'q_doc_freq', 'q_allpair_jaccard',
+    'q_allpair_containment', 'q_knn_bruteforce', 'q_embedding_near_dup',
+    'q_lang_id', 'q_simhash_pairs', 'q_ngram_jaccard',
+    'q_bpe_token_counts', 'q_lineitem_agg', 'q_region_nation',
+    'q_events_sliding', 'q_asof_event_order', 'q_range_join_events',
+    'q_sample', 'q_quantiles', 'q_top_docs_per_lang',
+    'q_stratified_sample', 'q_kmv_distinct', 'q_heavy_hitters',
+    'q_heavy_hitters_exact', 'q_kmv_doc_ids', 'q_decontaminate',
+    'q_top_terms', 'q_bigram_counts', 'q_repetition_scores',
+    'q_sessionize', 'q_semi_join_customers', 'q_anti_join_customers',
+    'q_grouped_quantiles', 'q_pivot_events', 'q_user_gaps',
+    'q_cumulative_daily', 'q_crossdoc_ngrams', 'q_mixture_sample',
+    'q_prefix_dup_groups', 'q_rollup_lang_source', 'q_distinct_users',
+    'q_left_join_counts'])
+QUERIES = {
+    **{k: v for k, v in QUERIES.items()
+       if k in ORACLE_SQL and k not in _SIGNED_R3},
+    **{k: v for k, v in QUERIES.items()
+       if k in ORACLE_SQL and k in _SIGNED_R3},
+    **{k: v for k, v in QUERIES.items() if k not in ORACLE_SQL},
+}

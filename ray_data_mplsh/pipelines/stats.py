@@ -10,15 +10,17 @@ import pandas as pd
 import pyarrow as pa
 
 
-def bucket_histogram(band_keys) -> pd.DataFrame:
+def bucket_histogram(band_keys, num_partitions: int = 0) -> pd.DataFrame:
     """band key table -> (bucket_size, n_buckets) distribution (op 26).
 
-    Partial per-batch bucket counts understate sizes for buckets that span
-    batches; sizes are exact because counting groups by the 64-bit
-    band_hash across the whole dataset via a value_counts merge — the
-    per-batch partial is a (hash, count) table, merged driver-side
-    (bounded: one row per distinct bucket, and diagnostics run on samples
-    at web scale)."""
+    Fully distributed count-of-counts: per-batch (hash, count) partials
+    ride ONE band_hash-keyed exchange; each partition owns its hashes
+    wholly, so it sums exact bucket sizes and emits a (bucket_size,
+    n_buckets) partial — the driver gather is bounded by |distinct
+    sizes| x partitions (a few hundred rows), never |distinct buckets|
+    (which at web scale is ~bands x n_docs)."""
+    from ray_data_mplsh.stages.shuffle import (default_partitions,
+                                               partition_apply)
 
     def partial(t: pa.Table) -> pa.Table:
         bh = t["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -26,27 +28,73 @@ def bucket_histogram(band_keys) -> pd.DataFrame:
         return pa.table({"band_hash": pa.array(keys, pa.uint64()),
                          "cnt": pa.array(counts, pa.int64())})
 
-    parts = band_keys.map_batches(partial, batch_format="pyarrow").to_pandas()
-    sizes = parts.groupby("band_hash")["cnt"].sum()
-    hist = sizes.value_counts().sort_index()
+    def count_of_counts(part: pa.Table) -> pa.Table:
+        bh = part["band_hash"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        c = part["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uk, inv = np.unique(bh, return_inverse=True)
+        sizes = np.zeros(len(uk), np.int64)
+        np.add.at(sizes, inv, c)
+        us, n = np.unique(sizes, return_counts=True)
+        return pa.table({"bucket_size": pa.array(us, pa.int64()),
+                         "n_buckets": pa.array(n.astype(np.int64))})
+
+    u = band_keys.map_batches(partial, batch_format="pyarrow")
+    parts = partition_apply(u, "band_hash", count_of_counts,
+                            default_partitions(num_partitions)).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"bucket_size": pd.Series([], dtype=int),
+                             "n_buckets": pd.Series([], dtype=int)})
+    hist = parts.groupby("bucket_size")["n_buckets"].sum().sort_index()
     return pd.DataFrame({"bucket_size": hist.index.astype(int),
                          "n_buckets": hist.values.astype(int)})
 
 
-def cluster_stats(labels, top_k: int = 10) -> dict:
+def cluster_stats(labels, top_k: int = 10, num_partitions: int = 0) -> dict:
     """labels (doc_id, cluster_id) -> counts + size distribution + top-k
-    largest clusters (op 27)."""
-    df = labels.to_pandas()
-    if df.empty:
+    largest clusters (op 27).
+
+    Fully distributed: one cluster_id-keyed exchange; each partition
+    owns its clusters wholly, so its local sizes are exact and it emits
+    only its top-k clusters plus one counter row (partial cluster / doc
+    counts, tagged by ``kind``) — the driver gather is bounded by
+    (top_k + 1) x partitions rows, never |clustered docs|. Top-k merges
+    exactly because a cluster's global size equals its partition-local
+    size; ties break on the smaller cluster_id."""
+    from ray_data_mplsh.stages.shuffle import (default_partitions,
+                                               partition_apply)
+
+    def per_part(t: pa.Table) -> pa.Table:
+        cid = t["cluster_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        uc, counts = np.unique(cid, return_counts=True)
+        order = np.lexsort((uc, -counts))[:top_k]
+        return pa.table({
+            "kind": pa.array(
+                np.r_[np.zeros(len(order), np.int8), [1]], pa.int8()),
+            "cluster_id": pa.array(np.r_[uc[order], [0]], pa.uint64()),
+            "size": pa.array(np.r_[counts[order], [len(uc)]], pa.int64()),
+            "n_docs": pa.array(np.r_[np.zeros(len(order), np.int64),
+                                     [len(cid)]], pa.int64())})
+
+    parts = partition_apply(labels, "cluster_id", per_part,
+                            default_partitions(num_partitions)).to_pandas()
+    if parts.empty:
         return {"n_clustered_docs": 0, "n_clusters": 0,
                 "max_cluster": 0, "top_clusters": []}
-    sizes = df.groupby("cluster_id").size().sort_values(ascending=False)
+    tops = parts[parts["kind"] == 0]
+    if tops.empty:
+        return {"n_clustered_docs": 0, "n_clusters": 0,
+                "max_cluster": 0, "top_clusters": []}
+    marks = parts[parts["kind"] == 1]
+    tops = tops.sort_values(["size", "cluster_id"],
+                            ascending=[False, True]).head(top_k)
     return {
-        "n_clustered_docs": int(len(df)),
-        "n_clusters": int(len(sizes)),
-        "max_cluster": int(sizes.iloc[0]),
+        "n_clustered_docs": int(marks["n_docs"].sum()),
+        "n_clusters": int(marks["size"].sum()),
+        "max_cluster": int(tops["size"].iloc[0]),
         "top_clusters": [(int(c), int(s))
-                         for c, s in sizes.head(top_k).items()],
+                         for c, s in zip(tops["cluster_id"], tops["size"])],
     }
 
 

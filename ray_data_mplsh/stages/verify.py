@@ -129,13 +129,17 @@ def verify_stage_join(pairs, sigs, cfg: MPLSHConfig, num_partitions: int):
     j = j.join(sig_b, "inner", num_partitions, on=("b",))
 
     def from_bin(col, t: pa.Table) -> np.ndarray:
+        # zero-copy view of the fixed_size_binary data buffer (slots are
+        # contiguous K*8-byte strides, offset-adjusted for slices) —
+        # symmetric with to_bin's buffer build, no per-row Python objects
         arr = t[col]
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
         if len(arr) == 0:
             return np.empty((0, K), np.uint64)
-        return np.frombuffer(b"".join(arr.to_pylist()),
-                             dtype=np.uint64).reshape(-1, K)
+        return np.frombuffer(arr.buffers()[1], dtype=np.uint64,
+                             count=len(arr) * K,
+                             offset=arr.offset * K * 8).reshape(-1, K)
 
     def kernel(batch: pa.Table) -> pa.Table:
         a = batch["a"].to_numpy(zero_copy_only=False).astype(np.uint64)

@@ -213,3 +213,46 @@ def test_utf8_flat_offset_widths():
                                       pa.large_binary()))
     assert np.array_equal(boff, want_off)
     assert np.array_equal(bdata, want_data)
+
+
+def test_poly_str_hashes_long_token_tail_matches_scalar():
+    """The _POLY_TOKEN_CAP split (masked passes up to the cap, per-token
+    power fold beyond) must equal the plain scalar Horner fold for any
+    mix of short and very long tokens — including multi-byte UTF-8."""
+    from ray_data_mplsh.functions.hashing import (_POLY_P, mix64,
+                                                  poly_str_hashes)
+
+    rng = np.random.Generator(np.random.PCG64(17))
+    toks = ["", "a", "hello", "x" * 63, "y" * 64, "z" * 65,
+            "q" * 300, "café" * 40,
+            "".join(chr(rng.integers(33, 600)) for _ in range(257))]
+
+    def scalar(s: str) -> int:
+        acc = 0
+        for b in s.encode("utf-8"):
+            acc = (acc * int(_POLY_P) + b) % 2**64
+        return int(mix64(np.array([acc], dtype=np.uint64))[0])
+
+    got = poly_str_hashes(toks)
+    assert [int(x) for x in got] == [scalar(t) for t in toks]
+
+
+def test_poly_str_hashes_ascii_codepoint_parity_boundary():
+    """Pins the _SIMHASH_SQL oracle precondition (queries.py): the SQL
+    folds CODEPOINTS while the engine folds UTF-8 BYTES — equal on pure
+    ASCII, DIVERGENT on any multi-byte char. If this test ever fails on
+    the divergence half, the SQL replay must be revisited."""
+    from ray_data_mplsh.functions.hashing import (_POLY_P, mix64,
+                                                  poly_str_hashes)
+
+    def codepoint_fold(s: str) -> int:
+        acc = 0
+        for ch in s:
+            acc = (acc * int(_POLY_P) + ord(ch)) % 2**64
+        return int(mix64(np.array([acc], dtype=np.uint64))[0])
+
+    ascii_toks = ["hello", "world", "abc123"]
+    got = poly_str_hashes(ascii_toks)
+    assert [int(x) for x in got] == [codepoint_fold(t) for t in ascii_toks]
+    # the boundary: one multi-byte char breaks codepoint parity
+    assert int(poly_str_hashes(["café"])[0]) != codepoint_fold("café")

@@ -292,3 +292,73 @@ def test_keyed_exchange_hot_key_skew(ray_session):
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_exact=True)
     con.close()
+
+
+def test_hot_prescan_escalation_and_miss_paths(ray_session, monkeypatch):
+    """The streaming hot-key prescan's two non-default regimes stay
+    exact: (a) driver_cap=0 forces the escalation to the materialized
+    exchange-based count; (b) an absurd min_batch_count makes detection
+    miss the hot key entirely — salting is load-balance-only, so the
+    unsalted join must still equal DuckDB bit-for-bit."""
+    import duckdb
+    import pandas as pd
+
+    import ray_data_mplsh.stages.relational as rel
+
+    rng = np.random.Generator(np.random.PCG64(31))
+    lk = np.concatenate([np.full(400, 7), rng.integers(0, 6, 150), [9]])
+    rk = np.concatenate([np.full(200, 7), rng.integers(0, 6, 90), [10]])
+    left = pa.table({"k": pa.array(lk, pa.int64()),
+                     "lv": pa.array(np.arange(len(lk)), pa.int64())})
+    right = pa.table({"rk": pa.array(rk, pa.int64()),
+                      "rv": pa.array(np.arange(len(rk)), pa.int64())})
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    want = con.sql(
+        "SELECT k, lv, rk, rv FROM l FULL OUTER JOIN r ON l.k = r.rk").df()
+    con.close()
+    cols = list(want.columns)
+    want = want.sort_values(cols).reset_index(drop=True)
+
+    orig = rel._hot_join_keys
+    for kw, expect_hot in (({"driver_cap": 0}, True),
+                           ({"min_batch_count": 1 << 30}, False)):
+        seen = {}
+
+        def forced(base, key, threshold, _kw=kw, _seen=seen):
+            hk, hl, b = orig(base, key, threshold, **_kw)
+            _seen["n_hot"] = len(hk)
+            return hk, hl, b
+
+        monkeypatch.setattr(rel, "_hot_join_keys", forced)
+        got = rel.full_outer_join(
+            from_arrow_blocks(left, target_rows=64),
+            from_arrow_blocks(right, target_rows=64),
+            left_on="k", right_on="rk", num_partitions=8,
+            hot_key_threshold=10_000, salt_shards=4
+        ).to_pandas()[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_exact=True)
+        assert (seen["n_hot"] > 0) == expect_hot
+    monkeypatch.setattr(rel, "_hot_join_keys", orig)
+
+
+def test_tpch_broadcast_overflow_fallback(ray_session):
+    """q_tpch_q3 / q_tpch_q5 with broadcast_max_rows=0: the filtered
+    orders side overflows the driver-gather cap on its first batch and
+    the plan flips to the keyed exchange (semi-join + inner_join for Q3,
+    map-side supplier attach + inner_join for Q5). Results must equal
+    the default broadcast plan bit-for-bit (the driver's DuckDB gate
+    already pins the broadcast plan to SQL)."""
+    import pandas as pd
+
+    from ray_data_mplsh.pipelines.queries import q_tpch_q3, q_tpch_q5
+
+    sf = "/root/testdata/sf0.001"
+    for q in (q_tpch_q3, q_tpch_q5):
+        want = q(sf).to_pandas()
+        cols = list(want.columns)
+        want = want.sort_values(cols).reset_index(drop=True)
+        got = q(sf, broadcast_max_rows=0).to_pandas()[cols] \
+            .sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_exact=True)
