@@ -74,13 +74,18 @@ def exact_dedup_stage(docs, cfg: MPLSHConfig, num_partitions: int):
     from ray_data_mplsh.stages.shuffle import cached_get, gather_kv, \
         lookup_u64
 
+    from ray_data_mplsh.stages.shuffle import sized_partitions
+
     hashed = docs.map_batches(add_text_hash,
                               batch_format="pyarrow").materialize()
+    # hashed is materialized, so count() is metadata — both the hybrid
+    # split and the exchange width key off the real corpus size
+    n_corpus = hashed.count()
+    pe = sized_partitions(n_corpus, num_partitions)
     slim = hashed.select_columns(["doc_id", "text_hash"])
-    members = partition_apply(slim, "text_hash", _rep_member_pairs,
-                              num_partitions).materialize()
-    if members.count() <= cfg.broadcast_max_docs:
-        ref = ray.put(gather_kv(members, "doc_id", "rep_id"))
+
+    def _annotate_ref(kv):
+        ref = ray.put(kv)
 
         def annotate(batch: pa.Table) -> pa.Table:
             keys, vals = cached_get(ref)
@@ -90,4 +95,40 @@ def exact_dedup_stage(docs, cfg: MPLSHConfig, num_partitions: int):
             return batch.append_column("rep_id", pa.array(rep, pa.uint64()))
 
         return hashed.map_batches(annotate, batch_format="pyarrow")
-    return partition_apply(hashed, "text_hash", _assign_reps, num_partitions)
+
+    if n_corpus <= cfg.local_state_max_rows:
+        # LOCAL HYBRID (the dedup_pairs pattern): a Ray sort-shuffle has
+        # ~1s fixed latency; the slim (doc_id, text_hash) projection at
+        # this size is a few MB, so the member map comes from one driver
+        # numpy pass — same group_runs/reduceat kernel as the exchange's
+        # per-partition fn, hence bit-equal. Web-scale corpora take the
+        # exchange below.
+        ths, idss = [], []
+        for t in slim.iter_batches(batch_size=131072,
+                                   batch_format="pyarrow"):
+            ths.append(t["text_hash"].to_numpy(zero_copy_only=False)
+                       .astype(np.uint64))
+            idss.append(t["doc_id"].to_numpy(zero_copy_only=False)
+                        .astype(np.uint64))
+        th = np.concatenate(ths) if ths else np.empty(0, np.uint64)
+        ids = np.concatenate(idss) if idss else np.empty(0, np.uint64)
+        order, starts = group_runs(th)
+        sorted_ids = ids[order]
+        if len(ids):
+            run_min = np.minimum.reduceat(sorted_ids, starts[:-1])
+            rep = np.repeat(run_min, np.diff(starts))
+            member = sorted_ids != rep
+            mk, mv = sorted_ids[member], rep[member]
+        else:
+            mk = mv = np.empty(0, np.uint64)
+        if len(mk) <= cfg.broadcast_max_docs:
+            o = np.argsort(mk)
+            return _annotate_ref((mk[o], mv[o]))
+        # dup-member map too large to broadcast: full sorted shuffle
+        return partition_apply(hashed, "text_hash", _assign_reps, pe)
+
+    members = partition_apply(slim, "text_hash", _rep_member_pairs,
+                              pe).materialize()
+    if members.count() <= cfg.broadcast_max_docs:
+        return _annotate_ref(gather_kv(members, "doc_id", "rep_id"))
+    return partition_apply(hashed, "text_hash", _assign_reps, pe)

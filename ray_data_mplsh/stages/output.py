@@ -323,11 +323,43 @@ def substring_stage(dedup_out, cfg: MPLSHConfig, num_partitions: int):
             .filter(expr="is_canonical == True").sum("n_chars") or 0
     else:
         canon_bytes = 0
+    # winnow density is ~1 fingerprint per 45 chars at the default
+    # (k, w), so canon_bytes // 45 estimates the bucket exchange's row
+    # count. Hybrid split (the dedup_pairs pattern): a Ray sort-shuffle
+    # costs ~1s fixed latency regardless of size, so a fingerprint set
+    # under cfg.local_state_max_rows is grouped in ONE driver numpy pass
+    # — bit-equal to the exchange because each fp bucket is wholly in
+    # one partition either way and _pairs_of_runs is order-independent
+    # (runs re-sorted, star anchored at the min id; pinned by
+    # tests/test_suffix.py). Web-scale fingerprint volumes take the
+    # size-adapted exchange.
+    from ray_data_mplsh.stages.shuffle import sized_partitions
+    est_rows = max(n_canon, int(canon_bytes) // 45)
+    pe = sized_partitions(est_rows, num_partitions)
     fps = canon.map_batches(_fingerprint_emitter(cfg), batch_format="pyarrow")
-    pairs = partition_apply(fps, "fp", _fp_pairs_fn(cfg.substr_bucket_cap),
-                            num_partitions)
-    pairs = dedup_pairs(pairs, num_partitions,
-                        local_max_rows=cfg.local_state_max_rows)
+    pfn = _fp_pairs_fn(cfg.substr_bucket_cap)
+    local_fp = False
+    if est_rows <= cfg.local_state_max_rows:
+        fmat = fps.materialize()
+        if fmat.count() <= cfg.local_state_max_rows:
+            from ray_data_mplsh.stages.shuffle import from_arrow_blocks
+
+            batches = list(fmat.iter_batches(batch_size=1 << 20,
+                                             batch_format="pyarrow"))
+            tbl = pa.concat_tables(batches) if batches else pa.table(
+                {"fp": pa.array([], pa.uint64()),
+                 "doc_id": pa.array([], pa.uint64())})
+            # pfn's internal combiner lexsorts + uniques the pair list,
+            # and here its "partition" is the whole set — the output is
+            # already globally deduped, no dedup_pairs pass needed
+            pairs = from_arrow_blocks(pfn(tbl), target_rows=2048)
+            local_fp = True
+        else:
+            fps = fmat
+    if not local_fp:
+        pairs = partition_apply(fps, "fp", pfn, pe)
+        pairs = dedup_pairs(pairs, pe,
+                            local_max_rows=cfg.local_state_max_rows)
 
     if n_canon <= cfg.broadcast_max_docs and \
             canon_bytes <= cfg.substr_broadcast_max_bytes:

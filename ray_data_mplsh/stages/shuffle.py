@@ -115,6 +115,21 @@ def lookup_u64(sorted_keys: np.ndarray, vals: np.ndarray, q: np.ndarray,
     return out
 
 
+def sized_partitions(n_rows: int, num_partitions: int, *,
+                     rows_per_part: int = 65536, floor: int = 8) -> int:
+    """Adaptive exchange width for a KNOWN input size: a partition_apply
+    costs one shuffle object per (block x partition), so a 64-wide
+    exchange over a few thousand rows is almost pure overhead. Small
+    inputs drop to ``floor`` partitions; the width grows with the data
+    (one partition per ``rows_per_part`` rows) and caps at the
+    configured ``num_partitions`` so web-scale inputs keep the full
+    plan. The count stays a pure function of the data size — not the
+    cluster — so the physical plan is identical across cluster sizes
+    (the scaling-bench invariant)."""
+    lo = max(1, min(floor, num_partitions))
+    return int(min(num_partitions, max(lo, n_rows // rows_per_part)))
+
+
 def gather_capped(ds, max_rows: int, schema: pa.Schema) -> pa.Table | None:
     """Stream a Dataset to ONE driver-side Arrow table, aborting as soon
     as more than ``max_rows`` rows have arrived — the broadcast-overflow

@@ -176,3 +176,20 @@ def test_substring_byte_gate_forces_shuffle(ray_session, small_fixture,
     canon = out[out["is_canonical"]]
     ft = dict(zip(canon["doc_id"].tolist(), canon["final_text"]))
     assert ft == small_oracle.dedup_text
+
+
+def test_local_hybrid_gate_forces_exchanges(ray_session, small_fixture,
+                                            small_oracle):
+    """local_state_max_rows=0 forces every local-hybrid stage (exact-dedup
+    member map, substring fingerprint bucketing, pair dedup) onto its
+    distributed exchange path — the web-scale route must stay
+    byte-identical to the small-corpus driver-side kernels."""
+    import ray.data as rd
+
+    pages = rd.read_parquet(f"{small_fixture}/pages.parquet")
+    cfg = MPLSHConfig(local_state_max_rows=0)
+    res = run_dedup(pages, cfg, extract=True)
+    out = res.dedup_out.to_pandas()
+    canon = out[out["is_canonical"]]
+    ft = dict(zip(canon["doc_id"].tolist(), canon["final_text"]))
+    assert ft == small_oracle.dedup_text
