@@ -27,6 +27,10 @@ class MPLSHConfig:
     # --- MinHash signature (op 12) ---
     num_perm: int = 128           # K minhashes per doc
     seed: int = 0xC0FFEE          # PCG64 seed for the permutation params
+    word_hash: str = "sip"        # token hash family: "sip" (pandas
+                                  # SipHash-1-3, default) or "poly"
+                                  # (poly_str_hashes — SQL-replayable, used
+                                  # by oracle-pinned queries)
 
     # --- LSH banding + multi-probe (op 13; [MPLSH §4]) ---
     bands: int = 16               # b
@@ -110,6 +114,8 @@ class MPLSHConfig:
                 f"must equal num_perm ({self.num_perm})")
         if not 0 <= self.probes <= self.rows_per_band:
             raise ValueError("probes must be in [0, rows_per_band]")
+        if self.word_hash not in ("sip", "poly"):
+            raise ValueError("word_hash must be 'sip' or 'poly'")
 
     @property
     def verify_theta(self) -> float:

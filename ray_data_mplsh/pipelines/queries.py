@@ -542,6 +542,49 @@ def q_simhash_pairs(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_minhash_sigs(sf_dir: str):
+    """The flagship MinHash signature kernel (op 12), driver-hash-checked:
+    runs the PRODUCTION ``MinHasher`` stage (tokenize -> word hash ->
+    rolling 5-word shingle Horner+mix64 -> per-permutation affine min)
+    with ``word_hash="poly"`` — the SQL-replayable Horner+SplitMix64
+    token family — and K=16 permutations, then explodes each signature
+    into (doc_id, perm, mh_hi, mh_lo) rows. The DuckDB oracle recomputes
+    every signature slot from scratch (word poly-hashes -> shingle
+    hashes -> min over ``a_j*s + b_j mod 2^64`` with the same frozen
+    PCG64 permutation constants embedded as VALUES), so the row is
+    bit-exact, pinning rolling_shingle_hashes, make_perm_params and
+    minhash_signatures end to end. Same normalized-ASCII fixture
+    precondition as q_simhash_pairs (tokenize == string_split there).
+    The 64-bit values ship as two int64 halves for dtype-stable driver
+    hashing."""
+    from ray_data_mplsh.stages.minhash import minhash_stage, sig_matrix
+
+    cfg = MPLSHConfig(num_perm=_MINHASH_SIGS_K, bands=4, rows_per_band=4,
+                      probes=4, word_hash="poly")
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    sigs = minhash_stage(docs, cfg)
+
+    def explode(t: pa.Table) -> pa.Table:
+        m = sig_matrix(t)                      # (n, K) uint64, zero-copy
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n, K = m.shape
+        flat = m.reshape(-1)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, K), pa.int64()),
+            "perm": pa.array(np.tile(np.arange(K, dtype=np.int64), n),
+                             pa.int64()),
+            "mh_hi": pa.array((flat >> np.uint64(32)).astype(np.int64),
+                              pa.int64()),
+            "mh_lo": pa.array((flat & np.uint64(0xFFFFFFFF)).astype(
+                np.int64), pa.int64()),
+        })
+
+    return sigs.map_batches(explode, batch_format="pyarrow")
+
+
+_MINHASH_SIGS_K = 16
+
+
 _NGJ_MIN_J = 0.8
 
 
@@ -3421,6 +3464,7 @@ QUERIES = {
     "q_embedding_near_dup": q_embedding_near_dup,
     "q_lang_id": q_lang_id,
     "q_simhash_pairs": q_simhash_pairs,
+    "q_minhash_sigs": q_minhash_sigs,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_fingerprints": q_fingerprints,
     "q_bpe_token_counts": q_bpe_token_counts,
@@ -3543,7 +3587,11 @@ def _mix64_sql(src: str, incol: str, outcol: str, keep: str) -> str:
 # lower) and byte-level folds (encode()); kept codepoint-level here
 # because the fixture contract makes them equivalent and the simpler
 # HUGEINT chain is ~3x faster to oracle.
-_SIMHASH_SQL = (
+# shared prefix: word poly-hashes -> 5-word shingle hashes, ending at CTE
+# m5_sh (columns doc_id, sh) — the exact chain rolling_shingle_hashes runs
+# (Horner fold + SplitMix64 at each level); reused by the SimHash AND
+# MinHash signature replays below.
+_SHINGLE_HASH_CTES = (
     "WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws "
     "FROM documents), "
     "wrows AS (SELECT doc_id, unnest(range(1, len(ws)+1)) AS wpos, "
@@ -3559,7 +3607,10 @@ _SIMHASH_SQL = (
     "g0t AS (SELECT doc_id, unnest(list_transform(range(1, len(whl) - 3), "
     "p -> list_reduce(list_prepend(CAST(0 AS HUGEINT), whl[p:p+4]), "
     f"(acc, c) -> {_HORNER_STEP}))) AS g0 FROM whl), "
-    + _mix64_sql("g0t", "g0", "sh", "doc_id") + ", "
+    + _mix64_sql("g0t", "g0", "sh", "doc_id"))
+
+_SIMHASH_SQL = (
+    _SHINGLE_HASH_CTES + ", "
     "bits AS (SELECT unnest(range(0, 64)) AS bit), "
     "votes AS (SELECT doc_id, bit, SUM(CASE WHEN "
     "(sh // CAST(power(2, bit) AS HUGEINT)) % 2 = 1 THEN 1 ELSE -1 END) "
@@ -3579,8 +3630,37 @@ _SIMHASH_SQL = (
     "WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) + "
     "bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 3")
 
+def _minhash_perm_rows(num_perm: int, seed: int) -> str:
+    """VALUES rows ``(j, a_hi, a_lo, b)`` of the frozen permutation family —
+    the same ``make_perm_params`` draw the engine's MinHasher makes, with
+    ``a_j`` split into 32-bit halves so the oracle's ``a_j * sh`` products
+    stay inside HUGEINT (each partial < 2^96)."""
+    from ray_data_mplsh.functions.hashing import make_perm_params
+
+    a, b = make_perm_params(num_perm, seed)
+    return ", ".join(
+        f"({j}, {int(a[j]) >> 32}, {int(a[j]) & 0xFFFFFFFF}, "
+        f"CAST('{int(b[j])}' AS HUGEINT))" for j in range(num_perm))
+
+
+# full MinHash signature replay (q_minhash_sigs): the shared word->shingle
+# hash chain, then for each of the K frozen permutations min(a_j*sh + b_j
+# mod 2^64) per doc — a_j*sh computed as lo-half product + truncated
+# hi-half product so every HUGEINT term stays < 2^97.
+_MINHASH_SQL = (
+    _SHINGLE_HASH_CTES + ", "
+    "perms(j, a_hi, a_lo, b) AS (VALUES "
+    + _minhash_perm_rows(16, MPLSHConfig().seed) + "), "
+    "pv AS (SELECT doc_id, j, MIN((sh * a_lo + ((sh * a_hi) "
+    "% 4294967296) * 4294967296 + b) % 18446744073709551616) AS mh "
+    "FROM m5_sh CROSS JOIN perms GROUP BY 1, 2) "
+    "SELECT doc_id, CAST(j AS BIGINT) AS perm, "
+    "CAST(mh // 4294967296 AS BIGINT) AS mh_hi, "
+    "CAST(mh % 4294967296 AS BIGINT) AS mh_lo FROM pv")
+
 ORACLE_SQL = {
     "q_simhash_pairs": _SIMHASH_SQL,
+    "q_minhash_sigs": _MINHASH_SQL,
     "q_exact_dedup":
         "SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text",
     "q_word_stats":

@@ -19,7 +19,7 @@ import pyarrow as pa
 from ray_data_mplsh.config import MPLSHConfig
 from ray_data_mplsh.functions.extract import tokenize_batch
 from ray_data_mplsh.functions.hashing import (
-    hash_str_array, make_perm_params, minhash_signatures,
+    hash_str_array, make_perm_params, minhash_signatures, poly_str_hashes,
     rolling_shingle_hashes,
 )
 
@@ -42,11 +42,17 @@ class MinHasher:
     def __init__(self, cfg: MPLSHConfig):
         self.cfg = cfg
         self.a, self.b = make_perm_params(cfg.num_perm, cfg.seed)
+        # "sip" (default) is the fastest C kernel; "poly" is the
+        # SQL-replayable Horner+SplitMix64 family (identical signature
+        # semantics, lets a DuckDB oracle recompute signatures bit-exactly
+        # — see q_minhash_sigs).
+        self._word_hash = (poly_str_hashes if cfg.word_hash == "poly"
+                           else hash_str_array)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
         words, offs = tokenize_batch(batch["text"])
-        wh = (hash_str_array(words) if len(words)
+        wh = (self._word_hash(words) if len(words)
               else np.empty(0, np.uint64))
         sh, soffs = rolling_shingle_hashes(wh, offs, cfg.k_shingle)
         sig = minhash_signatures(sh, soffs, self.a, self.b)
