@@ -585,6 +585,40 @@ def q_minhash_sigs(sf_dir: str):
 _MINHASH_SIGS_K = 16
 
 
+def q_band_keys(sf_dir: str):
+    """LSH band + multi-probe key emission (op 13), driver-hash-checked:
+    the production ``band_stage`` (``BandProbeEmitter`` semantics — b=4
+    bands of r=4 signature slots, probe rank 0 = exact key, ranks 1..4 =
+    the 1-mask perturbation keys of [MPLSH §4.4] with MASK_SENTINEL in
+    slot t-1, all namespaced via the Horner prefix ``band*(r+1)+t``) over
+    the same poly-hashed K=16 signatures q_minhash_sigs pins. The DuckDB
+    oracle replays the whole chain (signatures -> per-band slot lists ->
+    masked Horner + SplitMix64), so every emitted (doc, band, probe) key
+    is bit-exact — together with q_minhash_sigs this puts a driver
+    signature on the flagship path through candidate-key generation."""
+    from ray_data_mplsh.stages.bands import band_stage
+    from ray_data_mplsh.stages.minhash import minhash_stage
+
+    cfg = MPLSHConfig(num_perm=_MINHASH_SIGS_K, bands=4, rows_per_band=4,
+                      probes=4, word_hash="poly")
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    keys = band_stage(minhash_stage(docs, cfg), cfg)
+
+    def fmt(t: pa.Table) -> pa.Table:
+        bh = t["band_hash"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "band_id": pc.cast(t["band_id"], pa.int64()),
+            "probe_rank": pc.cast(t["probe_rank"], pa.int64()),
+            "bh_hi": pa.array((bh >> np.uint64(32)).astype(np.int64),
+                              pa.int64()),
+            "bh_lo": pa.array((bh & np.uint64(0xFFFFFFFF)).astype(np.int64),
+                              pa.int64()),
+        })
+
+    return keys.map_batches(fmt, batch_format="pyarrow")
+
+
 _NGJ_MIN_J = 0.8
 
 
@@ -3465,6 +3499,7 @@ QUERIES = {
     "q_lang_id": q_lang_id,
     "q_simhash_pairs": q_simhash_pairs,
     "q_minhash_sigs": q_minhash_sigs,
+    "q_band_keys": q_band_keys,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_fingerprints": q_fingerprints,
     "q_bpe_token_counts": q_bpe_token_counts,
@@ -3646,21 +3681,52 @@ def _minhash_perm_rows(num_perm: int, seed: int) -> str:
 # full MinHash signature replay (q_minhash_sigs): the shared word->shingle
 # hash chain, then for each of the K frozen permutations min(a_j*sh + b_j
 # mod 2^64) per doc — a_j*sh computed as lo-half product + truncated
-# hi-half product so every HUGEINT term stays < 2^97.
-_MINHASH_SQL = (
+# hi-half product so every HUGEINT term stays < 2^97. Ends at CTE pv
+# (doc_id, j, mh); the band-key replay extends the same chain.
+_MINHASH_PV_CTES = (
     _SHINGLE_HASH_CTES + ", "
     "perms(j, a_hi, a_lo, b) AS (VALUES "
     + _minhash_perm_rows(16, MPLSHConfig().seed) + "), "
     "pv AS (SELECT doc_id, j, MIN((sh * a_lo + ((sh * a_hi) "
     "% 4294967296) * 4294967296 + b) % 18446744073709551616) AS mh "
-    "FROM m5_sh CROSS JOIN perms GROUP BY 1, 2) "
+    "FROM m5_sh CROSS JOIN perms GROUP BY 1, 2)")
+
+_MINHASH_SQL = (
+    _MINHASH_PV_CTES + " "
     "SELECT doc_id, CAST(j AS BIGINT) AS perm, "
     "CAST(mh // 4294967296 AS BIGINT) AS mh_hi, "
     "CAST(mh % 4294967296 AS BIGINT) AS mh_lo FROM pv")
 
+#: combine_rows' masked-slot sentinel (functions/hashing.MASK_SENTINEL).
+_SENTINEL_SQL = "CAST('18369614221190020847' AS HUGEINT)"
+
+# band + multi-probe key replay (q_band_keys, op 13): per doc the K=16
+# signature slots in permutation order, split into b=4 bands of r=4; for
+# probe rank t=0 the exact band slots, for t in 1..4 slot t-1 replaced by
+# the mask sentinel; key = mix64(Horner over the 4 slots seeded with the
+# namespace prefix band*(r+1)+t) — exactly stages/bands.band_probe_keys.
+_BAND_KEYS_SQL = (
+    _MINHASH_PV_CTES + ", "
+    "sigl AS (SELECT doc_id, list(mh ORDER BY j) AS s FROM pv "
+    "GROUP BY doc_id), "
+    "bp AS (SELECT unnest(range(0, 4)) AS band), "
+    "prb AS (SELECT unnest(range(0, 5)) AS t), "
+    "k0t AS (SELECT doc_id, band, t, "
+    "list_reduce(list_prepend(CAST(band * 5 + t AS HUGEINT), "
+    "list_transform(range(0, 4), i -> CASE WHEN i = t - 1 THEN "
+    f"{_SENTINEL_SQL} ELSE s[band * 4 + i + 1] END)), "
+    f"(acc, c) -> {_HORNER_STEP}) AS k0 "
+    "FROM sigl CROSS JOIN bp CROSS JOIN prb), "
+    + _mix64_sql("k0t", "k0", "bh", "doc_id, band, t") + " "
+    "SELECT doc_id, CAST(band AS BIGINT) AS band_id, "
+    "CAST(t AS BIGINT) AS probe_rank, "
+    "CAST(bh // 4294967296 AS BIGINT) AS bh_hi, "
+    "CAST(bh % 4294967296 AS BIGINT) AS bh_lo FROM m5_bh")
+
 ORACLE_SQL = {
     "q_simhash_pairs": _SIMHASH_SQL,
     "q_minhash_sigs": _MINHASH_SQL,
+    "q_band_keys": _BAND_KEYS_SQL,
     "q_exact_dedup":
         "SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text",
     "q_word_stats":

@@ -42,7 +42,7 @@ CHECK = ["q_word_stats", "q_doc_freq", "q_allpair_jaccard",
          "q_pattern_counts", "q_embedding_near_dup", "q_sample",
          "q_stratified_sample", "q_ngram_jaccard", "q_kmv_distinct",
          "q_heavy_hitters", "q_simhash_pairs", "q_minhash_sigs",
-         "q_parts_by_brand",
+         "q_band_keys", "q_parts_by_brand",
          "q_promo_revenue", "q_top_parts_revenue", "q_canonical_urls",
          "q_tpch_q5", "q_url_dedup"]
 
