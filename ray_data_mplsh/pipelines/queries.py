@@ -671,18 +671,28 @@ def q_ngram_jaccard(sf_dir: str):
 
 
 def q_fingerprints(sf_dir: str):
-    """Winnowing document fingerprints (rolling-hash k-grams, [SchleimerEtAl
-    winnowing]): per doc, the number of selected fingerprints. Rows-only;
-    the selection invariants are unit-tested in tests/test_hashing.py."""
-    from ray_data_mplsh.functions.hashing import winnow_fingerprints
+    """Winnowing document fingerprints (rolling-hash char k-grams,
+    [SchleimerEtAl winnowing], op 24 kernel): per doc, the number of
+    DISTINCT selected fingerprints from the PRODUCTION batch kernel
+    (functions/hashing.winnow_fingerprints_batch — the same kernel the
+    flagship S8 substring stage runs), so the driver signature pins the
+    hot-path code. Oracled by ``_WINNOW_SQL``: a full DuckDB replay of
+    the masked-Horner 30-gram hash + SplitMix64 + window-of-21 minima.
+    The rightmost-argmin tie-break needs no SQL twin because the kernel
+    dedups per (doc, fp VALUE) and a selected position's hash IS its
+    window's min — the distinct selected set equals the distinct
+    window-min set regardless of which position a tie selects."""
+    from ray_data_mplsh.functions.hashing import (utf8_flat,
+                                                  winnow_fingerprints_batch)
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     cfg = MPLSHConfig()
 
     def fp(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
-        counts = [len(winnow_fingerprints(x, cfg.winnow_k, cfg.winnow_w)[0])
-                  for x in texts]
+        offs, data = utf8_flat(t["text"])
+        _, di = winnow_fingerprints_batch(offs, data,
+                                          cfg.winnow_k, cfg.winnow_w)
+        counts = np.bincount(di, minlength=t.num_rows)
         return pa.table({"doc_id": t["doc_id"],
                          "n_fingerprints": pa.array(counts, pa.int64())})
 
@@ -3723,10 +3733,45 @@ _BAND_KEYS_SQL = (
     "CAST(bh // 4294967296 AS BIGINT) AS bh_hi, "
     "CAST(bh % 4294967296 AS BIGINT) AS bh_lo FROM m5_bh")
 
+# winnowing fingerprint replay (q_fingerprints, op 24): per doc the
+# char-30-gram hashes (masked-Horner over codepoints + SplitMix64 — same
+# ASCII-corpus precondition as _SIMHASH_SQL: the kernel folds UTF-8
+# bytes, the replay folds codepoints, equal iff the text is ASCII, which
+# the testdata documents corpus is by construction), then the count of
+# DISTINCT window-of-21 minima. No rightmost-argmin twin is needed: the
+# engine counts distinct fingerprint VALUES and every window's selected
+# value is that window's min, so tie-break position is irrelevant.
+# Small docs (1 <= m < 21 grams) select exactly one fingerprint (the
+# global argmin); docs shorter than 30 bytes select none.
+_WINNOW_SQL = (
+    "WITH dd AS (SELECT doc_id, text, length(text) AS n FROM documents), "
+    "pr AS (SELECT doc_id, text, unnest(range(1, n - 28)) AS p "
+    "FROM dd WHERE n >= 30), "
+    "gr AS (SELECT doc_id, p, "
+    "substring(text, CAST(p AS INTEGER), 30) AS gram FROM pr), "
+    "g0t AS (SELECT doc_id, p, "
+    "list_reduce(list_prepend(CAST(0 AS HUGEINT), "
+    "list_transform(range(1, 31), "
+    "i -> CAST(unicode(gram[i]) AS HUGEINT))), "
+    f"(acc, c) -> {_HORNER_STEP}) AS g0 FROM gr), "
+    + _mix64_sql("g0t", "g0", "g", "doc_id, p") + ", "
+    "ms AS (SELECT doc_id, COUNT(*) AS m FROM m5_g GROUP BY doc_id), "
+    "wm AS (SELECT doc_id, p, MIN(g) OVER (PARTITION BY doc_id ORDER BY p "
+    "ROWS BETWEEN CURRENT ROW AND 20 FOLLOWING) AS mn FROM m5_g), "
+    "bigc AS (SELECT w.doc_id, CAST(COUNT(DISTINCT w.mn) AS BIGINT) AS c "
+    "FROM wm w JOIN ms USING (doc_id) "
+    "WHERE ms.m >= 21 AND w.p <= ms.m - 20 GROUP BY w.doc_id), "
+    "smallc AS (SELECT doc_id, CAST(1 AS BIGINT) AS c FROM ms "
+    "WHERE m BETWEEN 1 AND 20), "
+    "ac AS (SELECT * FROM bigc UNION ALL SELECT * FROM smallc) "
+    "SELECT d.doc_id, COALESCE(ac.c, CAST(0 AS BIGINT)) AS n_fingerprints "
+    "FROM documents d LEFT JOIN ac USING (doc_id)")
+
 ORACLE_SQL = {
     "q_simhash_pairs": _SIMHASH_SQL,
     "q_minhash_sigs": _MINHASH_SQL,
     "q_band_keys": _BAND_KEYS_SQL,
+    "q_fingerprints": _WINNOW_SQL,
     "q_exact_dedup":
         "SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text",
     "q_word_stats":

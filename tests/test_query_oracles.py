@@ -42,7 +42,7 @@ CHECK = ["q_word_stats", "q_doc_freq", "q_allpair_jaccard",
          "q_pattern_counts", "q_embedding_near_dup", "q_sample",
          "q_stratified_sample", "q_ngram_jaccard", "q_kmv_distinct",
          "q_heavy_hitters", "q_simhash_pairs", "q_minhash_sigs",
-         "q_band_keys", "q_parts_by_brand",
+         "q_band_keys", "q_fingerprints", "q_parts_by_brand",
          "q_promo_revenue", "q_top_parts_revenue", "q_canonical_urls",
          "q_tpch_q5", "q_url_dedup"]
 
@@ -265,4 +265,62 @@ def test_percent_rank_tie_heavy(ray_session, tmp_path):
     a = got[cols].sort_values(cols).reset_index(drop=True)
     b = want[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_exact=True)
+    con.close()
+
+
+def test_fingerprints_oracle_boundary_cases(ray_session, tmp_path):
+    """q_fingerprints edge regimes the sf corpora may not exercise: a doc
+    with a REPEATED >= 30-char span (equal fingerprint values at
+    different positions must collapse to ONE on both the kernel and the
+    COUNT(DISTINCT window-min) oracle), short docs in the single-
+    fingerprint regime (1 <= grams < 21), sub-30-char docs (zero
+    fingerprints), and an empty string."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(97)
+    alpha = np.array(list("abcdefghijklmnopqrstuvwxyz "))
+    # span >= winnow_k + winnow_w - 1 = 50 chars: repeated occurrences are
+    # GUARANTEED to select at least one identical fingerprint value at
+    # different positions, exercising the distinct-value collapse
+    span = "".join(rng.choice(alpha, 64))
+    filler = "".join(rng.choice(alpha, 120))
+    texts = [
+        span + filler + span + filler[::-1] + span,  # dup span, 3 copies
+        "".join(rng.choice(alpha, 40)),              # 11 grams: m < w
+        "".join(rng.choice(alpha, 30)),              # exactly 1 gram
+        "tiny doc",                                  # n < k: 0
+        "",                                          # empty: 0
+        "".join(rng.choice(alpha, 400)),             # generic big doc
+        span,                                        # doc == the span
+    ]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts)})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = _as_df(QUERIES["q_fingerprints"](str(tmp_path)))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path}/documents.parquet'")
+    want = con.sql(ORACLE_SQL["q_fingerprints"]).df()
+    cols = sorted(want.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    assert list(a.dtypes) == list(b.dtypes)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    # regime sanity: short docs got exactly 1, sub-k docs got 0
+    byid = got.set_index("doc_id")["n_fingerprints"]
+    assert byid[1] == 1 and byid[2] == 1
+    assert byid[3] == 0 and byid[4] == 0
+    assert byid[0] > 0 and byid[5] > 0 and byid[6] >= 1
+    # the collapse must bite: doc 0 holds 3 copies of the span, so its
+    # per-position selections exceed its distinct fingerprint count
+    from ray_data_mplsh.config import MPLSHConfig
+    from ray_data_mplsh.functions.hashing import winnow_fingerprints
+    cfg = MPLSHConfig()
+    n_positions = len(winnow_fingerprints(texts[0], cfg.winnow_k,
+                                          cfg.winnow_w)[0])
+    assert byid[0] < n_positions
     con.close()
