@@ -1,0 +1,226 @@
+"""Pure-numpy/stdlib media codecs for the multimodal stages.
+
+This container ships no image/audio libraries (round-4 env probe: PIL,
+cv2, imageio, skimage, torchvision, matplotlib all absent), so the
+formats a data engine can decode WITHOUT a codec dependency are
+implemented here for real — header parse to pixels/samples in numpy —
+and only compression-requiring formats (JPEG/PNG/MP4...) remain behind
+the documented stub seam in stages/multimodal.py:
+
+    BMP  24-bit uncompressed (BI_RGB), bottom-up or top-down
+    PPM  binary P6, maxval 255
+    WAV  RIFF PCM (8/16/32-bit int), any channel count
+
+All decoders raise ``ValueError`` on anything outside that envelope so
+the caller can fall back to the stub rather than mis-decode.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ------------------------------------------------------------------ sniff
+
+
+def sniff(payload: bytes) -> str | None:
+    """'bmp' | 'ppm' | 'wav' for payloads this module can decode, else
+    None (codec-requiring or unknown format -> stub territory)."""
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:2] == b"P6":
+        return "ppm"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+# -------------------------------------------------------------------- BMP
+
+_BMP_FILE_HDR = struct.Struct("<2sIHHI")      # magic, size, res, res, offset
+_BMP_INFO_HDR = struct.Struct("<IiiHHIIiiII")  # BITMAPINFOHEADER
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> 24-bit uncompressed BMP bytes (bottom-up
+    rows, BGR byte order, rows padded to 4 bytes — the classic layout)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("encode_bmp expects (H, W, 3)")
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, :w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # flip + BGR
+    pix = rows.tobytes()
+    off = _BMP_FILE_HDR.size + _BMP_INFO_HDR.size
+    return (_BMP_FILE_HDR.pack(b"BM", off + len(pix), 0, 0, off)
+            + _BMP_INFO_HDR.pack(40, w, h, 1, 24, 0, len(pix), 2835, 2835,
+                                 0, 0)
+            + pix)
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """24-bit BI_RGB BMP bytes -> (H, W, 3) uint8 RGB."""
+    if data[:2] != b"BM" or len(data) < 54:
+        raise ValueError("not a BMP")
+    off = struct.unpack_from("<I", data, 10)[0]
+    hdr_sz, w, h = struct.unpack_from("<Iii", data, 14)
+    if hdr_sz < 40:
+        raise ValueError("unsupported BMP header")
+    planes, bpp, comp = struct.unpack_from("<HHI", data, 26)
+    if bpp != 24 or comp != 0:
+        raise ValueError("only 24-bit BI_RGB supported")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    pix = np.frombuffer(data, np.uint8, stride * h, off).reshape(h, stride)
+    img = pix[:, :w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return img[::-1] if bottom_up else img.copy()
+
+
+# -------------------------------------------------------------------- PPM
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> binary P6 PPM bytes."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("encode_ppm expects (H, W, 3)")
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Binary P6 PPM bytes -> (H, W, 3) uint8 RGB (maxval must be 255;
+    whitespace/comment-tolerant header scan per the netpbm spec)."""
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    vals, i = [], 2
+    while len(vals) < 3:
+        while i < len(data) and data[i:i + 1].isspace():
+            i += 1
+        if data[i:i + 1] == b"#":  # comment to end of line
+            while i < len(data) and data[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j:j + 1].isspace():
+            j += 1
+        vals.append(int(data[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError("only maxval 255 supported")
+    return np.frombuffer(data, np.uint8, w * h * 3, i) \
+        .reshape(h, w, 3).copy()
+
+
+# -------------------------------------------------------------------- WAV
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """int16 samples, shape (n,) mono or (n, ch) -> RIFF PCM WAV bytes."""
+    import io
+    import wave
+
+    samples = np.asarray(samples, dtype="<i2")
+    ch = 1 if samples.ndim == 1 else samples.shape[1]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(ch)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF PCM WAV bytes -> (int16 samples (n,) or (n, ch), rate).
+    8/16/32-bit integer PCM accepted; 8-bit is recentred, 32-bit is
+    truncated to the top 16 bits."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(data), "rb") as wf:
+            ch, width, rate = (wf.getnchannels(), wf.getsampwidth(),
+                               wf.getframerate())
+            raw = wf.readframes(wf.getnframes())
+    except (wave.Error, EOFError, struct.error) as e:
+        raise ValueError(f"not a PCM WAV: {e}") from None
+    if width == 2:
+        s = np.frombuffer(raw, "<i2")
+    elif width == 1:
+        s = (np.frombuffer(raw, np.uint8).astype(np.int16) - 128) << 8
+    elif width == 4:
+        s = (np.frombuffer(raw, "<i4") >> 16).astype(np.int16)
+    else:
+        raise ValueError(f"unsupported sample width {width}")
+    if ch > 1:
+        s = s.reshape(-1, ch)
+    return s, rate
+
+
+# --------------------------------------------------------------- kernels
+
+
+def resize_nearest(img: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
+    """Nearest-neighbor resample (pixel-center sampling) — pure indexing,
+    no interpolation kernel needed for dedup-grade features."""
+    h, w = img.shape[:2]
+    yi = np.minimum(((np.arange(new_h) + 0.5) * h / new_h)
+                    .astype(np.int64), h - 1)
+    xi = np.minimum(((np.arange(new_w) + 0.5) * w / new_w)
+                    .astype(np.int64), w - 1)
+    return img[yi][:, xi]
+
+
+def image_features(img: np.ndarray, dim: int = 16) -> np.ndarray:
+    """Deterministic real-pixel feature vector (dim=16): per-channel mean
+    and std (6), 3x3 grid of gray block means (9), aspect ratio (1).
+    Location-valued components are centered (mean - 0.5 etc.) so feature
+    DIRECTIONS discriminate under cosine — uncentered means cluster at
+    0.5 and make every image near-parallel to every other. Content-
+    derived, so byte-identical images map to identical features at any
+    batch size."""
+    f = img.astype(np.float64) / 255.0
+    h, w = f.shape[:2]
+    gray = f.mean(axis=2)
+    ys = np.linspace(0, h, 4).astype(np.int64)
+    xs = np.linspace(0, w, 4).astype(np.int64)
+    blocks = [gray[ys[i]:max(ys[i + 1], ys[i] + 1),
+                   xs[j]:max(xs[j + 1], xs[j] + 1)].mean() - 0.5
+              for i in range(3) for j in range(3)]
+    out = np.concatenate([f.mean(axis=(0, 1)) - 0.5, f.std(axis=(0, 1)),
+                          blocks, [w / (w + h) - 0.5]])
+    if len(out) != dim:
+        raise ValueError(f"feature dim mismatch: {len(out)} != {dim}")
+    return out.astype(np.float32)
+
+
+def audio_features(samples: np.ndarray, rate: int,
+                   dim: int = 16) -> np.ndarray:
+    """Deterministic audio feature vector (dim=16): rms, mean, std,
+    zero-crossing rate (4) + 12 coarse log-energy spectrum bands."""
+    s = np.asarray(samples, np.float64)
+    if s.ndim > 1:
+        s = s.mean(axis=1)
+    s = s / 32768.0
+    n = len(s)
+    if n == 0:
+        return np.zeros(dim, np.float32)
+    zcr = float(np.mean(np.signbit(s[1:]) != np.signbit(s[:-1]))) \
+        if n > 1 else 0.0
+    spec = np.abs(np.fft.rfft(s))
+    bands = np.array_split(spec, 12)
+    # band energies centered to their own mean: the SHAPE of the spectrum
+    # discriminates under cosine where absolute levels are near-constant
+    be = np.log1p([float((b ** 2).sum()) for b in bands])
+    be -= be.mean()
+    out = np.concatenate([[float(np.sqrt((s ** 2).mean())), s.mean(),
+                           s.std(), zcr - 0.5], be])
+    if len(out) != dim:
+        raise ValueError(f"feature dim mismatch: {len(out)} != {dim}")
+    return out.astype(np.float32)

@@ -1,11 +1,16 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns with
 typed metadata, processed by actor-pool ``map_batches`` stages.
 
-The decode kernels themselves are STUBBED — this container ships no image/
-audio libraries — but every Ray-side concern is real and tested: the media
-schema, per-actor one-time setup, small-batch sizing for large payloads,
-and the output layout. Swapping ``_decode_stub`` for a real decoder (PIL /
-torchaudio / pyav) changes no pipeline code.
+Since round 4 the decode kernel is REAL for every format decodable
+without a codec dependency — BMP / PPM images and PCM WAV audio via the
+pure-numpy/stdlib codecs in ``functions/mediacodec.py`` (header parse to
+pixels/samples, nearest-neighbor resample, content-derived features).
+Compression-requiring formats (JPEG/PNG/MP4 — this container ships no
+image/audio libraries; round-4 env probe in ``_decode_stub``) fall back
+to the deterministic stub, and swapping in a codec-backed decoder (PIL /
+torchaudio / pyav) still changes no pipeline code: every Ray-side
+concern — media schema, per-actor one-time setup, small-batch sizing for
+large payloads, output layout — is format-independent.
 
 Media table schema (T-media):
     media_id:uint64, media_type:string ('image'|'audio'|'video'),
@@ -36,24 +41,48 @@ FEATURE_DIM = 16
 
 
 def _decode_stub(payload: bytes, media_type: str) -> np.ndarray:
-    """Deterministic fake decode: a FEATURE_DIM float vector derived from
-    the payload bytes. Replace with a real decoder when the codec libs are
-    present; the signature (bytes, type) -> feature vector is the contract.
+    """Deterministic fallback for CODEC-REQUIRING formats only (JPEG /
+    PNG / MP4...): a FEATURE_DIM float vector derived from the payload
+    bytes. BMP/PPM/WAV payloads never reach this — ``decode_payload``
+    runs the real pure-numpy kernels first. Replace with a codec-backed
+    decoder when the libs are present; the signature
+    (bytes, type) -> feature vector is the contract.
 
     Env probe 2026-08-18 (round 4): PIL, cv2, imageio, skimage,
     torchvision and matplotlib are ALL absent from this container, so
-    the stub stays load-bearing by environment, not by choice — the
-    ImportError guard below flips to the real path automatically the
-    first time a codec lib appears."""
-    try:  # the real path, absent in this container
+    for compressed formats the stub stays load-bearing by environment,
+    not by choice — the ImportError guard below flips to the real path
+    automatically the first time a codec lib appears."""
+    try:  # the codec-backed path, absent in this container
         import PIL.Image  # noqa: F401
         raise NotImplementedError(
-            "real image decode not wired; remove the stub when PIL exists")
+            "codec decode not wired; remove the stub when PIL exists")
     except ImportError:
         pass
     h = np.uint64(hash_bytes_u64(payload[:64]))
     seeds = mix64(np.arange(FEATURE_DIM, dtype=np.uint64) + h)
     return (seeds.astype(np.float64) / 2**64).astype(np.float32)
+
+
+def decode_payload(payload: bytes, media_type: str) -> np.ndarray:
+    """Real decode + featurize for the codec-free envelope (BMP/PPM
+    pixels, PCM-WAV samples — functions/mediacodec.py), stub features
+    for everything else. Content-derived either way: byte-identical
+    payloads map to identical features at any batching."""
+    from ray_data_mplsh.functions import mediacodec as mc
+
+    try:
+        kind = mc.sniff(payload)
+        if kind == "bmp":
+            return mc.image_features(mc.decode_bmp(payload), FEATURE_DIM)
+        if kind == "ppm":
+            return mc.image_features(mc.decode_ppm(payload), FEATURE_DIM)
+        if kind == "wav":
+            return mc.audio_features(*mc.decode_wav(payload),
+                                     dim=FEATURE_DIM)
+    except ValueError:
+        pass  # out-of-envelope variant (e.g. 8-bit BMP) -> stub
+    return _decode_stub(payload, media_type)
 
 
 class MediaDecoder:
@@ -67,7 +96,9 @@ class MediaDecoder:
 
     def __init__(self, feature_dim: int = FEATURE_DIM):
         self.feature_dim = feature_dim
-        self.decode = _decode_stub  # swap point for a real codec
+        # real kernels for BMP/PPM/WAV, stub for codec formats; swap
+        # point for a codec-backed decoder
+        self.decode = decode_payload
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
@@ -119,10 +150,13 @@ def frame_sampler(media, *, every_n: int = 10, max_frames: int = 8):
 
 def resize_media(media, *, max_side: int = 512):
     """Image resize stage: target dims computed vectorized (aspect-ratio
-    preserving, longest side clamped to ``max_side``); the pixel resample
-    itself is the documented stub swap point (``payload`` passes through
-    unchanged here — a real deployment swaps in PIL/opencv inside the
-    same batch fn). Non-image rows pass through with their original dims."""
+    preserving, longest side clamped to ``max_side``); the pixel
+    resample is REAL for the codec-free envelope — BMP/PPM payloads are
+    decoded, nearest-neighbor resampled and re-encoded in their original
+    format (functions/mediacodec.py) — while codec formats keep their
+    bytes (metadata-only resize, the documented stub behavior). Non-image
+    rows pass through with their original dims."""
+    from ray_data_mplsh.functions import mediacodec as mc
 
     def resize(batch: pa.Table) -> pa.Table:
         w = batch["width"].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -133,12 +167,30 @@ def resize_media(media, *, max_side: int = 512):
         long_side = np.maximum(np.maximum(w, h), 1.0)
         scale = np.where(is_img & (long_side > max_side),
                          max_side / long_side, 1.0)
+        new_w = np.floor(w * scale).astype(np.int32)
+        new_h = np.floor(h * scale).astype(np.int32)
+        payloads = batch["payload"].to_pylist()
+        for i in np.flatnonzero(scale < 1.0):
+            try:
+                kind = mc.sniff(payloads[i])
+                if kind == "bmp":
+                    img = mc.decode_bmp(payloads[i])
+                elif kind == "ppm":
+                    img = mc.decode_ppm(payloads[i])
+                else:
+                    continue  # codec format: metadata-only resize
+                small = mc.resize_nearest(img, int(new_w[i]),
+                                          int(new_h[i]))
+                payloads[i] = (mc.encode_bmp(small) if kind == "bmp"
+                               else mc.encode_ppm(small))
+            except ValueError:
+                continue  # out-of-envelope variant: bytes unchanged
         return pa.table({
             "media_id": batch["media_id"],
             "media_type": batch["media_type"],
-            "payload": batch["payload"],  # stub: bytes unchanged
-            "width": pa.array(np.floor(w * scale).astype(np.int32)),
-            "height": pa.array(np.floor(h * scale).astype(np.int32)),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(new_w),
+            "height": pa.array(new_h),
             "sample_rate": batch["sample_rate"],
         })
 
@@ -272,25 +324,56 @@ def media_near_dup(media, *, threshold: float = 0.999, **kwargs):
 
 
 def synth_media(n: int, seed: int = 7, n_distinct: int = 0):
-    """Deterministic media fixture: n rows of fake payload bytes.
-    ``n_distinct > 0`` plants exact duplicates (payload depends on
-    ``id % n_distinct``) for the dedup tests."""
+    """Deterministic media fixture with REAL payloads where the codec-free
+    envelope allows: by payload id, real 24-bit BMP images (pid % 3 == 0,
+    pseudo-random pixels + dims derived from pid), real PCM-16 WAV clips
+    (pid % 3 == 1), and opaque video-ish bytes (pid % 3 == 2 — the stub
+    path). ``n_distinct > 0`` plants exact duplicates (payload depends
+    only on ``pid = id % n_distinct``, so dup groups stay byte-identical
+    even when their rows carry different ``media_type`` labels — decode
+    sniffs magic bytes, not the label). Image rows carry their true
+    pixel dims in width/height."""
     import ray.data
+
+    from ray_data_mplsh.functions import mediacodec as mc
 
     def gen(batch: pa.Table) -> pa.Table:
         ids = batch["id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         pid = ids % np.uint64(n_distinct) if n_distinct else ids
         types = ["image", "audio", "video"]
-        payloads = [
-            (mix64(np.uint64(seed) + i).tobytes() * 8) for i in pid]
+        payloads = []
+        widths = (ids % 1920).astype(np.int32)
+        heights = (ids % 1080).astype(np.int32)
+        for j, p in enumerate(pid):
+            # 1-element array: uint64 wraparound without the numpy
+            # scalar-overflow RuntimeWarning (0-d counts as scalar)
+            base = mix64(np.array([p], np.uint64)
+                         * np.uint64(0x9E3779B97F4A7C15)
+                         + np.uint64(seed))[0]
+            kind = int(p) % 3
+            if kind == 0:  # real BMP
+                w = 20 + (int(p) * 13) % 300
+                h = 16 + (int(p) * 7) % 280
+                px = (mix64(np.arange(w * h * 3, dtype=np.uint64) + base)
+                      % np.uint64(256)).astype(np.uint8).reshape(h, w, 3)
+                payloads.append(mc.encode_bmp(px))
+                widths[j], heights[j] = w, h
+            elif kind == 1:  # real PCM-16 WAV
+                ns = 200 + (int(p) * 31) % 400
+                s = ((mix64(np.arange(ns, dtype=np.uint64) + base)
+                      % np.uint64(65536)).astype(np.int64)
+                     - 32768).astype(np.int16)
+                payloads.append(mc.encode_wav(s, 16000))
+            else:  # opaque bytes: codec-format stand-in (stub path)
+                payloads.append(base.tobytes() * 8)
         return pa.table({
             "media_id": pa.array(mix64(ids + np.uint64(seed)), pa.uint64()),
             "media_type": pa.array([types[int(i) % 3] for i in ids]),
             "payload": pa.array(payloads, pa.binary()),
-            "width": pa.array((ids % 1920).astype(np.int32), pa.int32()),
-            "height": pa.array((ids % 1080).astype(np.int32), pa.int32()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
             "sample_rate": pa.array(
-                np.where(ids % 3 == 1, 16000, 0).astype(np.int32),
+                np.where(pid % 3 == 1, 16000, 0).astype(np.int32),
                 pa.int32()),
         })
 

@@ -104,3 +104,99 @@ def test_media_near_dup_finds_planted_pairs(ray_session):
             for g in dup.values() if len(g) == 2}
     got = {tuple(sorted((a, b))) for a, b in zip(pairs.a, pairs.b)}
     assert want <= got
+
+
+def test_mediacodec_roundtrips():
+    """Pure-numpy codecs: encode -> decode is pixel/sample-exact for the
+    whole codec-free envelope (BMP incl. row padding, PPM with header
+    comments, WAV at 8/16-bit widths and stereo)."""
+    from ray_data_mplsh.functions import mediacodec as mc
+
+    rng = np.random.default_rng(5)
+    for h, w in ((1, 1), (3, 5), (16, 21), (40, 33)):  # odd strides: pad
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        assert mc.sniff(mc.encode_bmp(img)) == "bmp"
+        np.testing.assert_array_equal(mc.decode_bmp(mc.encode_bmp(img)),
+                                      img)
+        assert mc.sniff(mc.encode_ppm(img)) == "ppm"
+        np.testing.assert_array_equal(mc.decode_ppm(mc.encode_ppm(img)),
+                                      img)
+    # PPM header comments are spec-legal
+    img = rng.integers(0, 256, (2, 3, 3)).astype(np.uint8)
+    ppm = b"P6\n# a comment\n3 2\n# more\n255\n" + img.tobytes()
+    np.testing.assert_array_equal(mc.decode_ppm(ppm), img)
+    # WAV mono + stereo 16-bit
+    mono = rng.integers(-32768, 32767, 300).astype(np.int16)
+    s, rate = mc.decode_wav(mc.encode_wav(mono, 16000))
+    assert rate == 16000
+    np.testing.assert_array_equal(s, mono)
+    stereo = rng.integers(-32768, 32767, (200, 2)).astype(np.int16)
+    s2, _ = mc.decode_wav(mc.encode_wav(stereo, 8000))
+    np.testing.assert_array_equal(s2, stereo)
+    # out-of-envelope payloads refuse rather than mis-decode
+    for bad in (b"BM" + b"\x00" * 60, b"P6 garbage", b"\x89PNG\r\n"):
+        try:
+            if mc.sniff(bad) == "bmp":
+                mc.decode_bmp(bad)
+            elif mc.sniff(bad) == "ppm":
+                mc.decode_ppm(bad)
+            else:
+                assert mc.sniff(bad) is None
+                continue
+            raise AssertionError(f"decoded garbage: {bad!r}")
+        except ValueError:
+            pass
+
+
+def test_decode_payload_real_vs_stub_dispatch():
+    """BMP/PPM/WAV payloads take the real kernels (features derived from
+    decoded pixels/samples, invariant to how the bytes were produced);
+    opaque payloads fall back to the deterministic stub."""
+    from ray_data_mplsh.functions import mediacodec as mc
+    from ray_data_mplsh.stages.multimodal import (_decode_stub,
+                                                  decode_payload)
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (10, 14, 3)).astype(np.uint8)
+    f_bmp = decode_payload(mc.encode_bmp(img), "image")
+    f_ppm = decode_payload(mc.encode_ppm(img), "image")
+    # same pixels through two different containers -> identical features
+    np.testing.assert_array_equal(f_bmp, f_ppm)
+    np.testing.assert_array_equal(f_bmp, mc.image_features(img))
+    # pixel content actually moves the features
+    img2 = img.copy()
+    img2[:5] = 255 - img2[:5]
+    assert not np.array_equal(decode_payload(mc.encode_bmp(img2), "image"),
+                              f_bmp)
+    wav = mc.encode_wav(rng.integers(-2000, 2000, 400).astype(np.int16),
+                        16000)
+    np.testing.assert_array_equal(decode_payload(wav, "audio"),
+                                  mc.audio_features(*mc.decode_wav(wav)))
+    blob = b"\x00\x01\x02" * 40
+    np.testing.assert_array_equal(decode_payload(blob, "video"),
+                                  _decode_stub(blob, "video"))
+
+
+def test_resize_media_resamples_real_pixels(ray_session):
+    """Image rows with decodable payloads must come back as real re-encoded
+    BMPs whose pixel dims equal the floor-scaled metadata dims, and whose
+    pixels equal a direct nearest-neighbor resample of the source."""
+    from ray_data_mplsh.functions import mediacodec as mc
+    from ray_data_mplsh.stages.multimodal import resize_media
+
+    src = synth_media(40, seed=3).to_pandas().set_index("media_id")
+    out = resize_media(synth_media(40, seed=3), max_side=64).to_pandas()
+    checked = 0
+    for _, r in out.iterrows():
+        pay = src.loc[r.media_id].payload
+        if mc.sniff(pay) != "bmp" or r.media_type != "image":
+            continue
+        img0 = mc.decode_bmp(pay)
+        if max(img0.shape[:2]) <= 64:
+            continue
+        got = mc.decode_bmp(r.payload)
+        assert got.shape == (r.height, r.width, 3)
+        np.testing.assert_array_equal(
+            got, mc.resize_nearest(img0, int(r.width), int(r.height)))
+        checked += 1
+    assert checked >= 5  # the fixture must actually exercise the path
