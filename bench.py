@@ -36,6 +36,21 @@ def _init_ray(num_cpus: int) -> None:
                  include_dashboard=False, logging_level="ERROR")
 
 
+def _window_probe() -> float:
+    """Single-thread pure-Python CPU probe (seconds; ~0.16s on this box
+    at clean clocks — function-local loop, ~2x faster than the same loop
+    at module level — rising to 0.2-0.5+ when throttled/contended).
+    Emitted alongside every benchmark number so a reader can calibrate
+    for the shared box's minutes-long noise episodes (BASELINE.md logs
+    identical code varying >2x across windows) instead of comparing raw
+    walls across rounds blind."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(5_000_000):
+        s += i
+    return round(time.perf_counter() - t0, 3)
+
+
 def _consume(result) -> int:
     """Force execution; return row count."""
     if hasattr(result, "materialize"):
@@ -74,6 +89,7 @@ HEADLINE_REPS = int(os.environ.get("GRAFT_HEADLINE_REPS", "2"))
 
 
 def bench_default() -> None:
+    probe_pre = _window_probe()
     _init_ray(NUM_CPUS)
     # min-of-N headline: the first rep eats the cold read + actor
     # startup; the min is the steady-state number (all samples reported)
@@ -98,6 +114,9 @@ def bench_default() -> None:
         "docs": n_docs,
         "docs_per_sec": round(n_docs / headline_s, 1),
         "headline_samples": samples,
+        # window calibration: single-thread CPU probe seconds at start /
+        # end (~0.35 clean; see _window_probe)
+        "probe_s": [probe_pre, _window_probe()],
     }
     print(json.dumps(out))
     import ray
@@ -208,10 +227,14 @@ def bench_scaling() -> None:
     # has minutes-long noise episodes (identical runs vary >2x), and the
     # min is the least-contaminated estimate of true capacity
     samples: dict[int, list[dict]] = {c: [] for c in levels}
+    probes = [_window_probe()]
     for _ in range(repeats):
         for cpus in levels:
             samples[cpus].append(run_level(cpus))
             time.sleep(5)
+        # probe between repeats: BASELINE.md's round-4 run showed
+        # contention can ARRIVE mid-run, invisible to endpoint probes
+        probes.append(_window_probe())
     results = [min(samples[c], key=lambda r: r["wall_s"]) for c in levels]
     thr = [r["docs_per_sec"] for r in results]
     eff = (thr[1] / thr[0]) / (levels[1] / levels[0])
@@ -227,6 +250,9 @@ def bench_scaling() -> None:
         "levels": results,
         "all_samples": {str(c): [r["wall_s"] for r in samples[c]]
                         for c in levels},
+        # window calibration: probe at start + after each repeat
+        # (~0.35s clean; see _window_probe)
+        "probe_s": probes,
     }
     print(json.dumps(out))
 
