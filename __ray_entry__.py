@@ -157,6 +157,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["q_minhash_pairs"] = _q_minhash_pairs
     out["q_dedup_documents"] = _q_dedup_documents
     out["q_media_dedup"] = _q_media_dedup
+    out["q_media_features"] = _q_media_features
+    out["q_media_near_dup"] = _q_media_near_dup
     return out
 
 
@@ -194,6 +196,47 @@ def _q_media_dedup(sf_dir: str) -> Any:
                                                   synth_media)
 
     return media_exact_dedup(synth_media(300, seed=13, n_distinct=100))
+
+
+def _q_media_features(sf_dir: str) -> Any:
+    """Real media decode surface (since r4): BMP/PPM/WAV payloads in the
+    synth fixture decode to actual pixels/samples via the pure-numpy
+    codecs (functions/mediacodec.py) and featurize in the actor-pool
+    decoder; opaque payloads take the deterministic stub. The feature
+    column is flattened to per-dim scalars so the driver's rows-only
+    hash is stable. Rows-only by contract (no media tables ship in the
+    sf dirs) — gated by the round-trip + dispatch pytest oracles."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ray_data_mplsh.stages.multimodal import decode_media, synth_media
+
+    feats = decode_media(synth_media(120, seed=21), batch_size=16)
+
+    def flatten(t: pa.Table) -> pa.Table:
+        col = t["feature"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # zero-copy: fixed-size-list values buffer viewed as (n, dim)
+        f = col.flatten().to_numpy(zero_copy_only=False) \
+            .reshape(t.num_rows, -1) if t.num_rows else \
+            np.empty((0, 16), np.float32)
+        cols = {"media_id": t["media_id"], "media_type": t["media_type"]}
+        for d in range(f.shape[1]):
+            cols[f"f{d:02d}"] = pa.array(f[:, d].astype(np.float32))
+        return pa.table(cols)
+
+    return feats.map_batches(flatten, batch_format="pyarrow")
+
+
+def _q_media_near_dup(sf_dir: str) -> Any:
+    """Feature-cosine media near-dup over planted byte-duplicates: decode
+    (real kernels for BMP/WAV) -> embedding near-dup pipeline. Rows-only;
+    the planted pairs are pinned in test_multimodal."""
+    from ray_data_mplsh.stages.multimodal import media_near_dup, synth_media
+
+    return media_near_dup(synth_media(120, seed=21, n_distinct=60),
+                          threshold=0.999)
 
 
 def _q_dedup_documents(sf_dir: str) -> Any:

@@ -842,10 +842,17 @@ def q_events_sliding(sf_dir: str):
     agg = ds.map_batches(expand, batch_format="pyarrow") \
         .groupby(["wd", "event_type"]) \
         .aggregate(Count(alias_name="cnt"), Sum("cents", alias_name="sc"))
-    return agg.map_batches(
-        lambda t: t.drop_columns(["sc"]).append_column(
-            "sv", pc.divide(pc.cast(t["sc"], pa.float64()), 100.0)),
-        batch_format="pyarrow")
+
+    def finish(t: pa.Table) -> pa.Table:
+        # date32 -> timestamp[us]: DuckDB's .df() renders DATE as
+        # datetime64[us], and date32 would surface as pandas object —
+        # matching the oracle dtype keeps the driver compare exact
+        t = t.set_column(t.schema.get_field_index("wd"), "wd",
+                         pc.cast(t["wd"], pa.timestamp("us")))
+        return t.drop_columns(["sc"]).append_column(
+            "sv", pc.divide(pc.cast(t["sc"], pa.float64()), 100.0))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def q_sample(sf_dir: str):

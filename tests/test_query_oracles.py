@@ -44,7 +44,7 @@ CHECK = ["q_word_stats", "q_doc_freq", "q_allpair_jaccard",
          "q_heavy_hitters", "q_simhash_pairs", "q_minhash_sigs",
          "q_band_keys", "q_fingerprints", "q_parts_by_brand",
          "q_promo_revenue", "q_top_parts_revenue", "q_canonical_urls",
-         "q_tpch_q5", "q_url_dedup"]
+         "q_tpch_q5", "q_url_dedup", "q_events_sliding"]
 
 
 @pytest.fixture(scope="module")
@@ -323,4 +323,30 @@ def test_fingerprints_oracle_boundary_cases(ray_session, tmp_path):
     n_positions = len(winnow_fingerprints(texts[0], cfg.winnow_k,
                                           cfg.winnow_w)[0])
     assert byid[0] < n_positions
+    con.close()
+
+
+def test_fingerprints_oracle_ascii_precondition_boundary(ray_session,
+                                                         tmp_path):
+    """_WINNOW_SQL folds codepoints while the kernel folds UTF-8 bytes —
+    bit-equal only on ASCII text (the sf documents corpus by
+    construction). Pin the divergence deterministically: 28 ASCII chars
+    + one 2-byte char is 29 codepoints (below the 30-gram threshold, so
+    the oracle counts 0) but 30 UTF-8 bytes (exactly one gram, so the
+    kernel counts 1)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": pa.array(["a" * 28 + "é"])})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = _as_df(QUERIES["q_fingerprints"](str(tmp_path)))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path}/documents.parquet'")
+    want = con.sql(ORACLE_SQL["q_fingerprints"]).df()
+    assert int(got.n_fingerprints.iloc[0]) == 1   # kernel: 30 bytes
+    assert int(want.n_fingerprints.iloc[0]) == 0  # replay: 29 codepoints
     con.close()
