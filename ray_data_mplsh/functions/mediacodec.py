@@ -9,6 +9,10 @@ the documented stub seam in stages/multimodal.py:
 
     BMP  24-bit uncompressed (BI_RGB), bottom-up or top-down
     PPM  binary P6, maxval 255
+    PNG  8-bit RGB / RGBA, non-interlaced, all five scanline filters
+         (inflate + CRC via the stdlib zlib; Sub unfiltered as a
+         per-channel cumsum, Up fully vectorized, Average/Paeth by
+         scanline — their left-neighbor recurrence is sequential)
     WAV  RIFF PCM (8/16/32-bit int), any channel count
 
 All decoders raise ``ValueError`` on anything outside that envelope so
@@ -25,12 +29,14 @@ import numpy as np
 
 
 def sniff(payload: bytes) -> str | None:
-    """'bmp' | 'ppm' | 'wav' for payloads this module can decode, else
-    None (codec-requiring or unknown format -> stub territory)."""
+    """'bmp' | 'ppm' | 'png' | 'wav' for payloads this module can decode,
+    else None (codec-requiring or unknown format -> stub territory)."""
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:2] == b"P6":
         return "ppm"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     return None
@@ -115,6 +121,119 @@ def decode_ppm(data: bytes) -> np.ndarray:
         raise ValueError("only maxval 255 supported")
     return np.frombuffer(data, np.uint8, w * h * 3, i) \
         .reshape(h, w, 3).copy()
+
+
+# -------------------------------------------------------------------- PNG
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+
+def _png_assemble(raw_scanlines: bytes, w: int, h: int,
+                  color_type: int) -> bytes:
+    """IHDR + one zlib-deflated IDAT + IEND around pre-filtered scanline
+    bytes (each row: 1 filter-type byte + w*channels samples)."""
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw_scanlines, 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(H, W, 3) RGB or (H, W, 4) RGBA uint8 -> 8-bit non-interlaced PNG
+    (filter type 0 on every scanline — decoders must accept all five,
+    encoders may emit any)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, c = img.shape
+    if c not in (3, 4):
+        raise ValueError("encode_png expects (H, W, 3|4)")
+    rows = np.zeros((h, 1 + w * c), np.uint8)
+    rows[:, 1:] = img.reshape(h, w * c)
+    return _png_assemble(rows.tobytes(), w, h, 2 if c == 3 else 6)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """8-bit RGB/RGBA non-interlaced PNG bytes -> (H, W, 3|4) uint8.
+
+    All five scanline filters are reconstructed: None/Up vectorized, Sub
+    as a per-channel cumsum mod 256, Average/Paeth with a per-pixel loop
+    along the row (their predictor reads the just-reconstructed left
+    neighbor, an inherently sequential recurrence)."""
+    import zlib
+
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    i, idat = 8, []
+    w = h = ct = None
+    interlace = 0
+    while i + 8 <= len(data):
+        ln, tag = struct.unpack_from(">I4s", data, i)
+        i += 8
+        payload = data[i:i + ln]
+        i += ln + 4  # skip CRC
+        if tag == b"IHDR":
+            w, h, bitd, ct, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", payload)
+            if bitd != 8 or ct not in (2, 6):
+                raise ValueError("only 8-bit RGB/RGBA PNGs supported")
+            if interlace:
+                raise ValueError("interlaced PNGs not supported")
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("truncated PNG")
+    c = 3 if ct == 2 else 4
+    stride = w * c
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"bad PNG deflate stream: {e}") from None
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG scanline size mismatch")
+    arr = np.frombuffer(raw, np.uint8).reshape(h, 1 + stride)
+    ftype, rows = arr[:, 0], arr[:, 1:]
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for y in range(h):
+        f, r = int(ftype[y]), rows[y]
+        if f == 0:          # None
+            cur = r.copy()
+        elif f == 1:        # Sub: recon = raw + left -> per-channel cumsum
+            cur = (r.reshape(w, c).astype(np.int64).cumsum(axis=0)
+                   % 256).astype(np.uint8).reshape(stride)
+        elif f == 2:        # Up (uint8 addition wraps mod 256)
+            cur = r + prev
+        elif f == 3:        # Average
+            cur = np.empty(stride, np.uint8)
+            for x in range(stride):
+                left = int(cur[x - c]) if x >= c else 0
+                cur[x] = (int(r[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:        # Paeth
+            cur = np.empty(stride, np.uint8)
+            for x in range(stride):
+                a = int(cur[x - c]) if x >= c else 0
+                b = int(prev[x])
+                cc = int(prev[x - c]) if x >= c else 0
+                p = a + b - cc
+                pa, pb, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc_) else \
+                    (b if pb <= pc_ else cc)
+                cur[x] = (int(r[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = cur
+        prev = cur
+    return out.reshape(h, w, c)
 
 
 # -------------------------------------------------------------------- WAV

@@ -2,10 +2,11 @@
 typed metadata, processed by actor-pool ``map_batches`` stages.
 
 Since round 4 the decode kernel is REAL for every format decodable
-without a codec dependency — BMP / PPM images and PCM WAV audio via the
+without a codec dependency — BMP / PPM / PNG images (PNG via the stdlib
+zlib inflate + numpy scanline unfiltering) and PCM WAV audio via the
 pure-numpy/stdlib codecs in ``functions/mediacodec.py`` (header parse to
 pixels/samples, nearest-neighbor resample, content-derived features).
-Compression-requiring formats (JPEG/PNG/MP4 — this container ships no
+Codec-requiring formats (JPEG/MP4 — this container ships no
 image/audio libraries; round-4 env probe in ``_decode_stub``) fall back
 to the deterministic stub, and swapping in a codec-backed decoder (PIL /
 torchaudio / pyav) still changes no pipeline code: every Ray-side
@@ -42,10 +43,10 @@ FEATURE_DIM = 16
 
 def _decode_stub(payload: bytes, media_type: str) -> np.ndarray:
     """Deterministic fallback for CODEC-REQUIRING formats only (JPEG /
-    PNG / MP4...): a FEATURE_DIM float vector derived from the payload
-    bytes. BMP/PPM/WAV payloads never reach this — ``decode_payload``
-    runs the real pure-numpy kernels first. Replace with a codec-backed
-    decoder when the libs are present; the signature
+    MP4...): a FEATURE_DIM float vector derived from the payload
+    bytes. BMP/PPM/PNG/WAV payloads never reach this — ``decode_payload``
+    runs the real pure-numpy/stdlib kernels first. Replace with a
+    codec-backed decoder when the libs are present; the signature
     (bytes, type) -> feature vector is the contract.
 
     Env probe 2026-08-18 (round 4): PIL, cv2, imageio, skimage,
@@ -65,7 +66,7 @@ def _decode_stub(payload: bytes, media_type: str) -> np.ndarray:
 
 
 def decode_payload(payload: bytes, media_type: str) -> np.ndarray:
-    """Real decode + featurize for the codec-free envelope (BMP/PPM
+    """Real decode + featurize for the codec-free envelope (BMP/PPM/PNG
     pixels, PCM-WAV samples — functions/mediacodec.py), stub features
     for everything else. Content-derived either way: byte-identical
     payloads map to identical features at any batching."""
@@ -77,6 +78,10 @@ def decode_payload(payload: bytes, media_type: str) -> np.ndarray:
             return mc.image_features(mc.decode_bmp(payload), FEATURE_DIM)
         if kind == "ppm":
             return mc.image_features(mc.decode_ppm(payload), FEATURE_DIM)
+        if kind == "png":
+            # alpha is presentation, not content: features on RGB
+            return mc.image_features(mc.decode_png(payload)[..., :3],
+                                     FEATURE_DIM)
         if kind == "wav":
             return mc.audio_features(*mc.decode_wav(payload),
                                      dim=FEATURE_DIM)
@@ -170,19 +175,19 @@ def resize_media(media, *, max_side: int = 512):
         new_w = np.floor(w * scale).astype(np.int32)
         new_h = np.floor(h * scale).astype(np.int32)
         payloads = batch["payload"].to_pylist()
+        encoders = {"bmp": mc.encode_bmp, "ppm": mc.encode_ppm,
+                    "png": mc.encode_png}
+        decoders = {"bmp": mc.decode_bmp, "ppm": mc.decode_ppm,
+                    "png": mc.decode_png}
         for i in np.flatnonzero(scale < 1.0):
             try:
                 kind = mc.sniff(payloads[i])
-                if kind == "bmp":
-                    img = mc.decode_bmp(payloads[i])
-                elif kind == "ppm":
-                    img = mc.decode_ppm(payloads[i])
-                else:
+                if kind not in decoders:
                     continue  # codec format: metadata-only resize
+                img = decoders[kind](payloads[i])
                 small = mc.resize_nearest(img, int(new_w[i]),
                                           int(new_h[i]))
-                payloads[i] = (mc.encode_bmp(small) if kind == "bmp"
-                               else mc.encode_ppm(small))
+                payloads[i] = encoders[kind](small)
             except ValueError:
                 continue  # out-of-envelope variant: bytes unchanged
         return pa.table({

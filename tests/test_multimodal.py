@@ -200,3 +200,96 @@ def test_resize_media_resamples_real_pixels(ray_session):
             got, mc.resize_nearest(img0, int(r.width), int(r.height)))
         checked += 1
     assert checked >= 5  # the fixture must actually exercise the path
+
+
+def test_png_roundtrip_and_all_filters():
+    """PNG: encode -> decode is pixel-exact for RGB and RGBA; the decoder
+    reconstructs ALL FIVE scanline filter types (our encoder emits only
+    filter 0, so the others are exercised with hand-filtered scanlines
+    deflated into a spec-valid PNG); garbage refuses with ValueError."""
+    import zlib
+
+    from ray_data_mplsh.functions import mediacodec as mc
+
+    rng = np.random.default_rng(29)
+    for c in (3, 4):
+        img = rng.integers(0, 256, (11, 17, c)).astype(np.uint8)
+        png = mc.encode_png(img)
+        assert mc.sniff(png) == "png"
+        np.testing.assert_array_equal(mc.decode_png(png), img)
+    # hand-filter one image with every filter type (row y uses y % 5)
+    img = rng.integers(0, 256, (10, 9, 3)).astype(np.uint8)
+    h, w, c = img.shape
+    stride = w * c
+    flat = img.reshape(h, stride).astype(np.int64)
+    raw = bytearray()
+    for y in range(h):
+        f = y % 5
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(stride, np.int64)
+        left = np.concatenate([np.zeros(c, np.int64), cur[:-c]])
+        upleft = np.concatenate([np.zeros(c, np.int64), prev[:-c]])
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prev
+        elif f == 3:
+            filt = cur - ((left + prev) >> 1)
+        else:
+            p = left + prev - upleft
+            pa, pb, pc_ = (np.abs(p - left), np.abs(p - prev),
+                           np.abs(p - upleft))
+            pred = np.where((pa <= pb) & (pa <= pc_), left,
+                            np.where(pb <= pc_, prev, upleft))
+            filt = cur - pred
+        raw.append(f)
+        raw.extend((filt % 256).astype(np.uint8).tobytes())
+    png = mc._png_assemble(bytes(raw), w, h, 2)
+    np.testing.assert_array_equal(mc.decode_png(png), img)
+    import struct as st
+    hdr = mc._PNG_MAGIC + mc._png_chunk(
+        b"IHDR", st.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+    # refusals: headerless, truncated, corrupt deflate, wrong-size raw
+    for bad in (mc._PNG_MAGIC, mc._PNG_MAGIC + b"\x00" * 20,
+                hdr + mc._png_chunk(b"IDAT", b"notdeflate"),
+                hdr + mc._png_chunk(b"IDAT", zlib.compress(b"\x00" * 5))):
+        try:
+            mc.decode_png(bad)
+            raise AssertionError("decoded garbage PNG")
+        except ValueError:
+            pass
+    # interlaced and 16-bit refuse
+    ihdr8 = st.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)   # interlace=1
+    bad1 = mc._PNG_MAGIC + mc._png_chunk(b"IHDR", ihdr8)
+    ihdr16 = st.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)  # 16-bit
+    bad2 = mc._PNG_MAGIC + mc._png_chunk(b"IHDR", ihdr16)
+    for bad in (bad1, bad2):
+        try:
+            mc.decode_png(bad + mc._png_chunk(
+                b"IDAT", zlib.compress(b"\x00" * 14)))
+            raise AssertionError("decoded unsupported PNG variant")
+        except ValueError:
+            pass
+
+
+def test_png_dispatch_matches_bmp():
+    """The same pixels through PNG and BMP containers featurize
+    identically (real decode proof for the compressed container), and a
+    PNG payload resizes to real re-encoded PNG pixels."""
+    from ray_data_mplsh.functions import mediacodec as mc
+    from ray_data_mplsh.stages.multimodal import decode_payload
+
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (24, 30, 3)).astype(np.uint8)
+    np.testing.assert_array_equal(decode_payload(mc.encode_png(img), "image"),
+                                  decode_payload(mc.encode_bmp(img), "image"))
+    # RGBA: features computed on RGB (alpha ignored)
+    rgba = np.dstack([img, rng.integers(0, 256, (24, 30)).astype(np.uint8)])
+    np.testing.assert_array_equal(decode_payload(mc.encode_png(rgba),
+                                                 "image"),
+                                  mc.image_features(img))
+    small = mc.resize_nearest(img, 15, 12)
+    np.testing.assert_array_equal(
+        mc.decode_png(mc.encode_png(small)), small)
