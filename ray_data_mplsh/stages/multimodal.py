@@ -330,14 +330,15 @@ def media_near_dup(media, *, threshold: float = 0.999, **kwargs):
 
 def synth_media(n: int, seed: int = 7, n_distinct: int = 0):
     """Deterministic media fixture with REAL payloads where the codec-free
-    envelope allows: by payload id, real 24-bit BMP images (pid % 3 == 0,
+    envelope allows: by payload id, real 24-bit BMP images (pid % 4 == 0,
     pseudo-random pixels + dims derived from pid), real PCM-16 WAV clips
-    (pid % 3 == 1), and opaque video-ish bytes (pid % 3 == 2 — the stub
-    path). ``n_distinct > 0`` plants exact duplicates (payload depends
-    only on ``pid = id % n_distinct``, so dup groups stay byte-identical
-    even when their rows carry different ``media_type`` labels — decode
-    sniffs magic bytes, not the label). Image rows carry their true
-    pixel dims in width/height."""
+    (pid % 4 == 1), real 8-bit PNG images (pid % 4 == 2), and opaque
+    video-ish bytes (pid % 4 == 3 — the stub path). ``n_distinct > 0``
+    plants exact duplicates (payload depends only on ``pid = id %
+    n_distinct``, so dup groups stay byte-identical even when their rows
+    carry different ``media_type`` labels — decode sniffs magic bytes,
+    not the label). Image-payload rows carry their true pixel dims in
+    width/height."""
     import ray.data
 
     from ray_data_mplsh.functions import mediacodec as mc
@@ -355,13 +356,14 @@ def synth_media(n: int, seed: int = 7, n_distinct: int = 0):
             base = mix64(np.array([p], np.uint64)
                          * np.uint64(0x9E3779B97F4A7C15)
                          + np.uint64(seed))[0]
-            kind = int(p) % 3
-            if kind == 0:  # real BMP
+            kind = int(p) % 4
+            if kind in (0, 2):  # real BMP / PNG
                 w = 20 + (int(p) * 13) % 300
                 h = 16 + (int(p) * 7) % 280
                 px = (mix64(np.arange(w * h * 3, dtype=np.uint64) + base)
                       % np.uint64(256)).astype(np.uint8).reshape(h, w, 3)
-                payloads.append(mc.encode_bmp(px))
+                payloads.append(mc.encode_bmp(px) if kind == 0
+                                else mc.encode_png(px))
                 widths[j], heights[j] = w, h
             elif kind == 1:  # real PCM-16 WAV
                 ns = 200 + (int(p) * 31) % 400
@@ -378,7 +380,7 @@ def synth_media(n: int, seed: int = 7, n_distinct: int = 0):
             "width": pa.array(widths, pa.int32()),
             "height": pa.array(heights, pa.int32()),
             "sample_rate": pa.array(
-                np.where(pid % 3 == 1, 16000, 0).astype(np.int32),
+                np.where(pid % 4 == 1, 16000, 0).astype(np.int32),
                 pa.int32()),
         })
 

@@ -186,20 +186,24 @@ def test_resize_media_resamples_real_pixels(ray_session):
 
     src = synth_media(40, seed=3).to_pandas().set_index("media_id")
     out = resize_media(synth_media(40, seed=3), max_side=64).to_pandas()
-    checked = 0
+    dec = {"bmp": mc.decode_bmp, "png": mc.decode_png}
+    checked = {"bmp": 0, "png": 0}
     for _, r in out.iterrows():
         pay = src.loc[r.media_id].payload
-        if mc.sniff(pay) != "bmp" or r.media_type != "image":
+        kind = mc.sniff(pay)
+        if kind not in dec or r.media_type != "image":
             continue
-        img0 = mc.decode_bmp(pay)
+        img0 = dec[kind](pay)
         if max(img0.shape[:2]) <= 64:
             continue
-        got = mc.decode_bmp(r.payload)
+        assert mc.sniff(r.payload) == kind  # re-encoded in-container
+        got = dec[kind](r.payload)
         assert got.shape == (r.height, r.width, 3)
         np.testing.assert_array_equal(
             got, mc.resize_nearest(img0, int(r.width), int(r.height)))
-        checked += 1
-    assert checked >= 5  # the fixture must actually exercise the path
+        checked[kind] += 1
+    # the fixture must exercise BOTH real image containers
+    assert checked["bmp"] >= 2 and checked["png"] >= 2, checked
 
 
 def test_png_roundtrip_and_all_filters():
