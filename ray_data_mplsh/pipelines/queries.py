@@ -619,6 +619,44 @@ def q_band_keys(sf_dir: str):
     return keys.map_batches(fmt, batch_format="pyarrow")
 
 
+def q_lsh_verified_pairs(sf_dir: str):
+    """The production S3-S6 LSH chain end-to-end (ops 12-18), driver-
+    hash-checked: ``minhash_stage`` -> ``band_stage`` (exact + multi-
+    probe keys) -> ``pairs_stage`` (equal-key buckets, all-pairs at or
+    under bucket_cap, star pairing above it, global pair dedup) ->
+    ``verify_stage`` (signature-slot agreement est >= verify_theta),
+    under the SQL-replayable config q_minhash_sigs/q_band_keys pin
+    (word_hash="poly", K=16, b=4, r=4, probes=4). The DuckDB oracle
+    (_LSH_PAIRS_SQL) replays the whole chain from raw text, so every
+    surviving (a, b, est) row is bit-exact — est is an exact dyadic
+    n/16 on both sides. Together with q_minhash_sigs / q_band_keys /
+    q_fingerprints this puts driver signatures on the full flagship
+    candidate-generation + verification path."""
+    from ray_data_mplsh.stages.bands import band_stage
+    from ray_data_mplsh.stages.minhash import minhash_stage
+    from ray_data_mplsh.stages.pairs import pairs_stage
+    from ray_data_mplsh.stages.shuffle import default_partitions
+    from ray_data_mplsh.stages.verify import verify_stage
+
+    cfg = MPLSHConfig(num_perm=_MINHASH_SIGS_K, bands=4, rows_per_band=4,
+                      probes=4, word_hash="poly")
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    P = default_partitions(cfg.num_partitions)
+    sigs = minhash_stage(docs, cfg).materialize()
+    n_docs = sigs.count()
+    pairs = pairs_stage(band_stage(sigs, cfg), cfg, P)
+    ver = verify_stage(pairs, sigs, cfg, P, n_docs)
+
+    def fmt(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": pc.cast(t["a"], pa.int64()),
+            "b": pc.cast(t["b"], pa.int64()),
+            "jaccard": t["jaccard"],
+        })
+
+    return ver.map_batches(fmt, batch_format="pyarrow")
+
+
 _NGJ_MIN_J = 0.8
 
 
@@ -3517,6 +3555,7 @@ QUERIES = {
     "q_simhash_pairs": q_simhash_pairs,
     "q_minhash_sigs": q_minhash_sigs,
     "q_band_keys": q_band_keys,
+    "q_lsh_verified_pairs": q_lsh_verified_pairs,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_fingerprints": q_fingerprints,
     "q_bpe_token_counts": q_bpe_token_counts,
@@ -3722,7 +3761,7 @@ _SENTINEL_SQL = "CAST('18369614221190020847' AS HUGEINT)"
 # probe rank t=0 the exact band slots, for t in 1..4 slot t-1 replaced by
 # the mask sentinel; key = mix64(Horner over the 4 slots seeded with the
 # namespace prefix band*(r+1)+t) — exactly stages/bands.band_probe_keys.
-_BAND_KEYS_SQL = (
+_BAND_KEY_CTES = (
     _MINHASH_PV_CTES + ", "
     "sigl AS (SELECT doc_id, list(mh ORDER BY j) AS s FROM pv "
     "GROUP BY doc_id), "
@@ -3734,11 +3773,42 @@ _BAND_KEYS_SQL = (
     f"{_SENTINEL_SQL} ELSE s[band * 4 + i + 1] END)), "
     f"(acc, c) -> {_HORNER_STEP}) AS k0 "
     "FROM sigl CROSS JOIN bp CROSS JOIN prb), "
-    + _mix64_sql("k0t", "k0", "bh", "doc_id, band, t") + " "
+    + _mix64_sql("k0t", "k0", "bh", "doc_id, band, t"))
+
+_BAND_KEYS_SQL = (
+    _BAND_KEY_CTES + " "
     "SELECT doc_id, CAST(band AS BIGINT) AS band_id, "
     "CAST(t AS BIGINT) AS probe_rank, "
     "CAST(bh // 4294967296 AS BIGINT) AS bh_hi, "
     "CAST(bh % 4294967296 AS BIGINT) AS bh_lo FROM m5_bh")
+
+# full LSH candidate + verification replay (q_lsh_verified_pairs, ops
+# 14-18): buckets are the equal-band_hash groups over EVERY emitted
+# (doc, band, probe) key; buckets at or under bucket_cap emit all
+# C(g,2) pairs, larger buckets star-pair against the min doc (the
+# pairs.py straggler bound), the union is globally deduped, and a pair
+# survives when its signature-slot agreement est = |equal slots| / K
+# reaches verify_theta. est is an exact dyadic n/16 on both sides, so
+# the float compare is bit-exact.
+_LSH_PAIRS_SQL = (
+    _BAND_KEY_CTES + ", "
+    "kb AS (SELECT doc_id, bh FROM m5_bh), "
+    f"bs AS (SELECT bh, COUNT(*) AS c, MIN(doc_id) AS mn FROM kb "
+    "GROUP BY bh), "
+    "cand AS ("
+    "SELECT DISTINCT x.doc_id AS a, y.doc_id AS b "
+    "FROM kb x JOIN kb y USING (bh) JOIN bs USING (bh) "
+    f"WHERE bs.c <= {MPLSHConfig().bucket_cap} AND x.doc_id < y.doc_id "
+    "UNION "
+    "SELECT DISTINCT bs.mn AS a, kb.doc_id AS b "
+    "FROM kb JOIN bs USING (bh) "
+    f"WHERE bs.c > {MPLSHConfig().bucket_cap} AND kb.doc_id > bs.mn), "
+    "vs AS (SELECT c.a, c.b, "
+    "SUM(CASE WHEN pa.mh = pb.mh THEN 1 ELSE 0 END) / 16.0 AS jaccard "
+    "FROM cand c JOIN pv pa ON pa.doc_id = c.a "
+    "JOIN pv pb ON pb.doc_id = c.b AND pb.j = pa.j GROUP BY 1, 2) "
+    "SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, jaccard "
+    f"FROM vs WHERE jaccard >= {MPLSHConfig().verify_theta}")
 
 # winnowing fingerprint replay (q_fingerprints, op 24): per doc the
 # char-30-gram hashes (masked-Horner over codepoints + SplitMix64 — same
@@ -3778,6 +3848,7 @@ ORACLE_SQL = {
     "q_simhash_pairs": _SIMHASH_SQL,
     "q_minhash_sigs": _MINHASH_SQL,
     "q_band_keys": _BAND_KEYS_SQL,
+    "q_lsh_verified_pairs": _LSH_PAIRS_SQL,
     "q_fingerprints": _WINNOW_SQL,
     "q_exact_dedup":
         "SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text",
