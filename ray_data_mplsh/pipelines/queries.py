@@ -657,6 +657,41 @@ def q_lsh_verified_pairs(sf_dir: str):
     return ver.map_batches(fmt, batch_format="pyarrow")
 
 
+def q_lsh_clusters(sf_dir: str):
+    """Connected components (op 19) over the q_lsh_verified_pairs edge
+    set, driver-hash-checked: the production ``connected_components``
+    (hybrid driver kernel / star contraction) labels every edge-incident
+    doc with its component's min doc_id. The DuckDB oracle
+    (_LSH_CLUSTERS_SQL) replays the whole chain from raw text and runs
+    recursive label propagation over the symmetric edges — with this,
+    every kernel of the flagship dedup path S3-S7 carries a driver
+    signature (sigs, band/probe keys, bucket pairing, verify, CC)."""
+    from ray_data_mplsh.stages.bands import band_stage
+    from ray_data_mplsh.stages.cc import connected_components
+    from ray_data_mplsh.stages.minhash import minhash_stage
+    from ray_data_mplsh.stages.pairs import pairs_stage
+    from ray_data_mplsh.stages.shuffle import default_partitions
+    from ray_data_mplsh.stages.verify import verify_stage
+
+    cfg = MPLSHConfig(num_perm=_MINHASH_SIGS_K, bands=4, rows_per_band=4,
+                      probes=4, word_hash="poly")
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    P = default_partitions(cfg.num_partitions)
+    sigs = minhash_stage(docs, cfg).materialize()
+    n_docs = sigs.count()
+    ver = verify_stage(pairs_stage(band_stage(sigs, cfg), cfg, P), sigs,
+                       cfg, P, n_docs)
+    labels = connected_components(ver, cfg, P)
+
+    def fmt(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "cluster_id": pc.cast(t["cluster_id"], pa.int64()),
+        })
+
+    return labels.map_batches(fmt, batch_format="pyarrow")
+
+
 _NGJ_MIN_J = 0.8
 
 
@@ -3556,6 +3591,7 @@ QUERIES = {
     "q_minhash_sigs": q_minhash_sigs,
     "q_band_keys": q_band_keys,
     "q_lsh_verified_pairs": q_lsh_verified_pairs,
+    "q_lsh_clusters": q_lsh_clusters,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_fingerprints": q_fingerprints,
     "q_bpe_token_counts": q_bpe_token_counts,
@@ -3790,7 +3826,7 @@ _BAND_KEYS_SQL = (
 # survives when its signature-slot agreement est = |equal slots| / K
 # reaches verify_theta. est is an exact dyadic n/16 on both sides, so
 # the float compare is bit-exact.
-_LSH_PAIRS_SQL = (
+_LSH_PAIRS_CTES = (
     _BAND_KEY_CTES + ", "
     "kb AS (SELECT doc_id, bh FROM m5_bh), "
     f"bs AS (SELECT bh, COUNT(*) AS c, MIN(doc_id) AS mn FROM kb "
@@ -3806,9 +3842,32 @@ _LSH_PAIRS_SQL = (
     "vs AS (SELECT c.a, c.b, "
     "SUM(CASE WHEN pa.mh = pb.mh THEN 1 ELSE 0 END) / 16.0 AS jaccard "
     "FROM cand c JOIN pv pa ON pa.doc_id = c.a "
-    "JOIN pv pb ON pb.doc_id = c.b AND pb.j = pa.j GROUP BY 1, 2) "
+    "JOIN pv pb ON pb.doc_id = c.b AND pb.j = pa.j GROUP BY 1, 2)")
+
+_LSH_PAIRS_SQL = (
+    _LSH_PAIRS_CTES + " "
     "SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, jaccard "
     f"FROM vs WHERE jaccard >= {MPLSHConfig().verify_theta}")
+
+# connected components over the verified pairs (q_lsh_clusters, op 19):
+# recursive label propagation — walk(u, lbl) enumerates every node
+# reachable from u through the symmetric edge set, so MIN(lbl) per node
+# is the component minimum, exactly the engine's cluster_id convention.
+# Labels exist only for edge-incident nodes (singletons default to
+# their own id downstream), matching connected_components' contract.
+assert _LSH_PAIRS_CTES.startswith("WITH ")
+_LSH_CLUSTERS_SQL = (
+    "WITH RECURSIVE " + _LSH_PAIRS_CTES[len("WITH "):] + ", "
+    f"vp AS (SELECT a, b FROM vs "
+    f"WHERE jaccard >= {MPLSHConfig().verify_theta}), "
+    "ed AS (SELECT a AS u, b AS v FROM vp "
+    "UNION ALL SELECT b AS u, a AS v FROM vp), "
+    "walk(u, lbl) AS ("
+    "SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM ed) "
+    "UNION "
+    "SELECT ed.u, w.lbl FROM ed JOIN walk w ON w.u = ed.v) "
+    "SELECT CAST(u AS BIGINT) AS doc_id, "
+    "CAST(MIN(lbl) AS BIGINT) AS cluster_id FROM walk GROUP BY u")
 
 # winnowing fingerprint replay (q_fingerprints, op 24): per doc the
 # char-30-gram hashes (masked-Horner over codepoints + SplitMix64 — same
@@ -3849,6 +3908,7 @@ ORACLE_SQL = {
     "q_minhash_sigs": _MINHASH_SQL,
     "q_band_keys": _BAND_KEYS_SQL,
     "q_lsh_verified_pairs": _LSH_PAIRS_SQL,
+    "q_lsh_clusters": _LSH_CLUSTERS_SQL,
     "q_fingerprints": _WINNOW_SQL,
     "q_exact_dedup":
         "SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text",
