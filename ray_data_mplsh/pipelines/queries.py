@@ -657,6 +657,36 @@ def q_lsh_verified_pairs(sf_dir: str):
     return ver.map_batches(fmt, batch_format="pyarrow")
 
 
+def q_substring_candidates(sf_dir: str):
+    """The substring pass's candidate generation (op 24 front half),
+    driver-hash-checked: the production ``_fingerprint_emitter`` (batch
+    winnow kernel) -> fp-keyed bucket pairing (``_fp_pairs_fn``: all
+    C(g,2) pairs at or under substr_bucket_cap, star above) -> global
+    pair dedup, replayed end-to-end by ``_SUBSTR_PAIRS_SQL`` (winnow
+    CTEs + the equal-fp self-join with the cap/star rule). Same ASCII
+    precondition as q_fingerprints."""
+    from ray_data_mplsh.stages.output import (_fingerprint_emitter,
+                                              _fp_pairs_fn)
+    from ray_data_mplsh.stages.pairs import dedup_pairs
+    from ray_data_mplsh.stages.shuffle import (default_partitions,
+                                               partition_apply)
+
+    cfg = MPLSHConfig()
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    P = default_partitions(cfg.num_partitions)
+    fps = docs.map_batches(_fingerprint_emitter(cfg),
+                           batch_format="pyarrow")
+    pairs = partition_apply(fps, "fp", _fp_pairs_fn(cfg.substr_bucket_cap),
+                            P)
+    pairs = dedup_pairs(pairs, P, local_max_rows=cfg.local_state_max_rows)
+
+    def fmt(t: pa.Table) -> pa.Table:
+        return pa.table({"a": pc.cast(t["a"], pa.int64()),
+                         "b": pc.cast(t["b"], pa.int64())})
+
+    return pairs.map_batches(fmt, batch_format="pyarrow")
+
+
 def q_lsh_clusters(sf_dir: str):
     """Connected components (op 19) over the q_lsh_verified_pairs edge
     set, driver-hash-checked: the production ``connected_components``
@@ -3592,6 +3622,7 @@ QUERIES = {
     "q_band_keys": q_band_keys,
     "q_lsh_verified_pairs": q_lsh_verified_pairs,
     "q_lsh_clusters": q_lsh_clusters,
+    "q_substring_candidates": q_substring_candidates,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_fingerprints": q_fingerprints,
     "q_bpe_token_counts": q_bpe_token_counts,
@@ -3879,7 +3910,7 @@ _LSH_CLUSTERS_SQL = (
 # value is that window's min, so tie-break position is irrelevant.
 # Small docs (1 <= m < 21 grams) select exactly one fingerprint (the
 # global argmin); docs shorter than 30 bytes select none.
-_WINNOW_SQL = (
+_WINNOW_CTES = (
     "WITH dd AS (SELECT doc_id, text, length(text) AS n FROM documents), "
     "pr AS (SELECT doc_id, text, unnest(range(1, n - 28)) AS p "
     "FROM dd WHERE n >= 30), "
@@ -3894,14 +3925,43 @@ _WINNOW_SQL = (
     "ms AS (SELECT doc_id, COUNT(*) AS m FROM m5_g GROUP BY doc_id), "
     "wm AS (SELECT doc_id, p, MIN(g) OVER (PARTITION BY doc_id ORDER BY p "
     "ROWS BETWEEN CURRENT ROW AND 20 FOLLOWING) AS mn FROM m5_g), "
-    "bigc AS (SELECT w.doc_id, CAST(COUNT(DISTINCT w.mn) AS BIGINT) AS c "
-    "FROM wm w JOIN ms USING (doc_id) "
-    "WHERE ms.m >= 21 AND w.p <= ms.m - 20 GROUP BY w.doc_id), "
-    "smallc AS (SELECT doc_id, CAST(1 AS BIGINT) AS c FROM ms "
-    "WHERE m BETWEEN 1 AND 20), "
-    "ac AS (SELECT * FROM bigc UNION ALL SELECT * FROM smallc) "
+    # per-doc DISTINCT selected fingerprint VALUES (the kernel's output
+    # unit): window minima for big docs, the global argmin for small ones
+    "fpv AS ("
+    "SELECT DISTINCT w.doc_id, w.mn AS fp FROM wm w JOIN ms USING (doc_id) "
+    "WHERE ms.m >= 21 AND w.p <= ms.m - 20 "
+    "UNION "
+    "SELECT g.doc_id, MIN(g.g) AS fp FROM m5_g g JOIN ms USING (doc_id) "
+    "WHERE ms.m BETWEEN 1 AND 20 GROUP BY g.doc_id)")
+
+_WINNOW_SQL = (
+    _WINNOW_CTES + ", "
+    "ac AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM fpv "
+    "GROUP BY doc_id) "
     "SELECT d.doc_id, COALESCE(ac.c, CAST(0 AS BIGINT)) AS n_fingerprints "
     "FROM documents d LEFT JOIN ac USING (doc_id)")
+
+# substring-pass candidate pairs (q_substring_candidates, op 24 front
+# half): fingerprint buckets are the equal-fp groups over every doc's
+# distinct winnow fingerprints; buckets at or under substr_bucket_cap
+# emit all C(g,2) pairs, larger buckets star-pair against the min doc,
+# and the union is globally deduped — the same _pairs_of_runs rule the
+# LSH pairing replay pins, at the substring stage's cap.
+_SUBSTR_PAIRS_SQL = (
+    _WINNOW_CTES + ", "
+    "fb AS (SELECT fp, COUNT(*) AS c, MIN(doc_id) AS mn FROM fpv "
+    "GROUP BY fp) "
+    "SELECT DISTINCT CAST(x.doc_id AS BIGINT) AS a, "
+    "CAST(y.doc_id AS BIGINT) AS b "
+    "FROM fpv x JOIN fpv y USING (fp) JOIN fb USING (fp) "
+    f"WHERE fb.c <= {MPLSHConfig().substr_bucket_cap} "
+    "AND x.doc_id < y.doc_id "
+    "UNION "
+    "SELECT DISTINCT CAST(fb.mn AS BIGINT) AS a, "
+    "CAST(fpv.doc_id AS BIGINT) AS b "
+    "FROM fpv JOIN fb USING (fp) "
+    f"WHERE fb.c > {MPLSHConfig().substr_bucket_cap} "
+    "AND fpv.doc_id > fb.mn")
 
 ORACLE_SQL = {
     "q_simhash_pairs": _SIMHASH_SQL,
@@ -3909,6 +3969,7 @@ ORACLE_SQL = {
     "q_band_keys": _BAND_KEYS_SQL,
     "q_lsh_verified_pairs": _LSH_PAIRS_SQL,
     "q_lsh_clusters": _LSH_CLUSTERS_SQL,
+    "q_substring_candidates": _SUBSTR_PAIRS_SQL,
     "q_fingerprints": _WINNOW_SQL,
     "q_exact_dedup":
         "SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text",

@@ -45,7 +45,8 @@ CHECK = ["q_word_stats", "q_doc_freq", "q_allpair_jaccard",
          "q_band_keys", "q_fingerprints", "q_parts_by_brand",
          "q_promo_revenue", "q_top_parts_revenue", "q_canonical_urls",
          "q_tpch_q5", "q_url_dedup", "q_events_sliding",
-         "q_lsh_verified_pairs", "q_lsh_clusters"]
+         "q_lsh_verified_pairs", "q_lsh_clusters",
+         "q_substring_candidates"]
 
 
 @pytest.fixture(scope="module")
