@@ -352,3 +352,103 @@ def test_fingerprints_oracle_ascii_precondition_boundary(ray_session,
     assert int(got.n_fingerprints.iloc[0]) == 1   # kernel: 30 bytes
     assert int(want.n_fingerprints.iloc[0]) == 0  # replay: 29 codepoints
     con.close()
+
+
+def _check_vs_oracle(name, tmp_path):
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path}/documents.parquet'")
+    got = _as_df(QUERIES[name](str(tmp_path)))
+    want = con.sql(ORACLE_SQL[name]).df()
+    cols = sorted(want.columns)
+    assert sorted(got.columns) == cols, name
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    assert list(a.dtypes) == list(b.dtypes), name
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    con.close()
+    return a
+
+
+def test_lsh_pairs_oracle_star_branch(ray_session, tmp_path):
+    """The sf corpora never push a band bucket over bucket_cap (256), so
+    the oracle's star-pairing branch is otherwise dead code: plant 300
+    byte-identical docs (every band key bucket holds all 300 rows) and
+    pin engine == oracle through the star path; the verified pair set
+    must be exactly the star of the min doc."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    t = pa.table({"doc_id": pa.array(np.arange(300, dtype=np.int64)),
+                  "text": pa.array([text] * 300)})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    a = _check_vs_oracle("q_lsh_verified_pairs", tmp_path)
+    assert len(a) == 299 and (a.a == 0).all()  # star at the min doc
+    assert (a.jaccard == 1.0).all()
+    labels = _check_vs_oracle("q_lsh_clusters", tmp_path)
+    assert len(labels) == 300 and labels.cluster_id.nunique() == 1
+
+
+def test_substring_candidates_oracle_star_branch(ray_session, tmp_path):
+    """Same for the substring pairing at substr_bucket_cap (16): 20 docs
+    share a 64-char span (one fp bucket of 20 > 16 -> star) amid unique
+    filler docs."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(43)
+    alpha = np.array(list("abcdefghijklmnopqrstuvwxyz "))
+    span = "".join(rng.choice(alpha, 64))
+    texts = ["".join(rng.choice(alpha, 40)) + span
+             + "".join(rng.choice(alpha, 40)) for _ in range(20)]
+    texts += ["".join(rng.choice(alpha, 150)) for _ in range(10)]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts)})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    a = _check_vs_oracle("q_substring_candidates", tmp_path)
+    # the 20 span-sharers must be connected through the pair set (star
+    # or direct); no guarantee of all-pairs because the shared-span fp
+    # bucket exceeds the cap
+    import collections
+    adj = collections.defaultdict(set)
+    for x, y in zip(a.a, a.b):
+        adj[x].add(y)
+        adj[y].add(x)
+    seen, stack = set(), [0]
+    while stack:
+        v = stack.pop()
+        if v in seen:
+            continue
+        seen.add(v)
+        stack.extend(adj[v])
+    assert set(range(20)) <= seen
+
+
+def test_lsh_clusters_oracle_chain_topology(ray_session, tmp_path):
+    """Transitive clusters (A~B~C with A and C dissimilar) exercise the
+    recursive label propagation beyond depth 1: docs built from sliding
+    word blocks so adjacent docs overlap heavily and distant docs
+    don't. Equality is deterministic; the meta-assert only requires
+    that some multi-hop cluster actually formed."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(47)
+    alpha = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    blocks = [[("".join(rng.choice(alpha, 7))) for _ in range(10)]
+              for _ in range(16)]
+    texts = [" ".join(w for b in blocks[i:i + 9] for w in b)
+             for i in range(8)]  # doc i spans blocks i..i+8
+    t = pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts)})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    _check_vs_oracle("q_lsh_verified_pairs", tmp_path)
+    labels = _check_vs_oracle("q_lsh_clusters", tmp_path)
+    sizes = labels.groupby("cluster_id").size()
+    assert len(labels) and sizes.max() >= 3  # a multi-hop chain formed
