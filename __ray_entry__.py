@@ -24,7 +24,9 @@ prefix of it), rows-only entries last:
     q_knn_lsh (multi-probe ANN), q_knn_ivf (IVF-flat) — both with the
     distributed query-keyed top-k merge
   multimodal: q_media_dedup (exact byte dedup over the synthetic media
-    table; resize/near-dup stages are pytest-gated in test_multimodal)
+    table), q_media_features (real BMP/PNG/JPEG/WAV/Y4M decode ->
+    content features), q_media_near_dup, q_media_frames (real Y4M frame
+    sampling); resize/codec stages are pytest-gated in test_multimodal
   text analysis: q_lang_id*, q_token_counts*, q_bpe_token_counts*,
     q_quality_scores*, q_fingerprints, q_word_stats* (per-doc word
     frequency / modal word), q_doc_freq* (corpus df table, combiner
@@ -159,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["q_media_dedup"] = _q_media_dedup
     out["q_media_features"] = _q_media_features
     out["q_media_near_dup"] = _q_media_near_dup
+    out["q_media_frames"] = _q_media_frames
     return out
 
 
@@ -199,10 +202,11 @@ def _q_media_dedup(sf_dir: str) -> Any:
 
 
 def _q_media_features(sf_dir: str) -> Any:
-    """Real media decode surface (since r4): BMP/PPM/WAV payloads in the
-    synth fixture decode to actual pixels/samples via the pure-numpy
-    codecs (functions/mediacodec.py) and featurize in the actor-pool
-    decoder; opaque payloads take the deterministic stub. The feature
+    """Real media decode surface (since r4): BMP/PNG/baseline-JPEG/WAV/
+    Y4M payloads in the synth fixture decode to actual pixels/samples/
+    frames via the pure-numpy codecs (functions/mediacodec.py +
+    functions/jpegcodec.py) and featurize in the actor-pool decoder;
+    opaque codec-format payloads take the deterministic stub. The feature
     column is flattened to per-dim scalars so the driver's rows-only
     hash is stable. Rows-only by contract (no media tables ship in the
     sf dirs) — gated by the round-trip + dispatch pytest oracles."""
@@ -231,12 +235,25 @@ def _q_media_features(sf_dir: str) -> Any:
 
 def _q_media_near_dup(sf_dir: str) -> Any:
     """Feature-cosine media near-dup over planted byte-duplicates: decode
-    (real kernels for BMP/WAV) -> embedding near-dup pipeline. Rows-only;
-    the planted pairs are pinned in test_multimodal."""
+    (real kernels for BMP/PNG/JPEG/WAV/Y4M) -> embedding near-dup
+    pipeline. Rows-only; the planted pairs are pinned in
+    test_multimodal."""
     from ray_data_mplsh.stages.multimodal import media_near_dup, synth_media
 
     return media_near_dup(synth_media(120, seed=21, n_distinct=60),
                           threshold=0.999)
+
+
+def _q_media_frames(sf_dir: str) -> Any:
+    """Video frame-sampling surface (since r4 REAL for Y4M payloads: the
+    frame count is parsed from the YUV4MPEG2 header, indices are every
+    n-th actual frame). Rows-only by contract (no media tables ship in
+    the sf dirs) — the expected index sets are pinned per-payload in
+    test_multimodal's fixture-derived equality test."""
+    from ray_data_mplsh.stages.multimodal import frame_sampler, synth_media
+
+    return frame_sampler(synth_media(150, seed=21), every_n=2,
+                         max_frames=4)
 
 
 def _q_dedup_documents(sf_dir: str) -> Any:

@@ -29,16 +29,23 @@ import numpy as np
 
 
 def sniff(payload: bytes) -> str | None:
-    """'bmp' | 'ppm' | 'png' | 'wav' for payloads this module can decode,
-    else None (codec-requiring or unknown format -> stub territory)."""
+    """'bmp' | 'ppm' | 'png' | 'jpg' | 'wav' | 'y4m' for payloads this
+    package can decode, else None (codec-requiring or unknown format ->
+    stub territory). JPEG decodes via the pure-numpy baseline codec in
+    ``jpegcodec.py``; Y4M (YUV4MPEG2) is an uncompressed planar video
+    container parsed right here."""
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:2] == b"P6":
         return "ppm"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if payload[:3] == b"\xFF\xD8\xFF":
+        return "jpg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:10] == b"YUV4MPEG2 ":
+        return "y4m"
     return None
 
 
@@ -282,6 +289,110 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     return s, rate
 
 
+# -------------------------------------------------------------------- Y4M
+#
+# YUV4MPEG2: a plain-text stream header, then per frame a "FRAME\n"
+# marker + raw planar YUV. No compression, so a data engine can parse it
+# with numpy alone — it is the video analogue of BMP/PPM here. We encode
+# C444 (full-res planes, full-range JFIF matrix for exact-ish RGB round
+# trips) and decode C444 plus the 4:2:0 family (C420 / C420jpeg /
+# C420mpeg2, chroma upsampled nearest).
+
+
+def _y4m_header(data: bytes) -> tuple[dict, int]:
+    end = data.find(b"\n")
+    if end < 0:
+        raise ValueError("truncated Y4M header")
+    params: dict[str, str] = {}
+    for tok in data[10:end].split(b" "):
+        if tok:
+            params[chr(tok[0])] = tok[1:].decode("ascii", "replace")
+    return params, end + 1
+
+
+def y4m_info(data: bytes) -> tuple[int, int, int]:
+    """Y4M bytes -> (n_frames, width, height) from the header + stream
+    length alone (no pixel decode — this is what frame_sampler uses)."""
+    if data[:10] != b"YUV4MPEG2 ":
+        raise ValueError("not a Y4M stream")
+    params, off = _y4m_header(data)
+    w, h = int(params["W"]), int(params["H"])
+    colorspace = params.get("C", "420jpeg")
+    if colorspace.startswith("444"):
+        fsize = w * h * 3
+    elif colorspace.startswith("420"):
+        fsize = w * h + 2 * ((w + 1) // 2) * ((h + 1) // 2)
+    else:
+        raise ValueError(f"unsupported Y4M colorspace C{colorspace}")
+    per = 6 + fsize  # b"FRAME\n" + planes (frame params unsupported)
+    n = (len(data) - off) // per
+    return n, w, h
+
+
+def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (25, 1)) -> bytes:
+    """(T, H, W, 3) uint8 RGB -> YUV4MPEG2 C444 bytes (full-range JFIF
+    matrix; every plane full resolution, so decode is near-lossless)."""
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    if frames.ndim != 4 or frames.shape[-1] != 3:
+        raise ValueError("encode_y4m expects (T, H, W, 3)")
+    t, h, w, _ = frames.shape
+    f = frames.astype(np.float64)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = np.clip(0.299 * r + 0.587 * g + 0.114 * b, 0, 255)
+    cb = np.clip(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0, 0, 255)
+    cr = np.clip(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0, 0, 255)
+    out = bytearray(b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 C444\n"
+                    % (w, h, fps[0], fps[1]))
+    for i in range(t):
+        out += b"FRAME\n"
+        out += y[i].astype(np.uint8).tobytes()
+        out += cb[i].astype(np.uint8).tobytes()
+        out += cr[i].astype(np.uint8).tobytes()
+    return bytes(out)
+
+
+def decode_y4m(data: bytes) -> np.ndarray:
+    """YUV4MPEG2 bytes -> (T, H, W, 3) uint8 RGB. C444 and the C420
+    family supported; chroma upsampled nearest for 4:2:0."""
+    if data[:10] != b"YUV4MPEG2 ":
+        raise ValueError("not a Y4M stream")
+    params, off = _y4m_header(data)
+    w, h = int(params["W"]), int(params["H"])
+    colorspace = params.get("C", "420jpeg")
+    is444 = colorspace.startswith("444")
+    if not is444 and not colorspace.startswith("420"):
+        raise ValueError(f"unsupported Y4M colorspace C{colorspace}")
+    cw, ch = ((w, h) if is444 else ((w + 1) // 2, (h + 1) // 2))
+    fsize = w * h + 2 * cw * ch
+    frames = []
+    i = off
+    while i + 6 + fsize <= len(data):
+        if data[i:i + 5] != b"FRAME":
+            raise ValueError("Y4M frame marker desync")
+        nl = data.find(b"\n", i)  # tolerate per-frame params
+        i = nl + 1
+        y = np.frombuffer(data, np.uint8, w * h, i) \
+            .reshape(h, w).astype(np.float64)
+        cb = np.frombuffer(data, np.uint8, cw * ch, i + w * h) \
+            .reshape(ch, cw).astype(np.float64)
+        cr = np.frombuffer(data, np.uint8, cw * ch, i + w * h + cw * ch) \
+            .reshape(ch, cw).astype(np.float64)
+        i += fsize
+        if not is444:
+            cb = np.repeat(np.repeat(cb, 2, 0), 2, 1)[:h, :w]
+            cr = np.repeat(np.repeat(cr, 2, 0), 2, 1)[:h, :w]
+        cb -= 128.0
+        cr -= 128.0
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        frames.append(np.clip(np.stack([r, g, b], -1), 0, 255)
+                      .astype(np.uint8))
+    if not frames:
+        raise ValueError("Y4M stream holds no complete frame")
+    return np.stack(frames)
+
+
 # --------------------------------------------------------------- kernels
 
 
@@ -343,3 +454,16 @@ def audio_features(samples: np.ndarray, rate: int,
     if len(out) != dim:
         raise ValueError(f"feature dim mismatch: {len(out)} != {dim}")
     return out.astype(np.float32)
+
+
+def video_features(frames: np.ndarray, dim: int = 16,
+                   max_frames: int = 4) -> np.ndarray:
+    """Deterministic video feature vector: the mean of ``image_features``
+    over up to ``max_frames`` evenly-spaced frames. Content-derived and
+    independent of batching, so byte-identical videos map to identical
+    features — the invariant media_near_dup relies on."""
+    t = frames.shape[0]
+    idx = np.unique(np.linspace(0, t - 1, min(t, max_frames))
+                    .astype(np.int64))
+    feats = np.stack([image_features(frames[i], dim) for i in idx])
+    return feats.mean(axis=0).astype(np.float32)

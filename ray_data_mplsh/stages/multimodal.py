@@ -3,15 +3,18 @@ typed metadata, processed by actor-pool ``map_batches`` stages.
 
 Since round 4 the decode kernel is REAL for every format decodable
 without a codec dependency — BMP / PPM / PNG images (PNG via the stdlib
-zlib inflate + numpy scanline unfiltering) and PCM WAV audio via the
-pure-numpy/stdlib codecs in ``functions/mediacodec.py`` (header parse to
-pixels/samples, nearest-neighbor resample, content-derived features).
-Codec-requiring formats (JPEG/MP4 — this container ships no
-image/audio libraries; round-4 env probe in ``_decode_stub``) fall back
-to the deterministic stub, and swapping in a codec-backed decoder (PIL /
-torchaudio / pyav) still changes no pipeline code: every Ray-side
-concern — media schema, per-actor one-time setup, small-batch sizing for
-large payloads, output layout — is format-independent.
+zlib inflate + numpy scanline unfiltering), baseline JPEG (a from-spec
+pure-numpy codec, ``functions/jpegcodec.py``: 4:4:4 / 4:2:0, restart
+markers, quality-scaled Annex-K tables), PCM WAV audio, and Y4M
+(YUV4MPEG2) video with real frame counting + sampling — all via the
+pure-numpy/stdlib codecs in ``functions/mediacodec.py`` (header parse
+to pixels/samples/frames, nearest-neighbor resample, content-derived
+features). Only formats whose bitstreams genuinely require a codec
+library (H.264/MP4, VP9, HEIC...) fall back to the deterministic stub,
+and swapping in a codec-backed decoder (PIL / torchaudio / pyav) still
+changes no pipeline code: every Ray-side concern — media schema,
+per-actor one-time setup, small-batch sizing for large payloads, output
+layout — is format-independent.
 
 Media table schema (T-media):
     media_id:uint64, media_type:string ('image'|'audio'|'video'),
@@ -42,12 +45,12 @@ FEATURE_DIM = 16
 
 
 def _decode_stub(payload: bytes, media_type: str) -> np.ndarray:
-    """Deterministic fallback for CODEC-REQUIRING formats only (JPEG /
-    MP4...): a FEATURE_DIM float vector derived from the payload
-    bytes. BMP/PPM/PNG/WAV payloads never reach this — ``decode_payload``
-    runs the real pure-numpy/stdlib kernels first. Replace with a
-    codec-backed decoder when the libs are present; the signature
-    (bytes, type) -> feature vector is the contract.
+    """Deterministic fallback for CODEC-REQUIRING formats only (H.264 /
+    MP4 / VP9...): a FEATURE_DIM float vector derived from the payload
+    bytes. BMP/PPM/PNG/JPEG/WAV/Y4M payloads never reach this —
+    ``decode_payload`` runs the real pure-numpy/stdlib kernels first.
+    Replace with a codec-backed decoder when the libs are present; the
+    signature (bytes, type) -> feature vector is the contract.
 
     Env probe 2026-08-18 (round 4): PIL, cv2, imageio, skimage,
     torchvision and matplotlib are ALL absent from this container, so
@@ -66,10 +69,11 @@ def _decode_stub(payload: bytes, media_type: str) -> np.ndarray:
 
 
 def decode_payload(payload: bytes, media_type: str) -> np.ndarray:
-    """Real decode + featurize for the codec-free envelope (BMP/PPM/PNG
-    pixels, PCM-WAV samples — functions/mediacodec.py), stub features
-    for everything else. Content-derived either way: byte-identical
-    payloads map to identical features at any batching."""
+    """Real decode + featurize for the codec-free envelope (BMP/PPM/PNG/
+    baseline-JPEG pixels, PCM-WAV samples, Y4M frames —
+    functions/mediacodec.py + functions/jpegcodec.py), stub features for
+    everything else. Content-derived either way: byte-identical payloads
+    map to identical features at any batching."""
     from ray_data_mplsh.functions import mediacodec as mc
 
     try:
@@ -82,11 +86,16 @@ def decode_payload(payload: bytes, media_type: str) -> np.ndarray:
             # alpha is presentation, not content: features on RGB
             return mc.image_features(mc.decode_png(payload)[..., :3],
                                      FEATURE_DIM)
+        if kind == "jpg":
+            from ray_data_mplsh.functions.jpegcodec import decode_jpeg
+            return mc.image_features(decode_jpeg(payload), FEATURE_DIM)
         if kind == "wav":
             return mc.audio_features(*mc.decode_wav(payload),
                                      dim=FEATURE_DIM)
+        if kind == "y4m":
+            return mc.video_features(mc.decode_y4m(payload), FEATURE_DIM)
     except ValueError:
-        pass  # out-of-envelope variant (e.g. 8-bit BMP) -> stub
+        pass  # out-of-envelope variant (e.g. progressive JPEG) -> stub
     return _decode_stub(payload, media_type)
 
 
@@ -132,22 +141,37 @@ def decode_media(media, *, concurrency=(1, 4), batch_size: int = 32):
 
 
 def frame_sampler(media, *, every_n: int = 10, max_frames: int = 8):
-    """Video rows -> one row per sampled frame index (the frame payloads
-    themselves come from the decoder in a real deployment; here the index
-    plumbing is the tested surface)."""
+    """Video rows -> one row per sampled frame index. REAL for Y4M
+    payloads: the frame count comes from the container header
+    (mediacodec.y4m_info — no pixel decode), and the emitted indices are
+    every ``every_n``-th actual frame capped at ``max_frames``. Opaque
+    codec-format payloads (H.264/MP4...) keep the synthetic fixed index
+    grid — the documented stub behavior, index plumbing only."""
+    from ray_data_mplsh.functions import mediacodec as mc
 
     def sample(batch: pa.Table) -> pa.Table:
         mask = pa.compute.equal(batch["media_type"], "video")
         vids = batch.filter(mask)
-        n = len(vids)
-        if n == 0:
+        if len(vids) == 0:
             return pa.table({"media_id": pa.array([], pa.uint64()),
                              "frame_idx": pa.array([], pa.int32())})
-        idx = np.arange(max_frames, dtype=np.int32) * every_n
         ids = vids["media_id"].to_numpy(zero_copy_only=False)
+        out_ids, out_idx = [], []
+        for mid, p in zip(ids, vids["payload"].to_pylist()):
+            if mc.sniff(p) == "y4m":
+                try:
+                    n_frames = mc.y4m_info(p)[0]
+                except ValueError:
+                    n_frames = 0
+                idx = np.arange(0, n_frames, every_n,
+                                dtype=np.int32)[:max_frames]
+            else:
+                idx = np.arange(max_frames, dtype=np.int32) * every_n
+            out_ids.append(np.full(len(idx), mid, np.uint64))
+            out_idx.append(idx)
         return pa.table({
-            "media_id": pa.array(np.repeat(ids, max_frames), pa.uint64()),
-            "frame_idx": pa.array(np.tile(idx, n), pa.int32()),
+            "media_id": pa.array(np.concatenate(out_ids), pa.uint64()),
+            "frame_idx": pa.array(np.concatenate(out_idx), pa.int32()),
         })
 
     return media.map_batches(sample, batch_format="pyarrow")
@@ -156,12 +180,14 @@ def frame_sampler(media, *, every_n: int = 10, max_frames: int = 8):
 def resize_media(media, *, max_side: int = 512):
     """Image resize stage: target dims computed vectorized (aspect-ratio
     preserving, longest side clamped to ``max_side``); the pixel
-    resample is REAL for the codec-free envelope — BMP/PPM payloads are
-    decoded, nearest-neighbor resampled and re-encoded in their original
-    format (functions/mediacodec.py) — while codec formats keep their
-    bytes (metadata-only resize, the documented stub behavior). Non-image
-    rows pass through with their original dims."""
+    resample is REAL for the codec-free envelope — BMP/PPM/PNG/baseline-
+    JPEG payloads are decoded, nearest-neighbor resampled and re-encoded
+    in their original format (JPEG at a fixed quality 90, deterministic)
+    — while codec formats keep their bytes (metadata-only resize, the
+    documented stub behavior). Non-image rows pass through with their
+    original dims."""
     from ray_data_mplsh.functions import mediacodec as mc
+    from ray_data_mplsh.functions.jpegcodec import decode_jpeg, encode_jpeg
 
     def resize(batch: pa.Table) -> pa.Table:
         w = batch["width"].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -176,9 +202,10 @@ def resize_media(media, *, max_side: int = 512):
         new_h = np.floor(h * scale).astype(np.int32)
         payloads = batch["payload"].to_pylist()
         encoders = {"bmp": mc.encode_bmp, "ppm": mc.encode_ppm,
-                    "png": mc.encode_png}
+                    "png": mc.encode_png,
+                    "jpg": lambda im: encode_jpeg(im, quality=90)}
         decoders = {"bmp": mc.decode_bmp, "ppm": mc.decode_ppm,
-                    "png": mc.decode_png}
+                    "png": mc.decode_png, "jpg": decode_jpeg}
         for i in np.flatnonzero(scale < 1.0):
             try:
                 kind = mc.sniff(payloads[i])
@@ -330,23 +357,32 @@ def media_near_dup(media, *, threshold: float = 0.999, **kwargs):
 
 def synth_media(n: int, seed: int = 7, n_distinct: int = 0):
     """Deterministic media fixture with REAL payloads where the codec-free
-    envelope allows: by payload id, real 24-bit BMP images (pid % 4 == 0,
+    envelope allows: by payload id, real 24-bit BMP images (pid % 6 == 0,
     pseudo-random pixels + dims derived from pid), real PCM-16 WAV clips
-    (pid % 4 == 1), real 8-bit PNG images (pid % 4 == 2), and opaque
-    video-ish bytes (pid % 4 == 3 — the stub path). ``n_distinct > 0``
+    (pid % 6 == 1), real 8-bit PNG images (pid % 6 == 2), opaque
+    codec-format stand-in bytes (pid % 6 == 3 — the stub path), real
+    baseline JPEGs (pid % 6 == 4, smooth deterministic pattern), and real
+    Y4M video streams (pid % 6 == 5, 3-8 frames). ``n_distinct > 0``
     plants exact duplicates (payload depends only on ``pid = id %
     n_distinct``, so dup groups stay byte-identical even when their rows
     carry different ``media_type`` labels — decode sniffs magic bytes,
-    not the label). Image-payload rows carry their true pixel dims in
-    width/height."""
+    not the label). Rows with real payloads are labeled by their content
+    (image/audio/video); opaque stand-in rows cycle through all three
+    labels so every (type, stub) combination exists. Image-payload rows
+    carry their true pixel dims in width/height."""
     import ray.data
 
     from ray_data_mplsh.functions import mediacodec as mc
+    from ray_data_mplsh.functions.jpegcodec import encode_jpeg
 
     def gen(batch: pa.Table) -> pa.Table:
         ids = batch["id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         pid = ids % np.uint64(n_distinct) if n_distinct else ids
-        types = ["image", "audio", "video"]
+        cycle = ["image", "audio", "video"]
+        kind_type = {0: "image", 1: "audio", 2: "image", 4: "image",
+                     5: "video"}
+        types = [kind_type.get(int(p) % 6, cycle[int(i) % 3])
+                 for i, p in zip(ids, pid)]
         payloads = []
         widths = (ids % 1920).astype(np.int32)
         heights = (ids % 1080).astype(np.int32)
@@ -356,7 +392,7 @@ def synth_media(n: int, seed: int = 7, n_distinct: int = 0):
             base = mix64(np.array([p], np.uint64)
                          * np.uint64(0x9E3779B97F4A7C15)
                          + np.uint64(seed))[0]
-            kind = int(p) % 4
+            kind = int(p) % 6
             if kind in (0, 2):  # real BMP / PNG
                 w = 20 + (int(p) * 13) % 300
                 h = 16 + (int(p) * 7) % 280
@@ -371,16 +407,37 @@ def synth_media(n: int, seed: int = 7, n_distinct: int = 0):
                       % np.uint64(65536)).astype(np.int64)
                      - 32768).astype(np.int16)
                 payloads.append(mc.encode_wav(s, 16000))
+            elif kind == 4:  # real baseline JPEG (smooth -> fast encode)
+                w = 16 + (int(p) * 11) % 120
+                h = 16 + (int(p) * 5) % 112
+                bi = int(base)
+                ky, kx, off = bi % 7 + 1, (bi >> 8) % 5 + 1, (bi >> 16) % 256
+                ramp = (np.add.outer(np.arange(h) * ky, np.arange(w) * kx)
+                        + off)
+                px = (np.stack([ramp, ramp + 40, ramp + 80], axis=-1)
+                      % 256).astype(np.uint8)
+                payloads.append(encode_jpeg(px, quality=85,
+                                            subsample=int(p) % 2 == 0))
+                widths[j], heights[j] = w, h
+            elif kind == 5:  # real Y4M video
+                t = 3 + int(p) % 6
+                w = 8 + (int(p) * 3) % 16
+                h = 6 + (int(p) * 5) % 12
+                px = (mix64(np.arange(t * h * w * 3, dtype=np.uint64)
+                            + base) % np.uint64(256)) \
+                    .astype(np.uint8).reshape(t, h, w, 3)
+                payloads.append(mc.encode_y4m(px))
+                widths[j], heights[j] = w, h
             else:  # opaque bytes: codec-format stand-in (stub path)
                 payloads.append(base.tobytes() * 8)
         return pa.table({
             "media_id": pa.array(mix64(ids + np.uint64(seed)), pa.uint64()),
-            "media_type": pa.array([types[int(i) % 3] for i in ids]),
+            "media_type": pa.array(types),
             "payload": pa.array(payloads, pa.binary()),
             "width": pa.array(widths, pa.int32()),
             "height": pa.array(heights, pa.int32()),
             "sample_rate": pa.array(
-                np.where(pid % 4 == 1, 16000, 0).astype(np.int32),
+                np.where(pid % 6 == 1, 16000, 0).astype(np.int32),
                 pa.int32()),
         })
 

@@ -27,11 +27,27 @@ def test_decode_schema_and_determinism(ray_session):
 
 
 def test_frame_sampler_video_only(ray_session):
+    """Y4M-payload videos emit REAL frame indices (count from the
+    container header); opaque payloads keep the synthetic index grid."""
+    from ray_data_mplsh.functions import mediacodec as mc
+
     media = synth_media(30, seed=3)
     frames = frame_sampler(media, every_n=5, max_frames=4).to_pandas()
-    n_video = sum(1 for i in range(30) if i % 3 == 2)
-    assert len(frames) == n_video * 4
-    assert sorted(frames.frame_idx.unique()) == [0, 5, 10, 15]
+    src = synth_media(30, seed=3).to_pandas()
+    expected, n_y4m = [], 0
+    for _, r in src.iterrows():
+        if r.media_type != "video":
+            continue
+        if mc.sniff(r.payload) == "y4m":
+            n_y4m += 1
+            nf = mc.y4m_info(r.payload)[0]
+            idx = list(range(0, nf, 5))[:4]
+        else:
+            idx = [0, 5, 10, 15]
+        expected += [(r.media_id, i) for i in idx]
+    assert n_y4m >= 2  # the fixture must exercise the real path
+    got = sorted(zip(frames.media_id, frames.frame_idx))
+    assert got == sorted(expected)
 
 
 def test_resize_media_dims(ray_session):
@@ -297,3 +313,127 @@ def test_png_dispatch_matches_bmp():
     small = mc.resize_nearest(img, 15, 12)
     np.testing.assert_array_equal(
         mc.decode_png(mc.encode_png(small)), small)
+
+
+def test_jpeg_roundtrip_all_modes():
+    """Baseline JPEG codec: encode -> decode across 4:4:4 / 4:2:0 /
+    restart-marker modes stays close to the source on a smooth image
+    (lossy, so tolerance not equality); structural properties hold
+    (shape, JFIF magic); non-baseline streams refuse with ValueError."""
+    from ray_data_mplsh.functions import jpegcodec as jc
+
+    smooth = (128 + 60 * np.sin(np.arange(41)[:, None, None] / 9)
+              + 50 * np.cos(np.arange(55)[None, :, None] / 7)
+              + np.array([0, 10, 20])).clip(0, 255).astype(np.uint8)
+    for kw in ({}, {"subsample": True}, {"restart_interval": 3},
+               {"subsample": True, "restart_interval": 2}):
+        data = jc.encode_jpeg(smooth, quality=90, **kw)
+        assert data[:3] == b"\xFF\xD8\xFF"
+        out = jc.decode_jpeg(data)
+        assert out.shape == smooth.shape
+        err = np.abs(out.astype(int) - smooth.astype(int))
+        assert err.max() <= 8 and err.mean() < 2.0, (kw, err.max())
+    # flat image at high quality is bit-near-exact
+    flat = np.full((24, 24, 3), 130, np.uint8)
+    out = jc.decode_jpeg(jc.encode_jpeg(flat, quality=95))
+    assert np.abs(out.astype(int) - 130).max() <= 1
+    # quality moves the size in the right direction
+    noisy = np.random.default_rng(3).integers(0, 256, (32, 32, 3)) \
+        .astype(np.uint8)
+    assert len(jc.encode_jpeg(noisy, 30)) < len(jc.encode_jpeg(noisy, 95))
+    # progressive SOF2 refuses rather than mis-decodes
+    good = bytearray(jc.encode_jpeg(flat))
+    i = good.find(b"\xFF\xC0")
+    prog = bytes(good[:i]) + b"\xFF\xC2" + bytes(good[i + 2:])
+    try:
+        jc.decode_jpeg(prog)
+        raise AssertionError("decoded a progressive JPEG")
+    except ValueError:
+        pass
+    try:
+        jc.decode_jpeg(b"\xFF\xD8\xFF\xE0garbage")
+        raise AssertionError("decoded garbage")
+    except (ValueError, Exception):
+        pass
+
+
+def test_y4m_roundtrip_and_info():
+    """Y4M: C444 encode -> decode is near-lossless (YCbCr rounding only);
+    y4m_info counts frames without decoding; C420 decodes with nearest
+    chroma upsampling; unsupported colorspaces refuse."""
+    from ray_data_mplsh.functions import mediacodec as mc
+
+    rng = np.random.default_rng(17)
+    frames = rng.integers(0, 256, (5, 10, 14, 3)).astype(np.uint8)
+    data = mc.encode_y4m(frames, fps=(30, 1))
+    assert mc.sniff(data) == "y4m"
+    assert mc.y4m_info(data) == (5, 14, 10)
+    out = mc.decode_y4m(data)
+    assert out.shape == frames.shape
+    assert np.abs(out.astype(int) - frames.astype(int)).max() <= 4
+    # C420: hand-built stream, odd dims exercise the ceil-div chroma size
+    w, h = 6, 5
+    cw, ch = 3, 3
+    raw = bytearray(b"YUV4MPEG2 W6 H5 F25:1 Ip A1:1 C420jpeg\n")
+    for _ in range(2):
+        raw += b"FRAME\n" + bytes([128] * (w * h + 2 * cw * ch))
+    assert mc.y4m_info(bytes(raw)) == (2, 6, 5)
+    out420 = mc.decode_y4m(bytes(raw))
+    assert out420.shape == (2, 5, 6, 3)
+    np.testing.assert_array_equal(out420, 128)
+    try:
+        mc.decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C411\n" + b"\x00" * 64)
+        raise AssertionError("decoded unsupported colorspace")
+    except ValueError:
+        pass
+
+
+def test_decode_payload_jpeg_y4m_dispatch():
+    """JPEG and Y4M payloads take the REAL kernels: features equal the
+    direct decode+featurize, and content moves them."""
+    from ray_data_mplsh.functions import jpegcodec as jc
+    from ray_data_mplsh.functions import mediacodec as mc
+    from ray_data_mplsh.stages.multimodal import decode_payload
+
+    ramp = (np.add.outer(np.arange(24) * 3, np.arange(32) * 2)[..., None]
+            + np.array([0, 30, 60])).astype(np.uint8)
+    jpg = jc.encode_jpeg(ramp, quality=90)
+    np.testing.assert_array_equal(
+        decode_payload(jpg, "image"),
+        mc.image_features(jc.decode_jpeg(jpg)))
+    jpg2 = jc.encode_jpeg(255 - ramp, quality=90)
+    assert not np.array_equal(decode_payload(jpg2, "image"),
+                              decode_payload(jpg, "image"))
+    rng = np.random.default_rng(23)
+    vid = mc.encode_y4m(rng.integers(0, 256, (4, 8, 8, 3))
+                        .astype(np.uint8))
+    np.testing.assert_array_equal(
+        decode_payload(vid, "video"),
+        mc.video_features(mc.decode_y4m(vid)))
+
+
+def test_resize_media_jpeg_reencodes(ray_session):
+    """JPEG image rows above max_side come back as real re-encoded JPEGs:
+    container preserved, decoded dims equal the floor-scaled metadata,
+    pixels approximate the nearest-neighbor resample (lossy re-encode)."""
+    from ray_data_mplsh.functions import jpegcodec as jc
+    from ray_data_mplsh.functions import mediacodec as mc
+    from ray_data_mplsh.stages.multimodal import resize_media
+
+    src = synth_media(60, seed=3).to_pandas().set_index("media_id")
+    out = resize_media(synth_media(60, seed=3), max_side=48).to_pandas()
+    checked = 0
+    for _, r in out.iterrows():
+        pay = src.loc[r.media_id].payload
+        if mc.sniff(pay) != "jpg" or r.media_type != "image":
+            continue
+        img0 = jc.decode_jpeg(pay)
+        if max(img0.shape[:2]) <= 48:
+            continue
+        assert mc.sniff(r.payload) == "jpg"
+        got = jc.decode_jpeg(r.payload)
+        assert got.shape == (r.height, r.width, 3)
+        want = mc.resize_nearest(img0, int(r.width), int(r.height))
+        assert np.abs(got.astype(int) - want.astype(int)).mean() < 12.0
+        checked += 1
+    assert checked >= 1, "fixture produced no oversize JPEG image rows"
