@@ -437,3 +437,62 @@ def test_resize_media_jpeg_reencodes(ray_session):
         assert np.abs(got.astype(int) - want.astype(int)).mean() < 12.0
         checked += 1
     assert checked >= 1, "fixture produced no oversize JPEG image rows"
+
+
+def test_jpeg_fuzz_dims_and_determinism():
+    """Property fuzz over awkward dims (1xN, Nx1, non-multiples of 8/16):
+    decode(encode(img)) must keep shape/dtype in every mode, encoding is
+    deterministic, and flat images survive near-exactly at any geometry
+    (the DC-only case is geometry-independent)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ray_data_mplsh.functions import jpegcodec as jc
+
+    @settings(max_examples=25, deadline=None)
+    @given(h=st.integers(1, 36), w=st.integers(1, 36),
+           sub=st.booleans(), rst=st.integers(0, 3),
+           val=st.integers(5, 250))
+    def check(h, w, sub, rst, val):
+        flat = np.full((h, w, 3), val, np.uint8)
+        data = jc.encode_jpeg(flat, quality=92, subsample=sub,
+                              restart_interval=rst)
+        assert data == jc.encode_jpeg(flat, quality=92, subsample=sub,
+                                      restart_interval=rst)
+        out = jc.decode_jpeg(data)
+        assert out.shape == (h, w, 3) and out.dtype == np.uint8
+        assert np.abs(out.astype(int) - int(val)).max() <= 2, (h, w, sub)
+
+    check()
+
+
+def test_jpeg_fuzz_content_roundtrip():
+    """Random-content fuzz: decode never crashes, stays in range, and the
+    luma channel (protected by the finer Y quant table) tracks the
+    source within the coarse-quantization error envelope."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ray_data_mplsh.functions import jpegcodec as jc
+
+    @settings(max_examples=12, deadline=None)
+    @given(seed=st.integers(0, 2**31), h=st.integers(4, 28),
+           w=st.integers(4, 28), sub=st.booleans())
+    def check(seed, h, w, sub):
+        rng = np.random.default_rng(seed)
+        # low-pass the noise so the roundtrip error bound is meaningful
+        raw = rng.integers(0, 256, (h, w, 3)).astype(np.float64)
+        k = np.ones((3, 3)) / 9.0
+        sm = raw.copy()
+        for c in range(3):
+            pad = np.pad(raw[..., c], 1, mode="edge")
+            sm[..., c] = sum(pad[i:i + h, j:j + w] * k[i, j]
+                             for i in range(3) for j in range(3))
+        img = sm.clip(0, 255).astype(np.uint8)
+        out = jc.decode_jpeg(jc.encode_jpeg(img, quality=92, subsample=sub))
+        assert out.shape == img.shape
+        y_in = img.astype(np.float64) @ [0.299, 0.587, 0.114]
+        y_out = out.astype(np.float64) @ [0.299, 0.587, 0.114]
+        assert np.abs(y_in - y_out).mean() < 6.0, (seed, h, w, sub)
+
+    check()
