@@ -6,8 +6,8 @@ sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB. Ray is initialised by the driver BEFORE this module is imported:
 no ``ray.init()`` / ``ray.shutdown()`` here or anywhere in the library.
 
-Query inventory (94 entries, 87 with bit-exact DuckDB oracles; * =
-oracle, rest rows-only with pytest gates — see SURVEY.md Appendix B).
+Query inventory (* = oracle, rest rows-only with pytest gates — see
+SURVEY.md Appendix B).
 The registry lists every oracle-bearing query FIRST (the driver signs a
 prefix of it), rows-only entries last:
   dedup family: q_exact_dedup*, q_dedup_documents, q_minhash_pairs,
@@ -81,6 +81,10 @@ prefix of it), rows-only entries last:
     q_first_event_per_user* (first-touch attribution),
     q_unpivot_event_metrics* (UNPIVOT/melt via Dataset.union),
     q_tpch_q3* (3-table zero-shuffle broadcast join, top-10 revenue),
+    q_tpch_q10* (returned-item customer report, broadcast order map +
+    dimension attach), q_tpch_q18* (large-volume orders, HAVING cutoff
+    + broadcast key filter), q_pack_sequences* (sequence packing via a
+    distributed exclusive prefix sum over token counts),
     q_late_shipments* (fact-fact keyed-exchange inner join, Q12 shape),
     q_profile_events* (one-pass per-column null/count profile),
     q_kmeans_embeddings (iterative distributed Lloyd's, rows-only;

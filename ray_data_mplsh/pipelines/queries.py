@@ -3597,6 +3597,277 @@ def q_top_parts_revenue(sf_dir: str):
         .limit(10)
 
 
+def q_tpch_q10(sf_dir: str):
+    """TPC-H Q10 shape (returned-item report): one-quarter orders window
+    joined to returned lineitems, revenue grouped per CUSTOMER, top-20
+    with customer/nation attributes attached. Zero-shuffle except the
+    |custkeys|-bounded groupby: the windowed orders reduce to a
+    broadcast sorted (orderkey -> custkey) map probed inside the
+    lineitem scan (the fact table maps straight to customer partials
+    without ever materializing the order join), and customer x nation
+    is a driver-sized dimension table broadcast for the final attach.
+    Revenue is exact (cents x (100 - disc_pct) integer partials, one
+    float division replayed in SQL); ties break on c_custkey so the
+    LIMIT set is deterministic in both engines."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    LO = int(pd.Timestamp("1996-10-01").value // 1000)  # epoch us
+    HI = int(pd.Timestamp("1997-01-01").value // 1000)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+    ok_parts, oc_parts = [], []
+    for b in orders.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        od = b["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        m = (od >= LO) & (od < HI)
+        ok_parts.append(b["o_orderkey"].to_numpy(zero_copy_only=False)
+                        .astype(np.int64)[m])
+        oc_parts.append(b["o_custkey"].to_numpy(zero_copy_only=False)
+                        .astype(np.int64)[m])
+    ok = np.concatenate(ok_parts) if ok_parts else np.empty(0, np.int64)
+    oc = np.concatenate(oc_parts) if oc_parts else np.empty(0, np.int64)
+    o = np.argsort(ok)
+    omap_ref = ray.put((ok[o], oc[o]))
+
+    li = _read_sized(sf_dir, "lineitem",
+                     ["l_orderkey", "l_extendedprice", "l_discount",
+                      "l_returnflag"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        okeys, ocust = cached_get(omap_ref)
+        m = pc.equal(t["l_returnflag"], "R").to_numpy(zero_copy_only=False)
+        lk = t["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[m]
+        if not len(okeys) or not len(lk):
+            return pa.table({"c_custkey": pa.array([], pa.int64()),
+                             "rev_micro": pa.array([], pa.int64())})
+        j = np.clip(np.searchsorted(okeys, lk), 0, len(okeys) - 1)
+        hit = okeys[j] == lk
+        ep = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100)),
+                     pa.int64()).to_numpy(zero_copy_only=False)[m][hit]
+        dc = pc.cast(pc.round(pc.multiply(t["l_discount"], 100)),
+                     pa.int64()).to_numpy(zero_copy_only=False)[m][hit]
+        ck = ocust[j[hit]]
+        uk, inv = np.unique(ck, return_inverse=True)
+        rev = np.zeros(len(uk), np.int64)
+        np.add.at(rev, inv, ep * (100 - dc))  # int64-exact partials
+        return pa.table({"c_custkey": pa.array(uk, pa.int64()),
+                         "rev_micro": pa.array(rev)})
+
+    agg = li.map_batches(partial, batch_format="pyarrow") \
+        .groupby("c_custkey").aggregate(Sum("rev_micro",
+                                            alias_name="rev_micro"))
+
+    cust_rows = [b for b in
+                 _read(sf_dir, "customer",
+                       ["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+                 .iter_batches(batch_size=65536, batch_format="pyarrow")]
+    ctbl = pa.concat_tables(cust_rows) if cust_rows else pa.table(
+        {"c_custkey": pa.array([], pa.int64()),
+         "c_name": pa.array([], pa.string()),
+         "c_acctbal": pa.array([], pa.float64()),
+         "c_nationkey": pa.array([], pa.int64())})
+    nat_rows = [b for b in _read(sf_dir, "nation",
+                                 ["n_nationkey", "n_name"])
+                .iter_batches(batch_size=65536, batch_format="pyarrow")]
+    ntbl = pa.concat_tables(nat_rows) if nat_rows else pa.table(
+        {"n_nationkey": pa.array([], pa.int64()),
+         "n_name": pa.array([], pa.string())})
+    ctbl = ctbl.join(ntbl, keys=["c_nationkey"],
+                     right_keys=["n_nationkey"], join_type="inner")
+    joined = broadcast_join(agg, ctbl, left_on="c_custkey",
+                            right_on="c_custkey")
+
+    def finish(t: pa.Table) -> pa.Table:
+        rev = pc.cast(t["rev_micro"], pa.int64())
+        return pa.table({
+            "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+            "c_name": t["c_name"],
+            "revenue": pc.divide(pc.cast(rev, pa.float64()), 10000.0),
+            "c_acctbal": t["c_acctbal"], "n_name": t["n_name"]})
+
+    return joined.map_batches(finish, batch_format="pyarrow") \
+        .sort(["revenue", "c_custkey"], descending=[True, False]) \
+        .limit(20)
+
+
+def q_tpch_q18(sf_dir: str):
+    """TPC-H Q18 shape (large-volume orders): orders whose total lineitem
+    quantity exceeds a threshold, with order/customer attributes, top-100
+    by o_totalprice. The only exchange is the |orderkeys|-bounded
+    quantity groupby (per-batch integer partials first, so each batch
+    ships one row per distinct orderkey it saw, not one per lineitem);
+    the HAVING survivor set (~1% of orders at the 250 cutoff) is
+    driver-sized, so order attributes attach by filtering the orders
+    scan against a broadcast sorted key array and the customer name by a
+    broadcast dimension join. Quantities are integral in TPC-H, so
+    round->int64 sums are exact and replay in SQL; ties break on
+    o_orderkey for a deterministic LIMIT set."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    THRESH = 250
+
+    li = _read_sized(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lk = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = pc.cast(pc.round(t["l_quantity"]), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(lk, return_inverse=True)
+        s = np.zeros(len(uk), np.int64)
+        np.add.at(s, inv, q)
+        return pa.table({"o_orderkey": pa.array(uk, pa.int64()),
+                         "sum_qty": pa.array(s)})
+
+    agg = li.map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_orderkey").aggregate(Sum("sum_qty",
+                                             alias_name="sum_qty")) \
+        .map_batches(lambda t: t.filter(pc.greater(t["sum_qty"], THRESH)),
+                     batch_format="pyarrow")
+    hot_schema = pa.schema([("o_orderkey", pa.int64()),
+                            ("sum_qty", pa.int64())])
+    hot = gather_capped(agg.map_batches(
+        lambda t: t.cast(hot_schema), batch_format="pyarrow"),
+        4_000_000, hot_schema)
+    # the HAVING survivor set is bounded by design (threshold picks the
+    # top ~1% of orders); a >4M-row result means the threshold is wrong
+    # for the corpus, not that the plan needs an exchange path.
+    assert hot is not None, "q18 survivor set overflowed the broadcast cap"
+    hk = np.sort(hot["o_orderkey"].to_numpy(zero_copy_only=False)
+                 .astype(np.int64))
+    hk_ref = ray.put(hk)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                      "o_orderdate", "o_totalprice"])
+
+    def ofilt(t: pa.Table) -> pa.Table:
+        keys = cached_get(hk_ref)
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(np.isin(ok, keys)))
+
+    o_small_rows = [b for b in
+                    orders.map_batches(ofilt, batch_format="pyarrow")
+                    .iter_batches(batch_size=65536, batch_format="pyarrow")]
+    o_small = pa.concat_tables(o_small_rows) if o_small_rows else None
+    if o_small is None or o_small.num_rows == 0:
+        return pa.table({"c_name": pa.array([], pa.string()),
+                         "c_custkey": pa.array([], pa.int64()),
+                         "o_orderkey": pa.array([], pa.int64()),
+                         "o_orderdate": pa.array([], pa.timestamp("us")),
+                         "o_totalprice": pa.array([], pa.float64()),
+                         "sum_qty": pa.array([], pa.int64())})
+    o_small = o_small.join(hot, keys=["o_orderkey"],
+                           right_keys=["o_orderkey"], join_type="inner")
+
+    cust_rows = [b for b in
+                 _read(sf_dir, "customer", ["c_custkey", "c_name"])
+                 .iter_batches(batch_size=65536, batch_format="pyarrow")]
+    ctbl = pa.concat_tables(cust_rows)
+    out = o_small.join(ctbl, keys=["o_custkey"], right_keys=["c_custkey"],
+                       join_type="inner")
+    res = pa.table({
+        "c_name": out["c_name"],
+        "c_custkey": pc.cast(out["o_custkey"], pa.int64()),
+        "o_orderkey": pc.cast(out["o_orderkey"], pa.int64()),
+        "o_orderdate": out["o_orderdate"],
+        "o_totalprice": out["o_totalprice"],
+        "sum_qty": pc.cast(out["sum_qty"], pa.int64())})
+    order = pc.sort_indices(res, sort_keys=[("o_totalprice", "descending"),
+                                            ("o_orderkey", "ascending")])
+    return res.take(order[:100])
+
+
+def q_pack_sequences(sf_dir: str, cap: int = 2048):
+    """Sequence packing for training-data assembly: assign every document
+    a (pack_id, pack_offset) slot in a stream of fixed ``cap``-token
+    context windows, docs laid out in doc_id order and split across pack
+    boundaries (the standard concat-then-chunk pretraining layout). The
+    core is a DISTRIBUTED EXCLUSIVE PREFIX SUM over per-doc token
+    counts: pass A computes per-RANGE-BUCKET token subtotals map-side
+    (one int64 per ~4096-doc bucket reaches the driver — at 10^10 docs
+    that is a 2.4M-element cumsum, trivially driver-sized), the driver
+    exclusive-cumsums bucket offsets and broadcasts them, and pass B
+    finishes the scan inside a bucket-keyed ``map_groups`` (sort the
+    group by doc_id, local cumsum, add the bucket's global offset). The
+    exchange ships 3 int64 columns per doc — text never moves. Token
+    counts reuse the q_token_counts Arrow split kernel so the SQL twin
+    (one window SUM) replays the layout bit-exactly."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    BUCKET_DOCS = 4096
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def count(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(t["text"]),
+                                      pattern=r"\s+")
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(did, pa.int64()),
+            "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),
+            "bucket": pa.array(did // BUCKET_DOCS, pa.int64())})
+
+    # 3-int64-column projection, reused by both passes: materialize ONCE
+    # so the text scan + tokenize doesn't run twice (spillable object
+    # store bytes, 24B/doc — NOT driver memory).
+    toks = ds.map_batches(count, batch_format="pyarrow").materialize()
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        bk = t["bucket"].to_numpy(zero_copy_only=False)
+        nt = t["n_tokens"].to_numpy(zero_copy_only=False)
+        ub, inv = np.unique(bk, return_inverse=True)
+        s = np.zeros(len(ub), np.int64)
+        np.add.at(s, inv, nt)
+        return pa.table({"bucket": pa.array(ub, pa.int64()),
+                         "btoks": pa.array(s)})
+
+    bk_parts, bs_parts = [], []
+    for b in toks.map_batches(bucket_partial, batch_format="pyarrow") \
+            .groupby("bucket").aggregate(Sum("btoks", alias_name="btoks")) \
+            .iter_batches(batch_size=65536, batch_format="pyarrow"):
+        bk_parts.append(b["bucket"].to_numpy(zero_copy_only=False)
+                        .astype(np.int64))
+        bs_parts.append(b["btoks"].to_numpy(zero_copy_only=False)
+                        .astype(np.int64))
+    bk = np.concatenate(bk_parts) if bk_parts else np.empty(0, np.int64)
+    bs = np.concatenate(bs_parts) if bs_parts else np.empty(0, np.int64)
+    o = np.argsort(bk)
+    bk, bs = bk[o], bs[o]
+    off = np.concatenate(([0], np.cumsum(bs)[:-1])) if len(bs) \
+        else np.empty(0, np.int64)  # exclusive scan of bucket subtotals
+    off_ref = ray.put((bk, off))
+
+    def finish_group(part: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "pack_id": pa.array([], pa.int64()),
+                          "pack_offset": pa.array([], pa.int64())})
+        if part.num_rows == 0:
+            return empty
+        keys, offs = cached_get(off_ref)
+        if not len(keys):
+            return empty
+        did = part["doc_id"].to_numpy(zero_copy_only=False)
+        nt = part["n_tokens"].to_numpy(zero_copy_only=False)
+        o = np.argsort(did)
+        did, nt = did[o], nt[o]
+        b = int(part["bucket"][0].as_py())
+        base = int(offs[np.searchsorted(keys, b)])
+        cum = base + np.concatenate(([0], np.cumsum(nt)[:-1]))
+        return pa.table({
+            "doc_id": pa.array(did, pa.int64()),
+            "n_tokens": pa.array(nt, pa.int64()),
+            "pack_id": pa.array(cum // cap, pa.int64()),
+            "pack_offset": pa.array(cum % cap, pa.int64())})
+
+    return toks.groupby("bucket").map_groups(finish_group,
+                                             batch_format="pyarrow")
+
+
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_lang_counts": q_lang_counts,
@@ -3700,6 +3971,9 @@ QUERIES = {
     "q_parts_by_brand": q_parts_by_brand,
     "q_promo_revenue": q_promo_revenue,
     "q_top_parts_revenue": q_top_parts_revenue,
+    "q_tpch_q10": q_tpch_q10,
+    "q_tpch_q18": q_tpch_q18,
+    "q_pack_sequences": q_pack_sequences,
 }
 
 # --- SQL replay fragments for hash-bearing oracles -------------------------
@@ -4346,6 +4620,37 @@ ORACLE_SQL = {
         "AND l_shipdate > TIMESTAMP '1998-06-01' "
         "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
         "ORDER BY revenue DESC, l_orderkey LIMIT 10",
+    "q_tpch_q10":
+        "SELECT c_custkey, c_name, "
+        "CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * "
+        "(100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE) "
+        "/ 10000.0 AS revenue, c_acctbal, n_name "
+        "FROM customer, orders, lineitem, nation "
+        "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+        "AND o_orderdate >= TIMESTAMP '1996-10-01' "
+        "AND o_orderdate < TIMESTAMP '1997-01-01' "
+        "AND l_returnflag = 'R' AND c_nationkey = n_nationkey "
+        "GROUP BY c_custkey, c_name, c_acctbal, n_name "
+        "ORDER BY revenue DESC, c_custkey LIMIT 20",
+    "q_tpch_q18":
+        "SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, "
+        "CAST(sum_qty AS BIGINT) AS sum_qty FROM (SELECT l_orderkey, "
+        "SUM(CAST(round(l_quantity) AS BIGINT)) AS sum_qty "
+        "FROM lineitem GROUP BY l_orderkey HAVING "
+        "SUM(CAST(round(l_quantity) AS BIGINT)) > 250) "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100",
+    "q_pack_sequences":
+        "WITH t AS (SELECT doc_id, "
+        "CAST(array_length(string_split_regex(trim(text), '\\s+')) "
+        "AS BIGINT) AS n_tokens FROM documents), "
+        "c AS (SELECT doc_id, n_tokens, "
+        "CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        "AS BIGINT) AS cum FROM t) "
+        "SELECT doc_id, n_tokens, cum // 2048 AS pack_id, "
+        "cum % 2048 AS pack_offset FROM c",
     "q_late_shipments":
         "SELECT o_orderpriority, "
         "CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 365 DAY "
