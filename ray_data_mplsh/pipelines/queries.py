@@ -108,7 +108,7 @@ def q_distinct_langs(sf_dir: str):
     import ray.data
 
     langs = _read(sf_dir, "documents", ["lang"]).unique("lang")
-    return pa.table({"lang": pa.array(sorted(langs))})
+    return pa.table({"lang": pa.array(sorted(langs or []), pa.string())})
 
 
 # --- op 12b + aggregates on the events table ------------------------------
@@ -422,6 +422,8 @@ def _load_queries(sf_dir: str):
                       columns=["vec_id", "embedding"])
     t = t.filter(pc.less(t["vec_id"], _KNN_NQ))
     ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    if t.num_rows == 0:  # empty corpus: no queries, knn_* return empty
+        return ids.astype(np.int64), np.empty((0, 0), np.float32)
     emb = t["embedding"].combine_chunks()
     d = len(emb[0])
     q = emb.values.to_numpy(zero_copy_only=False).reshape(-1, d)
@@ -454,9 +456,11 @@ def q_knn_lsh(sf_dir: str):
 def q_knn_ivf(sf_dir: str):
     """IVF-flat ANN (the centroid-probing scale path; rows-only — recall
     vs brute force gated in pytest)."""
-    from ray_data_mplsh.pipelines.similarity import knn_ivf
+    from ray_data_mplsh.pipelines.similarity import _KNN_SCHEMA, knn_ivf
 
     ids, q = _load_queries(sf_dir)
+    if not len(ids):  # empty corpus: no queries, and the IVF centroid
+        return _KNN_SCHEMA.empty_table()  # sample needs >= 1 vector
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return knn_ivf(emb, ids, q, k=_KNN_K)
 
@@ -1337,9 +1341,11 @@ def top_terms(ds, *, broadcast_max_vocab: int = 2_000_000):
             "score": pa.array(score[sel], pa.float64())})
 
     if dfds.count() <= broadcast_max_vocab:
-        vt = pa.concat_tables(
-            [pa.table(b) for b in dfds.iter_batches(
-                batch_size=65536, batch_format="pyarrow")])
+        vparts = [pa.table(b) for b in dfds.iter_batches(
+            batch_size=65536, batch_format="pyarrow")]
+        vt = pa.concat_tables(vparts) if vparts else pa.table(
+            {"word": pa.array([], pa.string()),
+             "df": pa.array([], pa.int64())})
         ref = ray.put((np.asarray(vt["word"].to_pylist(), dtype=object),
                        vt["df"].to_numpy(zero_copy_only=False)
                        .astype(np.int64)))
@@ -1504,6 +1510,10 @@ def q_cumulative_daily(sf_dir: str):
         batch_format="pyarrow").groupby("d").aggregate(
             Count(alias_name="cnt"))
     pdf = agg.sort("d").to_pandas()
+    if pdf.empty:  # empty groupby drops its schema
+        return pd.DataFrame({"d": pd.Series([], dtype=object),
+                             "cnt": pd.Series([], dtype="int64"),
+                             "cum_cnt": pd.Series([], dtype="int64")})
     pdf["cnt"] = pdf["cnt"].astype("int64")
     pdf["cum_cnt"] = pdf["cnt"].cumsum().astype("int64")
     return pdf
@@ -1714,6 +1724,11 @@ def q_rollup_lang_source(sf_dir: str):
     ds = _read(sf_dir, "documents", ["lang", "source"])
     leaf = ds.groupby(["lang", "source"]).aggregate(
         Count(alias_name="cnt")).to_pandas()
+    if leaf.empty:  # empty groupby drops its schema; SQL ROLLUP still
+        # emits the grand-total grouping set (one COUNT(*)=0 row)
+        leaf = pd.DataFrame({"lang": pd.Series([], dtype=object),
+                             "source": pd.Series([], dtype=object),
+                             "cnt": pd.Series([], dtype="int64")})
     leaf["cnt"] = leaf["cnt"].astype("int64")
     per_lang = leaf.groupby("lang", as_index=False)["cnt"].sum()
     per_lang["source"] = None
@@ -1797,12 +1812,18 @@ def q_left_join_counts(sf_dir: str):
         .groupby("o_custkey").aggregate(
             Sum("pc_", alias_name="n_orders"),
             Sum("pcents", alias_name="cents"))
-    small = pa.concat_tables(
-        agg.iter_batches(batch_size=65536, batch_format="pyarrow"))
-    small = pa.table({
-        "o_custkey": small["o_custkey"],
-        "n_orders": pc.cast(small["n_orders"], pa.int64()),
-        "cents": pc.cast(small["cents"], pa.int64())})
+    parts = list(agg.iter_batches(batch_size=65536,
+                                  batch_format="pyarrow"))
+    if parts:
+        small = pa.concat_tables(parts)
+        small = pa.table({
+            "o_custkey": small["o_custkey"],
+            "n_orders": pc.cast(small["n_orders"], pa.int64()),
+            "cents": pc.cast(small["cents"], pa.int64())})
+    else:  # no orders at all: every customer left-joins to zeros
+        small = pa.table({"o_custkey": pa.array([], pa.int64()),
+                          "n_orders": pa.array([], pa.int64()),
+                          "cents": pa.array([], pa.int64())})
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     j = broadcast_join(cust, small, left_on="c_custkey",
@@ -2659,6 +2680,9 @@ def q_kmeans_embeddings(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
+    if ds.count() == 0:  # no vectors -> no clusters (init needs k rows)
+        return pa.table({"cluster": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
     _, _, _, counts = kmeans(ds, k=8, iters=5)
     return pa.table({"cluster": pa.array(np.arange(len(counts),
                                                    dtype=np.int64)),
@@ -2997,6 +3021,10 @@ def q_cube_lang_source(sf_dir: str):
     ds = _read(sf_dir, "documents", ["lang", "source"])
     leaf = ds.groupby(["lang", "source"]).aggregate(
         Count(alias_name="cnt")).to_pandas()
+    if leaf.empty:  # empty groupby drops its schema (see rollup twin)
+        leaf = pd.DataFrame({"lang": pd.Series([], dtype=object),
+                             "source": pd.Series([], dtype=object),
+                             "cnt": pd.Series([], dtype="int64")})
     leaf["cnt"] = leaf["cnt"].astype("int64")
     per_lang = leaf.groupby("lang", as_index=False)["cnt"].sum()
     per_lang["source"] = None
@@ -3032,6 +3060,9 @@ def q_mad_len(sf_dir: str):
     for b in agg.iter_batches(batch_size=65536, batch_format="pyarrow"):
         vs.append(b["v"].to_numpy(zero_copy_only=False))
         cs.append(b["c"].to_numpy(zero_copy_only=False))
+    if not vs:  # empty input: SQL median()/mad() return one NULL row
+        return pd.DataFrame({"median": pd.Series([None], dtype="float64"),
+                             "mad": pd.Series([None], dtype="float64")})
     v = np.concatenate(vs).astype(np.float64)
     c = np.concatenate(cs).astype(np.int64)
     o = np.argsort(v, kind="stable")
@@ -3230,15 +3261,21 @@ def q_tpch_q5(sf_dir: str, broadcast_max_rows: int = 4_000_000):
     REGION = "ASIA"
 
     # region + nation are driver-tiny (5 / 25 rows)
-    reg = pa.concat_tables(
-        [b for b in _read(sf_dir, "region", ["r_regionkey", "r_name"])
-         .iter_batches(batch_size=4096, batch_format="pyarrow")])
+    reg_parts = [b for b in _read(sf_dir, "region",
+                                  ["r_regionkey", "r_name"])
+                 .iter_batches(batch_size=4096, batch_format="pyarrow")]
+    reg = pa.concat_tables(reg_parts) if reg_parts else pa.table(
+        {"r_regionkey": pa.array([], pa.int64()),
+         "r_name": pa.array([], pa.string())})
     rk = reg.filter(pc.equal(reg["r_name"], REGION))["r_regionkey"] \
         .to_numpy(zero_copy_only=False).astype(np.int64)
-    nat = pa.concat_tables(
-        [b for b in _read(sf_dir, "nation",
-                          ["n_nationkey", "n_name", "n_regionkey"])
-         .iter_batches(batch_size=4096, batch_format="pyarrow")])
+    nat_parts = [b for b in _read(sf_dir, "nation",
+                                  ["n_nationkey", "n_name", "n_regionkey"])
+                 .iter_batches(batch_size=4096, batch_format="pyarrow")]
+    nat = pa.concat_tables(nat_parts) if nat_parts else pa.table(
+        {"n_nationkey": pa.array([], pa.int64()),
+         "n_name": pa.array([], pa.string()),
+         "n_regionkey": pa.array([], pa.int64())})
     in_reg = np.isin(nat["n_regionkey"].to_numpy(zero_copy_only=False)
                      .astype(np.int64), rk)
     nkeys = nat["n_nationkey"].to_numpy(zero_copy_only=False) \
@@ -3543,9 +3580,12 @@ def q_promo_revenue(sf_dir: str):
 
     parts = [b for b in li.map_batches(partial, batch_format="pyarrow")
              .iter_batches(batch_size=65536, batch_format="pyarrow")]
-    tot = pa.concat_tables(parts)
-    pm = int(pc.sum(tot["promo_micro"]).as_py() or 0)
-    tm = int(pc.sum(tot["total_micro"]).as_py() or 0)
+    if parts:
+        tot = pa.concat_tables(parts)
+        pm = int(pc.sum(tot["promo_micro"]).as_py() or 0)
+        tm = int(pc.sum(tot["total_micro"]).as_py() or 0)
+    else:  # empty lineitem: zero revenue either way
+        pm = tm = 0
     return pa.table({"promo_revenue_pct":
                      pa.array([100.0 * pm / tm if tm else 0.0],
                               pa.float64())})
@@ -3581,7 +3621,10 @@ def q_top_parts_revenue(sf_dir: str):
     part_rows = [b for b in
                  _read(sf_dir, "part", ["p_partkey", "p_name", "p_brand"])
                  .iter_batches(batch_size=65536, batch_format="pyarrow")]
-    ptbl = pa.concat_tables(part_rows)
+    ptbl = pa.concat_tables(part_rows) if part_rows else pa.table(
+        {"p_partkey": pa.array([], pa.int64()),
+         "p_name": pa.array([], pa.string()),
+         "p_brand": pa.array([], pa.string())})
     joined = broadcast_join(agg, ptbl, left_on="p_partkey",
                             right_on="p_partkey")
 

@@ -101,6 +101,11 @@ def exact_quantiles(ds, column: str, qs: list[float]) -> pa.Table:
     for b in agg.iter_batches(batch_size=65536, batch_format="pyarrow"):
         vs.append(b["v"].to_numpy(zero_copy_only=False))
         cs.append(b["c"].to_numpy(zero_copy_only=False))
+    if not vs:  # empty input: no values -> no quantile rows
+        sch = ds.schema()
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "value": pa.array(
+                             [], dict(zip(sch.names, sch.types))[column])})
     v = np.concatenate(vs)
     c = np.concatenate(cs).astype(np.int64)
     o = np.argsort(v, kind="stable")
@@ -136,6 +141,9 @@ def exact_quantiles_cont(ds, column: str, qs: list[float]) -> pa.Table:
     for b in agg.iter_batches(batch_size=65536, batch_format="pyarrow"):
         vs.append(b["v"].to_numpy(zero_copy_only=False))
         cs.append(b["c"].to_numpy(zero_copy_only=False))
+    if not vs:  # empty input: no values -> no quantile rows
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.float64())})
     v = np.concatenate(vs).astype(np.float64)
     c = np.concatenate(cs).astype(np.int64)
     o = np.argsort(v, kind="stable")
@@ -177,6 +185,12 @@ def grouped_exact_quantiles(ds, group_col: str, value_col: str,
         gs.append(np.asarray(b[group_col].to_pylist(), dtype=object))
         vs.append(b["v"].to_numpy(zero_copy_only=False))
         cs.append(b["c"].to_numpy(zero_copy_only=False))
+    if not gs:  # empty input: no groups -> no quantile rows
+        sch = ds.schema()
+        return pa.table({group_col: pa.array([], pa.string()),
+                         "q": pa.array([], pa.float64()),
+                         "value": pa.array(
+                             [], dict(zip(sch.names, sch.types))[value_col])})
     g = np.concatenate(gs)
     v = np.concatenate(vs)
     c = np.concatenate(cs).astype(np.int64)
@@ -219,6 +233,10 @@ def grouped_exact_quantiles_cont(ds, group_col: str, value_col: str,
         gs.append(np.asarray(b[group_col].to_pylist(), dtype=object))
         vs.append(b["v"].to_numpy(zero_copy_only=False))
         cs.append(b["c"].to_numpy(zero_copy_only=False))
+    if not gs:  # empty input: no groups -> no quantile rows
+        return pa.table({group_col: pa.array([], pa.string()),
+                         "q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.float64())})
     g = np.concatenate(gs)
     v = np.concatenate(vs).astype(np.float64)
     c = np.concatenate(cs).astype(np.int64)
