@@ -2016,7 +2016,8 @@ def q_corr_len_tokens(sf_dir: str):
         den = (n * int(r.sxx) - sx * sx) * (n * int(r.syy) - sy * sy)
         out_l.append(r.lang)
         out_n.append(n)
-        out_c.append(float(a) / math.sqrt(float(den)))
+        # zero variance (n=1 or a constant column): SQL corr() is NULL
+        out_c.append(float(a) / math.sqrt(float(den)) if den > 0 else None)
     return pd.DataFrame({"lang": pd.Series(out_l, dtype=object),
                          "n": pd.Series(out_n, dtype="int64"),
                          "corr": pd.Series(out_c, dtype="float64")})
@@ -2100,8 +2101,11 @@ def q_regression_len_tokens(sf_dir: str):
     rows = []
     for _, r in agg.iterrows():
         n, sx, sy = int(r.n), int(r.sx), int(r.sy)
-        slope = float(n * int(r.sxy) - sx * sy) \
-            / float(n * int(r.sxx) - sx * sx)
+        den = n * int(r.sxx) - sx * sx
+        if den == 0:  # n=1 or constant x: SQL's x/0 division is NULL
+            rows.append((r.lang, n, None, None))
+            continue
+        slope = float(n * int(r.sxy) - sx * sy) / float(den)
         intercept = (float(sy) - slope * float(sx)) / float(n)
         rows.append((r.lang, n, slope, intercept))
     return pd.DataFrame(rows, columns=["lang", "n", "slope", "intercept"]) \
@@ -2680,10 +2684,11 @@ def q_kmeans_embeddings(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    if ds.count() == 0:  # no vectors -> no clusters (init needs k rows)
+    n_vecs = ds.count()
+    if n_vecs == 0:  # no vectors -> no clusters (init needs k rows)
         return pa.table({"cluster": pa.array([], pa.int64()),
                          "n": pa.array([], pa.int64())})
-    _, _, _, counts = kmeans(ds, k=8, iters=5)
+    _, _, _, counts = kmeans(ds, k=min(8, n_vecs), iters=5)
     return pa.table({"cluster": pa.array(np.arange(len(counts),
                                                    dtype=np.int64)),
                      "n": pa.array(counts, pa.int64())})
