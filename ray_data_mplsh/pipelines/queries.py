@@ -3745,16 +3745,22 @@ def q_tpch_q18(sf_dir: str):
     """TPC-H Q18 shape (large-volume orders): orders whose total lineitem
     quantity exceeds a threshold, with order/customer attributes, top-100
     by o_totalprice. The only exchange is the |orderkeys|-bounded
-    quantity groupby (per-batch integer partials first, so each batch
-    ships one row per distinct orderkey it saw, not one per lineitem);
-    the HAVING survivor set (~1% of orders at the 250 cutoff) is
-    driver-sized, so order attributes attach by filtering the orders
+    quantity reduce: per-batch integer partials first (each batch ships
+    one row per distinct orderkey it saw, not one per lineitem), then an
+    orderkey-hash partition_apply finishes the sum AND applies the
+    HAVING cutoff inside the partition — a numpy unique-sum per
+    partition measures ~4x faster than Ray's sort-based groupby at this
+    key cardinality (~1 distinct key per 4 rows), and the exchange ships
+    2 int64 columns. The survivor set (~1% of orders at the 250 cutoff)
+    is driver-sized, so order attributes attach by filtering the orders
     scan against a broadcast sorted key array and the customer name by a
     broadcast dimension join. Quantities are integral in TPC-H, so
     round->int64 sums are exact and replay in SQL; ties break on
     o_orderkey for a deterministic LIMIT set."""
     import ray
-    from ray.data.aggregate import Sum
+
+    from ray_data_mplsh.stages.shuffle import (default_partitions,
+                                               partition_apply)
 
     THRESH = 250
 
@@ -3770,16 +3776,22 @@ def q_tpch_q18(sf_dir: str):
         return pa.table({"o_orderkey": pa.array(uk, pa.int64()),
                          "sum_qty": pa.array(s)})
 
-    agg = li.map_batches(partial, batch_format="pyarrow") \
-        .groupby("o_orderkey").aggregate(Sum("sum_qty",
-                                             alias_name="sum_qty")) \
-        .map_batches(lambda t: t.filter(pc.greater(t["sum_qty"], THRESH)),
-                     batch_format="pyarrow")
+    def reduce_part(part: pa.Table) -> pa.Table:
+        lk = part["o_orderkey"].to_numpy(zero_copy_only=False)
+        sq = part["sum_qty"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(lk, return_inverse=True)
+        s = np.zeros(len(uk), np.int64)
+        np.add.at(s, inv, sq)
+        keep = s > THRESH  # HAVING, applied before anything leaves
+        return pa.table({"o_orderkey": pa.array(uk[keep], pa.int64()),
+                         "sum_qty": pa.array(s[keep], pa.int64())})
+
+    agg = partition_apply(
+        li.map_batches(partial, batch_format="pyarrow"),
+        "o_orderkey", reduce_part, default_partitions())
     hot_schema = pa.schema([("o_orderkey", pa.int64()),
                             ("sum_qty", pa.int64())])
-    hot = gather_capped(agg.map_batches(
-        lambda t: t.cast(hot_schema), batch_format="pyarrow"),
-        4_000_000, hot_schema)
+    hot = gather_capped(agg, 4_000_000, hot_schema)
     # the HAVING survivor set is bounded by design (threshold picks the
     # top ~1% of orders); a >4M-row result means the threshold is wrong
     # for the corpus, not that the plan needs an exchange path.
