@@ -37,6 +37,9 @@ prefix of it), rows-only entries last:
     q_repetition_scores* (per-doc duplicate-bigram quality ratio),
     q_crossdoc_ngrams* (cross-document duplicated 8-gram coverage —
     RefinedWeb-style dup signal via gram-hash exchange),
+    q_remove_dup_ngrams* (C4-style duplicated-span scrubbing: rewrite
+    docs dropping non-owner dup-8-gram spans, broadcast probe +
+    exchange fallback),
     q_prefix_dup_groups* (exact-prefix dup blocking groups),
     q_mixture_sample* (per-source deterministic mixture downsampling)
   relational/aggregates: q_lang_counts*, q_len_filter*, q_top_sources*,

@@ -1664,6 +1664,227 @@ def q_crossdoc_ngrams(sf_dir: str):
                            n=_XNG_N, hash_only=False)
 
 
+def _gram_strings(words: np.ndarray, starts: np.ndarray, n: int
+                  ) -> np.ndarray:
+    """Space-joined n-word gram strings at the given flat start
+    positions (vectorized pandas string concat)."""
+    gs = pd.Series(words[starts], dtype=object)
+    for i in range(1, n):
+        gs = gs + " " + pd.Series(words[starts + i], dtype=object)
+    return gs.to_numpy(dtype=object)
+
+
+def _scrub_rebuild(ids: np.ndarray, row: np.ndarray, words: np.ndarray,
+                   nw: np.ndarray, bad_starts: np.ndarray, n: int
+                   ) -> pa.Table:
+    """Rebuild (doc_id, clean_text, n_words, n_removed) after removing
+    the n-word spans at flat positions ``bad_starts``: union the covered
+    positions, gather survivors into a ListArray, one Arrow binary_join
+    per batch — no per-doc Python string work."""
+    cov = np.zeros(len(row), bool)
+    for i in range(n):
+        cov[bad_starts + i] = True
+    keep = ~cov
+    counts = np.bincount(row[keep], minlength=len(ids)).astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    la = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()),
+        pa.array(words[keep], pa.string()))
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "clean_text": pc.binary_join(la, " "),
+        "n_words": pa.array(nw, pa.int64()),
+        "n_removed": pa.array(nw - counts, pa.int64())})
+
+
+def remove_dup_ngrams(ds, n: int = _XNG_N,
+                      broadcast_max_grams: int = 4_000_000):
+    """C4/RefinedWeb-style duplicated-span SCRUBBING — the rewrite
+    counterpart of ``crossdoc_ngrams``: every word covered by an n-gram
+    that occurs in >= 2 documents is REMOVED from all docs except the
+    gram's MIN-doc_id owner (which keeps every occurrence), and the
+    surviving words are re-joined into ``clean_text``. Deterministic and
+    order-free (ownership is a global MIN, not first-seen), so a SQL
+    twin replays it bit-exactly.
+
+    Two physical plans:
+
+    * broadcast (default): one gram-hash exchange of DISTINCT (doc,
+      gram) rows finds the dup grams + owners exactly (hash only
+      co-locates; grouping is on the gram string); that table — bounded
+      by |dup grams|, tiny next to the corpus — is gathered once, and
+      the rewrite pass is map-side only (pd.Index membership probe per
+      batch, ListArray + binary_join rebuild).
+    * exchange fallback (dup set overflowed ``broadcast_max_grams``):
+      ALL gram positions ride the gram-hash exchange; each partition
+      resolves dup + owner exactly and emits the non-owner (doc, start)
+      cover rows, which meet their documents in a doc-keyed exchange
+      (schema-padded union, the full_outer_join trick) where the same
+      vectorized rebuild runs per partition. Path equivalence is
+      force-tested with ``broadcast_max_grams=0``.
+
+    100 TB note: gram STRINGS cross the exchange (~n x text bytes, the
+    crossdoc_ngrams oracle-mode tradeoff); the hash-pair routing of
+    crossdoc's ``hash_only`` scale mode applies here identically if the
+    exactness budget allows 2^-128 collisions."""
+    import ray
+
+    from ray_data_mplsh.functions.hashing import hash_str_array
+    from ray_data_mplsh.stages.shuffle import (cached_get,
+                                               default_partitions,
+                                               partition_apply)
+
+    P = default_partitions()
+
+    def gram_rows(b: pa.Table, distinct: bool) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        row, words = _split_words(b["text"])
+        if len(row) >= n:
+            starts = np.flatnonzero(row[:len(row) - n + 1] == row[n - 1:])
+        else:
+            starts = np.empty(0, np.int64)
+        g = _gram_strings(words, starts, n)
+        d = ids[row[starts]] if len(starts) else np.empty(0, np.int64)
+        # per-doc word offset of each gram start (the cover position)
+        doc_first = np.zeros(len(ids), np.int64)
+        if len(row):
+            first_pos = np.concatenate(
+                ([0], np.flatnonzero(row[1:] != row[:-1]) + 1))
+            doc_first[row[first_pos]] = first_pos
+        s_in_doc = starts - doc_first[row[starts]] if len(starts) \
+            else starts
+        df = pd.DataFrame({"doc_id": d, "gram": g, "start": s_in_doc})
+        if distinct:  # a doc never spans batches -> globally distinct
+            df = df.drop_duplicates(subset=["doc_id", "gram"])
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+            "gram": pa.array(df["gram"].to_numpy(dtype=object),
+                             pa.string()),
+            "start": pa.array(df["start"].to_numpy(np.int64)),
+            "gram_h": pa.array(hash_str_array(
+                pa.array(df["gram"].to_numpy(dtype=object), pa.string())),
+                pa.uint64())})
+
+    def dup_owner(part: pa.Table) -> pa.Table:
+        """Exact per-gram doc count + MIN owner within the hash
+        partition (rows are distinct (doc, gram))."""
+        g = part["gram"].to_pandas().to_numpy(dtype=object)
+        d = part["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes, uniq = pd.factorize(g, sort=False)
+        cnt = np.bincount(codes, minlength=len(uniq))
+        own = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(own, codes, d)
+        keep = cnt >= 2
+        return pa.table({
+            "gram": pa.array(uniq[keep], pa.string()),
+            "own": pa.array(own[keep], pa.int64())})
+
+    dup = partition_apply(
+        ds.map_batches(lambda b: gram_rows(b, True),
+                       batch_format="pyarrow"),
+        "gram_h", dup_owner, P)
+    dup_schema = pa.schema([("gram", pa.string()), ("own", pa.int64())])
+    dup_tbl = gather_capped(dup, broadcast_max_grams, dup_schema)
+
+    if dup_tbl is not None:
+        ref = ray.put((np.asarray(dup_tbl["gram"].to_pylist(),
+                                  dtype=object),
+                       dup_tbl["own"].to_numpy(zero_copy_only=False)
+                       .astype(np.int64)))
+
+        def scrub(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            row, words = _split_words(b["text"])
+            nw = np.bincount(row, minlength=len(ids)).astype(np.int64)
+            if len(row) >= n:
+                starts = np.flatnonzero(
+                    row[:len(row) - n + 1] == row[n - 1:])
+            else:
+                starts = np.empty(0, np.int64)
+            grams, owners = cached_get(ref)
+            if len(grams) and len(starts):
+                g = _gram_strings(words, starts, n)
+                hit = pd.Index(grams).get_indexer(g)
+                is_dup = hit >= 0
+                bad = is_dup.copy()
+                bad[is_dup] = owners[hit[is_dup]] != ids[row[starts]][is_dup]
+                bad_starts = starts[bad]
+            else:
+                bad_starts = np.empty(0, np.int64)
+            return _scrub_rebuild(ids, row, words, nw, bad_starts, n)
+
+        return ds.map_batches(scrub, batch_format="pyarrow")
+
+    # --- exchange fallback: dup-gram set is not broadcastable ----------
+    allpos = ds.map_batches(lambda b: gram_rows(b, False),
+                            batch_format="pyarrow")
+
+    def cover_rows(part: pa.Table) -> pa.Table:
+        g = part["gram"].to_pandas().to_numpy(dtype=object)
+        d = part["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = part["start"].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes, uniq = pd.factorize(g, sort=False)
+        # dup test must count DISTINCT docs (a within-doc repeat is not
+        # corpus duplication)
+        pair = pd.DataFrame({"c": codes, "d": d}).drop_duplicates()
+        nd = np.bincount(pair["c"].to_numpy(), minlength=len(uniq))
+        own = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(own, codes, d)
+        bad = (nd[codes] >= 2) & (own[codes] != d)
+        return pa.table({"doc_id": pa.array(d[bad], pa.int64()),
+                         "start": pa.array(s[bad], pa.int64())})
+
+    cov = partition_apply(allpos, "gram_h", cover_rows, P)
+
+    _SD = "__scrub_side"
+
+    def pad_doc(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"].cast(pa.int64()), "text": b["text"],
+            "start": pa.nulls(b.num_rows, pa.int64()),
+            _SD: pa.array(np.zeros(b.num_rows, np.int8), pa.int8())})
+
+    def pad_cov(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"], "text": pa.nulls(b.num_rows,
+                                                    pa.string()),
+            "start": b["start"],
+            _SD: pa.array(np.ones(b.num_rows, np.int8), pa.int8())})
+
+    both = ds.map_batches(pad_doc, batch_format="pyarrow").union(
+        cov.map_batches(pad_cov, batch_format="pyarrow"))
+
+    def rebuild(part: pa.Table) -> pa.Table:
+        side = part[_SD].to_numpy(zero_copy_only=False)
+        d = part["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        di = np.flatnonzero(side == 0)
+        ids = d[di]
+        row, words = _split_words(part["text"].take(pa.array(di)))
+        nw = np.bincount(row, minlength=len(ids)).astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(nw)))
+        ci = np.flatnonzero(side == 1)
+        if len(ci) and len(ids):
+            cd = d[ci]
+            cs = part["start"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)[ci]
+            o = np.argsort(ids)
+            li = o[np.searchsorted(ids[o], cd)]
+            bad_starts = offs[li] + cs
+        else:
+            bad_starts = np.empty(0, np.int64)
+        return _scrub_rebuild(ids, row, words, nw, bad_starts, n)
+
+    return partition_apply(both, "doc_id", rebuild, P)
+
+
+def q_remove_dup_ngrams(sf_dir: str):
+    """Duplicated-span scrubbing over the documents table (see
+    remove_dup_ngrams)."""
+    return remove_dup_ngrams(
+        _read(sf_dir, "documents", ["doc_id", "text"]), n=_XNG_N)
+
+
 # --- data-mixture sampling and prefix blocking ------------------------------
 
 def q_mixture_sample(sf_dir: str):
@@ -3599,10 +3820,15 @@ def q_promo_revenue(sf_dir: str):
 def q_top_parts_revenue(sf_dir: str):
     """Top-10 parts by lineitem revenue with brand/name attached: fact
     partials (|parts in batch|-bounded integer cent sums) -> one
-    |parts|-bounded groupby -> broadcast join against the dimension
-    table -> global top-k, ties broken on p_partkey for a deterministic
-    LIMIT set in both engines."""
-    from ray.data.aggregate import Sum
+    |parts|-bounded partkey-hash partition_apply finishing the sum with
+    a numpy unique-sum per partition (each batch carries ~one distinct
+    partkey per row, so the partials barely combine and Ray's sort-based
+    groupby paid a high many-small-groups merge cost here — the hash
+    exchange + in-partition reduce is ~3x faster) -> broadcast join
+    against the dimension table -> global top-k, ties broken on
+    p_partkey for a deterministic LIMIT set in both engines."""
+    from ray_data_mplsh.stages.shuffle import (default_partitions,
+                                               partition_apply)
 
     li = _read_sized(sf_dir, "lineitem",
                      ["l_partkey", "l_extendedprice", "l_discount"])
@@ -3619,9 +3845,18 @@ def q_top_parts_revenue(sf_dir: str):
         return pa.table({"p_partkey": pa.array(uk, pa.int64()),
                          "rev_micro": pa.array(rev)})
 
-    agg = li.map_batches(partial, batch_format="pyarrow") \
-        .groupby("p_partkey").aggregate(Sum("rev_micro",
-                                            alias_name="rev_micro"))
+    def reduce_part(part: pa.Table) -> pa.Table:
+        pk = part["p_partkey"].to_numpy(zero_copy_only=False)
+        rv = part["rev_micro"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(pk, return_inverse=True)
+        rev = np.zeros(len(uk), np.int64)
+        np.add.at(rev, inv, rv)
+        return pa.table({"p_partkey": pa.array(uk, pa.int64()),
+                         "rev_micro": pa.array(rev, pa.int64())})
+
+    agg = partition_apply(
+        li.map_batches(partial, batch_format="pyarrow"),
+        "p_partkey", reduce_part, default_partitions())
 
     part_rows = [b for b in
                  _read(sf_dir, "part", ["p_partkey", "p_name", "p_brand"])
@@ -4034,6 +4269,7 @@ QUERIES = {
     "q_tpch_q10": q_tpch_q10,
     "q_tpch_q18": q_tpch_q18,
     "q_pack_sequences": q_pack_sequences,
+    "q_remove_dup_ngrams": q_remove_dup_ngrams,
 }
 
 # --- SQL replay fragments for hash-bearing oracles -------------------------
@@ -4701,6 +4937,31 @@ ORACLE_SQL = {
         "JOIN orders ON l_orderkey = o_orderkey "
         "JOIN customer ON o_custkey = c_custkey "
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100",
+    "q_remove_dup_ngrams":
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "
+        "FROM documents), "
+        "pos AS (SELECT doc_id, ws, "
+        "UNNEST(generate_series(1, len(ws))) AS p FROM w), "
+        "g AS (SELECT doc_id, p AS i, "
+        "array_to_string(ws[p:p+7], ' ') AS gram "
+        "FROM pos WHERE p <= len(ws) - 7), "
+        "d AS (SELECT gram, MIN(doc_id) AS own FROM "
+        "(SELECT DISTINCT doc_id, gram FROM g) "
+        "GROUP BY gram HAVING COUNT(*) >= 2), "
+        "cov AS (SELECT DISTINCT g.doc_id, g.i + j.j AS p "
+        "FROM g JOIN d USING (gram), "
+        "UNNEST(generate_series(0, 7)) AS j(j) "
+        "WHERE g.doc_id <> d.own), "
+        "kept AS (SELECT pos.doc_id, pos.p, pos.ws[pos.p] AS word "
+        "FROM pos ANTI JOIN cov "
+        "ON pos.doc_id = cov.doc_id AND pos.p = cov.p), "
+        "agg AS (SELECT doc_id, "
+        "string_agg(word, ' ' ORDER BY p) AS clean_text, "
+        "CAST(COUNT(*) AS BIGINT) AS n_kept FROM kept GROUP BY doc_id) "
+        "SELECT w.doc_id, COALESCE(a.clean_text, '') AS clean_text, "
+        "CAST(len(w.ws) AS BIGINT) AS n_words, "
+        "CAST(len(w.ws) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed "
+        "FROM w LEFT JOIN agg a USING (doc_id)",
     "q_pack_sequences":
         "WITH t AS (SELECT doc_id, "
         "CAST(array_length(string_split_regex(trim(text), '\\s+')) "

@@ -47,7 +47,7 @@ CHECK = ["q_word_stats", "q_doc_freq", "q_allpair_jaccard",
          "q_tpch_q5", "q_url_dedup", "q_events_sliding",
          "q_lsh_verified_pairs", "q_lsh_clusters",
          "q_substring_candidates", "q_tpch_q10", "q_tpch_q18",
-         "q_pack_sequences"]
+         "q_pack_sequences", "q_remove_dup_ngrams"]
 
 
 @pytest.fixture(scope="module")
@@ -453,3 +453,19 @@ def test_lsh_clusters_oracle_chain_topology(ray_session, tmp_path):
     labels = _check_vs_oracle("q_lsh_clusters", tmp_path)
     sizes = labels.groupby("cluster_id").size()
     assert len(labels) and sizes.max() >= 3  # a multi-hop chain formed
+
+
+def test_remove_dup_ngrams_exchange_path_equals_broadcast(ray_session):
+    """The scrub operator's exchange fallback (dup-gram set too big to
+    broadcast, forced with broadcast_max_grams=0) must produce the exact
+    broadcast-path result — same covered spans, same rebuilt text."""
+    from ray_data_mplsh.pipelines.queries import _read, remove_dup_ngrams
+
+    ds = _read(SF_DIR, "documents", ["doc_id", "text"])
+    a = remove_dup_ngrams(ds).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    b = remove_dup_ngrams(_read(SF_DIR, "documents", ["doc_id", "text"]),
+                          broadcast_max_grams=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    assert int(a.n_removed.sum()) > 0  # the fixture must be non-vacuous
