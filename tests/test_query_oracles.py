@@ -469,3 +469,45 @@ def test_remove_dup_ngrams_exchange_path_equals_broadcast(ray_session):
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_exact=True)
     assert int(a.n_removed.sum()) > 0  # the fixture must be non-vacuous
+
+
+def test_pack_sequences_sparse_ids_and_block_invariance(ray_session,
+                                                        tmp_path):
+    """The distributed prefix scan must be independent of physical
+    batching and robust to NON-DENSE doc_ids (negative, huge gaps,
+    uneven range buckets) — fuzz vs a single-process numpy cumsum and
+    vs the SQL window twin, at two different block counts."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ray_data_mplsh.pipelines.queries import q_pack_sequences
+
+    rng = np.random.default_rng(31)
+    ids = np.unique(np.concatenate([
+        rng.integers(-5_000, 5_000, 200),
+        rng.integers(10**9, 10**9 + 50, 20),  # a far-away range bucket
+    ])).astype(np.int64)
+    texts = [" ".join("w%d" % k for k in rng.integers(0, 9, rng.integers(1, 40)))
+             for _ in ids]
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    # numpy reference: exclusive cumsum of token counts in doc_id order
+    nt = np.array([len(s.split(" ")) for s in texts], np.int64)
+    cum = np.concatenate(([0], np.cumsum(nt)[:-1]))
+    want = pd.DataFrame({"doc_id": ids, "n_tokens": nt,
+                         "pack_id": cum // 2048, "pack_offset": cum % 2048})
+
+    got = q_pack_sequences(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+    # different physical batching must not change the layout: rewrite
+    # the parquet with tiny row groups (more blocks) and re-run
+    pq.write_table(t, str(tmp_path / "documents.parquet"),
+                   row_group_size=13)
+    got2 = q_pack_sequences(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got2, want, check_exact=True)
