@@ -193,3 +193,64 @@ def test_local_hybrid_gate_forces_exchanges(ray_session, small_fixture,
     canon = out[out["is_canonical"]]
     ft = dict(zip(canon["doc_id"].tolist(), canon["final_text"]))
     assert ft == small_oracle.dedup_text
+
+
+def _pipeline_vs_oracle_on(table, ray_session):
+    """Run both engines in text mode on the same table; assert cluster
+    assignments, canonical set and verified pair set all agree."""
+    import ray.data as rd
+
+    from oracle import run_oracle
+
+    cfg = MPLSHConfig(min_chars=1)
+    want = run_oracle(table, cfg)
+    res = run_dedup(rd.from_arrow(table), cfg, extract=False,
+                    skip_substring=True)
+    out = res.dedup_out.to_pandas()
+    pipe = dict(zip(out["doc_id"].tolist(), out["cluster_id"].tolist()))
+    assert pipe == want.clusters
+    canon = set(out[out["is_canonical"]]["doc_id"].tolist())
+    assert canon == want.canonical
+    vp = res.verified.to_pandas()
+    got_pairs = set(zip(vp["a"], vp["b"])) if "a" in vp else set()
+    assert got_pairs == set(want.verified)
+    return out, want
+
+
+def test_all_identical_corpus_collapses_to_one(ray_session):
+    """300 byte-identical docs: exact dedup must collapse the whole
+    corpus to ONE rep before MinHash (zero signatures to pair), and the
+    output must agree with the oracle — the all-duplicates extreme a
+    crawler's error page produces at scale."""
+    import pyarrow as pa
+
+    text = " ".join("tok%d" % (i % 37) for i in range(60))
+    table = pa.table({
+        "url": pa.array([f"http://dup.example/{i}" for i in range(300)]),
+        "text": pa.array([text] * 300)})
+    out, want = _pipeline_vs_oracle_on(table, ray_session)
+    assert out["cluster_id"].nunique() == 1
+    assert out["is_canonical"].sum() == 1
+
+
+def test_one_giant_near_dup_family(ray_session):
+    """150 docs that are pairwise near-identical (each swaps one word of
+    a shared 80-word base): every band bucket holds the whole corpus, so
+    the bucket-cap star pairing and the deep star-contraction path run
+    for real — and must still match the oracle exactly."""
+    import numpy as np
+    import pyarrow as pa
+
+    base = ["w%d" % i for i in range(80)]
+    rng = np.random.default_rng(7)
+    texts = []
+    for i in range(150):
+        words = list(base)
+        words[int(rng.integers(0, 80))] = "swap%d" % i
+        texts.append(" ".join(words))
+    table = pa.table({
+        "url": pa.array([f"http://fam.example/{i}" for i in range(150)]),
+        "text": pa.array(texts)})
+    out, want = _pipeline_vs_oracle_on(table, ray_session)
+    assert out["cluster_id"].nunique() == 1  # one family
+    assert len(want.verified) > 0
