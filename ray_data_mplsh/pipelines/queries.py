@@ -4163,6 +4163,104 @@ def q_pack_sequences(sf_dir: str, cap: int = 2048):
                                              batch_format="pyarrow")
 
 
+def q_tpch_q6(sf_dir: str):
+    """TPC-H Q6 shape (forecast revenue change): one predicate-pushdown
+    scan of lineitem, zero exchanges — every batch reduces to a single
+    int64 cent x disc_pct partial and the driver folds the per-batch
+    rows. Discount and quantity filters run on ROUNDED integer views
+    (disc_pct in [5,7], qty < 24) so the float-literal comparison
+    semantics can't diverge between engines; the one float division is
+    replayed verbatim in SQL."""
+    LO = int(pd.Timestamp("1997-01-01").value // 1000)  # epoch us
+    HI = int(pd.Timestamp("1998-01-01").value // 1000)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_discount", "l_quantity",
+                "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dc = pc.cast(pc.round(pc.multiply(t["l_discount"], 100)),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        q = pc.cast(pc.round(t["l_quantity"]), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ep = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100)),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        m = (sd >= LO) & (sd < HI) & (dc >= 5) & (dc <= 7) & (q < 24)
+        return pa.table({"rev_micro":
+                         pa.array([int((ep[m] * dc[m]).sum())], pa.int64())})
+
+    parts = [b for b in li.map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_size=65536, batch_format="pyarrow")]
+    micro = int(pc.sum(pa.concat_tables(parts)["rev_micro"]).as_py() or 0) \
+        if parts else 0
+    return pa.table({"revenue": pa.array([micro / 10000.0], pa.float64())})
+
+
+def q_tpch_q15(sf_dir: str):
+    """TPC-H Q15 shape (top supplier): revenue per supplier over one
+    quarter, suppliers tied at the maximum joined to their attributes.
+    The only exchange is the |suppliers|-bounded groupby over per-batch
+    integer cent partials (each batch ships at most one row per distinct
+    suppkey it saw); the aggregate is driver-sized by construction, so
+    the max + tie filter + dimension attach happen on a gathered table.
+    Revenue stays int64-exact until one final float division replayed in
+    SQL."""
+    from ray.data.aggregate import Sum
+
+    LO = int(pd.Timestamp("1997-01-01").value // 1000)
+    HI = int(pd.Timestamp("1997-04-01").value // 1000)
+
+    li = _read_sized(sf_dir, "lineitem",
+                     ["l_suppkey", "l_extendedprice", "l_discount",
+                      "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        m = (sd >= LO) & (sd < HI)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[m]
+        ep = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100)),
+                     pa.int64()).to_numpy(zero_copy_only=False)[m]
+        dc = pc.cast(pc.round(pc.multiply(t["l_discount"], 100)),
+                     pa.int64()).to_numpy(zero_copy_only=False)[m]
+        uk, inv = np.unique(sk, return_inverse=True)
+        rev = np.zeros(len(uk), np.int64)
+        np.add.at(rev, inv, ep * (100 - dc))
+        return pa.table({"s_suppkey": pa.array(uk, pa.int64()),
+                         "rev_micro": pa.array(rev)})
+
+    agg = li.map_batches(partial, batch_format="pyarrow") \
+        .groupby("s_suppkey").aggregate(Sum("rev_micro",
+                                            alias_name="rev_micro"))
+    schema = pa.schema([("s_suppkey", pa.int64()),
+                        ("rev_micro", pa.int64())])
+    tot = gather_capped(agg, 4_000_000, schema)
+    # per-supplier aggregate is |suppliers|-bounded; overflow means the
+    # dimension table itself outgrew the driver, not a plan problem.
+    assert tot is not None, "q15 supplier aggregate overflowed the cap"
+    if tot.num_rows == 0:
+        return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                         "s_name": pa.array([], pa.string()),
+                         "total_revenue": pa.array([], pa.float64())})
+    rev = tot["rev_micro"].to_numpy(zero_copy_only=False)
+    top = tot.filter(pa.array(rev == rev.max()))
+
+    supp_rows = [b for b in _read(sf_dir, "supplier",
+                                  ["s_suppkey", "s_name"])
+                 .iter_batches(batch_size=65536, batch_format="pyarrow")]
+    stbl = pa.concat_tables(supp_rows)
+    out = top.join(stbl, keys=["s_suppkey"], right_keys=["s_suppkey"],
+                   join_type="inner")
+    res = pa.table({
+        "s_suppkey": pc.cast(out["s_suppkey"], pa.int64()),
+        "s_name": out["s_name"],
+        "total_revenue": pc.divide(
+            pc.cast(out["rev_micro"], pa.float64()), 10000.0)})
+    return res.take(pc.sort_indices(res, sort_keys=[("s_suppkey",
+                                                     "ascending")]))
+
+
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_lang_counts": q_lang_counts,
@@ -4268,6 +4366,8 @@ QUERIES = {
     "q_top_parts_revenue": q_top_parts_revenue,
     "q_tpch_q10": q_tpch_q10,
     "q_tpch_q18": q_tpch_q18,
+    "q_tpch_q6": q_tpch_q6,
+    "q_tpch_q15": q_tpch_q15,
     "q_pack_sequences": q_pack_sequences,
     "q_remove_dup_ngrams": q_remove_dup_ngrams,
 }
@@ -4928,6 +5028,25 @@ ORACLE_SQL = {
         "AND l_returnflag = 'R' AND c_nationkey = n_nationkey "
         "GROUP BY c_custkey, c_name, c_acctbal, n_name "
         "ORDER BY revenue DESC, c_custkey LIMIT 20",
+    "q_tpch_q6":
+        "SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * "
+        "CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE) / 10000.0 "
+        "AS revenue FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+        "AND l_shipdate < TIMESTAMP '1998-01-01' "
+        "AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 5 AND 7 "
+        "AND CAST(round(l_quantity) AS BIGINT) < 24",
+    "q_tpch_q15":
+        "WITH revenue AS (SELECT l_suppkey, "
+        "SUM(CAST(round(l_extendedprice*100) AS BIGINT) * "
+        "(100 - CAST(round(l_discount*100) AS BIGINT))) AS rev_micro "
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+        "AND l_shipdate < TIMESTAMP '1997-04-01' GROUP BY l_suppkey) "
+        "SELECT s_suppkey, s_name, "
+        "CAST(rev_micro AS DOUBLE) / 10000.0 AS total_revenue "
+        "FROM supplier JOIN revenue ON s_suppkey = l_suppkey "
+        "WHERE rev_micro = (SELECT MAX(rev_micro) FROM revenue) "
+        "ORDER BY s_suppkey",
     "q_tpch_q18":
         "SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, "
         "CAST(sum_qty AS BIGINT) AS sum_qty FROM (SELECT l_orderkey, "
