@@ -4261,6 +4261,124 @@ def q_tpch_q15(sf_dir: str):
                                                      "ascending")]))
 
 
+def q_tpch_q13(sf_dir: str):
+    """TPC-H Q13 shape (customer order-count distribution): per-customer
+    order counts under a join predicate, histogrammed. Two bounded
+    exchanges, no join: per-batch custkey count partials ->
+    |customers|-bounded groupby sum -> |distinct activity levels|-bounded
+    count-of-counts reduce (the q_user_activity_histogram technique).
+    The LEFT-JOIN zero bucket never touches the exchange — it is
+    |customers| minus the histogram's mass, both driver scalars."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = _read_sized(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.invert(pc.equal(t["o_orderstatus"], "F")) \
+            .to_numpy(zero_copy_only=False)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[m]
+        uu, inv = np.unique(ck, return_inverse=True)
+        return pa.table({"o_custkey": pa.array(uu, pa.int64()),
+                         "n": pa.array(np.bincount(inv).astype(np.int64))})
+
+    per_cust = orders.map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(Sum("n", alias_name="c_count"))
+    hist = per_cust.map_batches(
+        lambda t: pa.table({"c_count": pc.cast(t["c_count"], pa.int64())}),
+        batch_format="pyarrow") \
+        .groupby("c_count").aggregate(Count(alias_name="custdist"))
+    schema = pa.schema([("c_count", pa.int64()), ("custdist", pa.int64())])
+    h = gather_capped(hist.map_batches(
+        lambda t: pa.table({"c_count": pc.cast(t["c_count"], pa.int64()),
+                            "custdist": pc.cast(t["custdist"],
+                                                pa.int64())}),
+        batch_format="pyarrow"), 4_000_000, schema)
+    assert h is not None, "q13 activity histogram overflowed the cap"
+    n_cust = _read(sf_dir, "customer", ["c_custkey"]).count()
+    n_zero = n_cust - int(pc.sum(h["custdist"]).as_py() or 0)
+    if n_zero > 0:
+        h = pa.concat_tables([h, pa.table(
+            {"c_count": pa.array([0], pa.int64()),
+             "custdist": pa.array([n_zero], pa.int64())})])
+    return h
+
+
+def q_tpch_q4(sf_dir: str):
+    """TPC-H Q4 shape (order priority checking), adapted to the shipped
+    lineitem schema (no commit/receipt dates): count one quarter's orders
+    per priority where EXISTS a lineitem shipped more than 30 days after
+    the order date. The quarter's orders reduce to a broadcast sorted
+    (orderkey -> orderdate_us, priority code) map probed inside the
+    lineitem scan — the EXISTS never joins; each batch emits the DISTINCT
+    late orderkeys it saw, one |window orders|-bounded groupby dedups
+    them globally, and a second |priorities|-bounded reduce finishes the
+    count."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    LO = int(pd.Timestamp("1997-01-01").value // 1000)
+    HI = int(pd.Timestamp("1997-04-01").value // 1000)
+    GRACE_US = 30 * 86400 * 1_000_000
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate",
+                                      "o_orderpriority"])
+    ok_p, od_p, pr_p = [], [], []
+    for b in orders.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        od = b["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        m = (od >= LO) & (od < HI)
+        ok_p.append(b["o_orderkey"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64)[m])
+        od_p.append(od[m])
+        pr_p.append(b["o_orderpriority"].to_numpy(zero_copy_only=False)[m])
+    ok = np.concatenate(ok_p) if ok_p else np.empty(0, np.int64)
+    od = np.concatenate(od_p) if od_p else np.empty(0, np.int64)
+    pr = np.concatenate(pr_p) if pr_p else np.empty(0, object)
+    prios, pcode = np.unique(pr.astype(str), return_inverse=True) \
+        if len(pr) else (np.empty(0, "U16"), np.empty(0, np.int64))
+    o = np.argsort(ok)
+    ref = ray.put((ok[o], od[o], pcode[o].astype(np.int64)))
+
+    li = _read_sized(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def late_keys(t: pa.Table) -> pa.Table:
+        okeys, odates, _ = cached_get(ref)
+        lk = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sd = t["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if not len(okeys):
+            return pa.table({"o_orderkey": pa.array([], pa.int64())})
+        j = np.clip(np.searchsorted(okeys, lk), 0, len(okeys) - 1)
+        hit = (okeys[j] == lk) & (sd > odates[j] + GRACE_US)
+        return pa.table({"o_orderkey":
+                         pa.array(np.unique(lk[hit]), pa.int64())})
+
+    late = li.map_batches(late_keys, batch_format="pyarrow") \
+        .groupby("o_orderkey").aggregate(Count(alias_name="nl"))
+
+    def to_prio(t: pa.Table) -> pa.Table:
+        okeys, _, codes = cached_get(ref)
+        lk = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = np.searchsorted(okeys, lk)  # every key came from the map
+        cnt = np.bincount(codes[j], minlength=len(prios)).astype(np.int64)
+        nz = cnt > 0
+        return pa.table({"prio_code": pa.array(np.flatnonzero(nz),
+                                               pa.int64()),
+                         "n": pa.array(cnt[nz])})
+
+    agg = late.map_batches(to_prio, batch_format="pyarrow") \
+        .groupby("prio_code").aggregate(Sum("n", alias_name="order_count"))
+    schema = pa.schema([("prio_code", pa.int64()),
+                        ("order_count", pa.int64())])
+    h = gather_capped(agg, 1_000_000, schema)
+    assert h is not None, "q4 priority histogram overflowed the cap"
+    code = h["prio_code"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table({
+        "o_orderpriority": pa.array(prios[code].astype(object),
+                                    pa.string()),
+        "order_count": pc.cast(h["order_count"], pa.int64())})
+
+
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_lang_counts": q_lang_counts,
@@ -4368,6 +4486,8 @@ QUERIES = {
     "q_tpch_q18": q_tpch_q18,
     "q_tpch_q6": q_tpch_q6,
     "q_tpch_q15": q_tpch_q15,
+    "q_tpch_q13": q_tpch_q13,
+    "q_tpch_q4": q_tpch_q4,
     "q_pack_sequences": q_pack_sequences,
     "q_remove_dup_ngrams": q_remove_dup_ngrams,
 }
@@ -5047,6 +5167,19 @@ ORACLE_SQL = {
         "FROM supplier JOIN revenue ON s_suppkey = l_suppkey "
         "WHERE rev_micro = (SELECT MAX(rev_micro) FROM revenue) "
         "ORDER BY s_suppkey",
+    "q_tpch_q13":
+        "SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM "
+        "(SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count "
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+        "AND o_orderstatus <> 'F' GROUP BY c_custkey) "
+        "GROUP BY c_count",
+    "q_tpch_q4":
+        "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count "
+        "FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' "
+        "AND o_orderdate < TIMESTAMP '1997-04-01' AND EXISTS ("
+        "SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+        "AND l_shipdate > o_orderdate + INTERVAL 30 DAY) "
+        "GROUP BY o_orderpriority",
     "q_tpch_q18":
         "SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, "
         "CAST(sum_qty AS BIGINT) AS sum_qty FROM (SELECT l_orderkey, "

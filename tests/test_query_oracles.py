@@ -48,7 +48,7 @@ CHECK = ["q_word_stats", "q_doc_freq", "q_allpair_jaccard",
          "q_lsh_verified_pairs", "q_lsh_clusters",
          "q_substring_candidates", "q_tpch_q10", "q_tpch_q18",
          "q_pack_sequences", "q_remove_dup_ngrams", "q_tpch_q6",
-         "q_tpch_q15"]
+         "q_tpch_q15", "q_tpch_q13", "q_tpch_q4"]
 
 
 @pytest.fixture(scope="module")
