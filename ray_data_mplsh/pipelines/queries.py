@@ -4379,6 +4379,550 @@ def q_tpch_q4(sf_dir: str):
         "order_count": pc.cast(h["order_count"], pa.int64())})
 
 
+def q_tpch_q17(sf_dir: str, brand: str = "Brand#4"):
+    """TPC-H Q17 shape (small-quantity-order revenue): average weekly
+    revenue lost to lineitems of one brand's parts whose quantity is
+    below 20%% of that part's average. Two fact passes, zero joins: the
+    brand's partkeys are a |part|-bounded broadcast; pass 1 reduces per-
+    partkey (sum qty, count) integer partials through a |brand parts|-
+    bounded groupby into a broadcast threshold table; pass 2 applies the
+    strict inequality AS INTEGERS (5 * qty * cnt < sum_qty — the float
+    0.2 * avg never materializes, so both engines decide ties
+    identically) and folds cent partials. One float division chain
+    replays in SQL."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    pk_parts = []
+    for b in part.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        m = pc.equal(b["p_brand"], brand).to_numpy(zero_copy_only=False)
+        pk_parts.append(b["p_partkey"].to_numpy(zero_copy_only=False)
+                        .astype(np.int64)[m])
+    bpk = np.sort(np.concatenate(pk_parts)) if pk_parts else \
+        np.empty(0, np.int64)
+    bref = ray.put(bpk)
+
+    li = _read_sized(sf_dir, "lineitem",
+                     ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        keys = cached_get(bref)
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(keys):
+            return pa.table({"l_partkey": pa.array([], pa.int64()),
+                             "sq": pa.array([], pa.int64()),
+                             "cq": pa.array([], pa.int64())})
+        i = np.clip(np.searchsorted(keys, lp), 0, len(keys) - 1)
+        m = keys[i] == lp
+        q = pc.cast(pc.round(t["l_quantity"]), pa.int64()) \
+            .to_numpy(zero_copy_only=False)[m]
+        uk, inv = np.unique(lp[m], return_inverse=True)
+        sq = np.zeros(len(uk), np.int64)
+        np.add.at(sq, inv, q)
+        return pa.table({"l_partkey": pa.array(uk, pa.int64()),
+                         "sq": pa.array(sq),
+                         "cq": pa.array(np.bincount(inv).astype(np.int64))})
+
+    agg = li.map_batches(qty_partial, batch_format="pyarrow") \
+        .groupby("l_partkey").aggregate(Sum("sq", alias_name="sq"),
+                                        Sum("cq", alias_name="cq"))
+    schema = pa.schema([("l_partkey", pa.int64()), ("sq", pa.int64()),
+                        ("cq", pa.int64())])
+    th = gather_capped(agg, 4_000_000, schema)
+    # bounded by the brand's slice of the part dimension (~4% of |part|)
+    assert th is not None, "q17 threshold table overflowed the cap"
+    tk = th["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    to = np.argsort(tk)
+    tref = ray.put((tk[to],
+                    th["sq"].to_numpy(zero_copy_only=False)[to],
+                    th["cq"].to_numpy(zero_copy_only=False)[to]))
+
+    li2 = _read(sf_dir, "lineitem",
+                ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        keys, sq, cq = cached_get(tref)
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(keys):
+            return pa.table({"cents": pa.array([0], pa.int64())})
+        i = np.clip(np.searchsorted(keys, lp), 0, len(keys) - 1)
+        m = keys[i] == lp
+        q = pc.cast(pc.round(t["l_quantity"]), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        m &= 5 * q * cq[i] < sq[i]
+        ep = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100)),
+                     pa.int64()).to_numpy(zero_copy_only=False)[m]
+        return pa.table({"cents": pa.array([int(ep.sum())], pa.int64())})
+
+    parts = [b for b in li2.map_batches(rev_partial, batch_format="pyarrow")
+             .iter_batches(batch_size=65536, batch_format="pyarrow")]
+    cents = int(pc.sum(pa.concat_tables(parts)["cents"]).as_py() or 0) \
+        if parts else 0
+    return pa.table({"avg_yearly":
+                     pa.array([cents / 100.0 / 7.0], pa.float64())})
+
+
+def q_tpch_q19(sf_dir: str):
+    """TPC-H Q19 shape (discounted revenue from disjunctive predicates),
+    adapted to the shipped part schema (brand + size bands instead of
+    container/shipmode): three (brand, size range, quantity range)
+    branches OR-ed together. The part dimension reduces to three sorted
+    broadcast partkey arrays — one per branch — so the disjunction is
+    three searchsorted probes + integer quantity bands inside the
+    lineitem scan; every batch folds to one int64 cent partial and
+    nothing shuffles."""
+    import ray
+
+    BRANCHES = [("Brand#12", 1, 15, 1, 11),
+                ("Brand#23", 1, 20, 10, 20),
+                ("Brand#7", 1, 25, 20, 30)]
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    rows = [b for b in part.iter_batches(batch_size=65536,
+                                         batch_format="pyarrow")]
+    pt = pa.concat_tables(rows) if rows else pa.table(
+        {"p_partkey": pa.array([], pa.int64()),
+         "p_brand": pa.array([], pa.string()),
+         "p_size": pa.array([], pa.int32())})
+    pk = pt["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sz = pt["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+    br = np.asarray(pt["p_brand"].to_pylist(), dtype=object)
+    sets = []
+    for brand, slo, shi, qlo, qhi in BRANCHES:
+        m = (br == brand) & (sz >= slo) & (sz <= shi)
+        sets.append(np.sort(pk[m]))
+    ref = ray.put(sets)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice",
+                "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        branch_keys = cached_get(ref)
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = pc.cast(pc.round(t["l_quantity"]), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        m = np.zeros(len(lp), dtype=bool)
+        for (_, _, _, qlo, qhi), keys in zip(BRANCHES, branch_keys):
+            if not len(keys):
+                continue
+            i = np.clip(np.searchsorted(keys, lp), 0, len(keys) - 1)
+            m |= (keys[i] == lp) & (q >= qlo) & (q <= qhi)
+        ep = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100)),
+                     pa.int64()).to_numpy(zero_copy_only=False)[m]
+        dc = pc.cast(pc.round(pc.multiply(t["l_discount"], 100)),
+                     pa.int64()).to_numpy(zero_copy_only=False)[m]
+        return pa.table({"rev_micro":
+                         pa.array([int((ep * (100 - dc)).sum())],
+                                  pa.int64())})
+
+    parts = [b for b in li.map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_size=65536, batch_format="pyarrow")]
+    micro = int(pc.sum(pa.concat_tables(parts)["rev_micro"]).as_py() or 0) \
+        if parts else 0
+    return pa.table({"revenue": pa.array([micro / 10000.0], pa.float64())})
+
+
+def q_tpch_q22(sf_dir: str):
+    """TPC-H Q22 shape (global sales opportunity), adapted to the shipped
+    customer schema (nationkey stands in for the phone country code):
+    customers with above-average positive balances and no RECENT orders
+    (the corpus assigns every customer at least one order overall, so
+    the dormancy window replaces Q22's no-orders-ever test), grouped by
+    nation. The average-balance cutoff is decided AS INTEGERS (cents *
+    count > sum_cents — no float average exists in either engine); the
+    dormancy test rides the existing distributed semi/anti-join
+    (distinct-custkey combiner, broadcast below the key cap, keyed
+    exchange above); the final groupby is |nations|-bounded bincount
+    partials."""
+    from ray.data.aggregate import Sum
+
+    from ray_data_mplsh.stages.relational import semi_anti_join
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["c_acctbal"], 100)),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        pos = cents[cents > 0]
+        return pa.table({"s": pa.array([int(pos.sum())], pa.int64()),
+                         "n": pa.array([len(pos)], pa.int64())})
+
+    parts = [b for b in cust.map_batches(bal_partial,
+                                         batch_format="pyarrow")
+             .iter_batches(batch_size=65536, batch_format="pyarrow")]
+    if parts:
+        tot = pa.concat_tables(parts)
+        s = int(pc.sum(tot["s"]).as_py() or 0)
+        n = int(pc.sum(tot["n"]).as_py() or 0)
+    else:
+        s = n = 0
+
+    def rich(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["c_acctbal"], 100)),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(cents * n > s))
+
+    rich_ds = cust.map_batches(rich, batch_format="pyarrow")
+    RECENT = int(pd.Timestamp("2000-01-01").value // 1000)
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def recent(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return t.filter(pa.array(od >= RECENT)).select(["o_custkey"])
+
+    lonely = semi_anti_join(
+        rich_ds, orders.map_batches(recent, batch_format="pyarrow"),
+        left_on="c_custkey", right_on="o_custkey", anti=True)
+
+    def nat_partial(t: pa.Table) -> pa.Table:
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = pc.cast(pc.round(pc.multiply(t["c_acctbal"], 100)),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(nk, return_inverse=True)
+        sc = np.zeros(len(uk), np.int64)
+        np.add.at(sc, inv, cents)
+        return pa.table({"c_nationkey": pa.array(uk, pa.int64()),
+                         "numcust": pa.array(np.bincount(inv)
+                                             .astype(np.int64)),
+                         "bal_cents": pa.array(sc)})
+
+    agg = lonely.map_batches(nat_partial, batch_format="pyarrow") \
+        .groupby("c_nationkey").aggregate(
+            Sum("numcust", alias_name="numcust"),
+            Sum("bal_cents", alias_name="bal_cents"))
+    # |nations|-bounded result: gather so the empty case keeps its schema
+    t = gather_capped(agg, 1_000_000, pa.schema(
+        [("c_nationkey", pa.int64()), ("numcust", pa.int64()),
+         ("bal_cents", pa.int64())]))
+    assert t is not None, "q22 nation aggregate overflowed the cap"
+    return pa.table({
+        "c_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+        "numcust": pc.cast(t["numcust"], pa.int64()),
+        "totacctbal": pc.divide(
+            pc.cast(pc.cast(t["bal_cents"], pa.int64()), pa.float64()),
+            100.0)})
+
+
+def q_tpch_q7(sf_dir: str, broadcast_max_rows: int = 4_000_000):
+    """TPC-H Q7 shape (volume shipping between two nations): revenue per
+    (supplier nation, customer nation, ship year) for the ordered pairs
+    of two fixed nations over a two-year window. Mirrors the q_tpch_q5
+    plan: the two nations' customers reduce to a broadcast custkey set,
+    orders restricted to those customers become a sorted (orderkey ->
+    customer nation) broadcast when under ``broadcast_max_rows``
+    (they're ~2/|nations| of all orders), else the plan flips to the
+    keyed exchange — supplier nation attaches map-side and the orderkey
+    join rides stages/relational.inner_join. Partials are bounded by
+    2 pair-directions x |years|; revenue is int64 cents x (100 -
+    disc_pct), division replayed in SQL."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    N1, N2 = "NATION_1", "NATION_2"
+    LO = int(pd.Timestamp("1996-01-01").value // 1000)
+    HI = int(pd.Timestamp("1998-01-01").value // 1000)
+
+    nat_parts = [b for b in _read(sf_dir, "nation",
+                                  ["n_nationkey", "n_name"])
+                 .iter_batches(batch_size=4096, batch_format="pyarrow")]
+    nat = pa.concat_tables(nat_parts) if nat_parts else pa.table(
+        {"n_nationkey": pa.array([], pa.int64()),
+         "n_name": pa.array([], pa.string())})
+    nk = nat["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nn = np.asarray(nat["n_name"].to_pylist(), dtype=object)
+    k1 = nk[nn == N1]
+    k2 = nk[nn == N2]
+    if not len(k1) or not len(k2):
+        return pa.table({"supp_nation": pa.array([], pa.string()),
+                         "cust_nation": pa.array([], pa.string()),
+                         "l_year": pa.array([], pa.int64()),
+                         "revenue": pa.array([], pa.float64())})
+    k1, k2 = int(k1[0]), int(k2[0])
+    name_of = {k1: N1, k2: N2}
+
+    # customers of the two nations -> sorted (custkey, nationkey)
+    ck_p, cn_p = [], []
+    for b in _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+            .iter_batches(batch_size=65536, batch_format="pyarrow"):
+        c = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b["c_nationkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = (v == k1) | (v == k2)
+        ck_p.append(c[m])
+        cn_p.append(v[m])
+    ck = np.concatenate(ck_p) if ck_p else np.empty(0, np.int64)
+    cn = np.concatenate(cn_p) if cn_p else np.empty(0, np.int64)
+    co = np.argsort(ck)
+    cref = ray.put((ck[co], cn[co]))
+
+    # supplier nation is a dimension broadcast either way
+    sk_p, sn_p = [], []
+    for b in _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+            .iter_batches(batch_size=65536, batch_format="pyarrow"):
+        s_ = b["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b["s_nationkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = (v == k1) | (v == k2)
+        sk_p.append(s_[m])
+        sn_p.append(v[m])
+    sk = np.concatenate(sk_p) if sk_p else np.empty(0, np.int64)
+    sn = np.concatenate(sn_p) if sn_p else np.empty(0, np.int64)
+    so = np.argsort(sk)
+    sk, sn = sk[so], sn[so]
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def ofilt(t: pa.Table) -> pa.Table:
+        k, v = cached_get(cref)
+        oc = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(k):
+            i = np.clip(np.searchsorted(k, oc), 0, len(k) - 1)
+            m = k[i] == oc
+            cnat = v[i]
+        else:
+            m = np.zeros(len(oc), dtype=bool)
+            cnat = np.zeros(len(oc), np.int64)
+        return pa.table({
+            "ok": t["o_orderkey"].cast(pa.int64()).filter(pa.array(m)),
+            "cnat": pa.array(cnat[m], pa.int64())})
+
+    o_ds = orders.map_batches(ofilt, batch_format="pyarrow")
+    ot = gather_capped(o_ds, broadcast_max_rows, pa.schema(
+        [("ok", pa.int64()), ("cnat", pa.int64())]))
+
+    li = _read_sized(sf_dir, "lineitem",
+                     ["l_orderkey", "l_suppkey", "l_shipdate",
+                      "l_extendedprice", "l_discount"])
+    _EMPTY = pa.table({"snat": pa.array([], pa.int64()),
+                       "cnat": pa.array([], pa.int64()),
+                       "l_year": pa.array([], pa.int64()),
+                       "rev_micro": pa.array([], pa.int64())})
+
+    def pair_partial(snat, cnat, year, micro) -> pa.Table:
+        """<= 2 x |years|-bounded partial over (snat, cnat, year)."""
+        key = (snat * 2 + (cnat == k2).astype(np.int64)) * 4096 + year
+        uk, inv = np.unique(key, return_inverse=True)
+        rev = np.zeros(len(uk), np.int64)
+        np.add.at(rev, inv, micro)
+        return pa.table({
+            "snat": pa.array(uk // 4096 // 2, pa.int64()),
+            "cnat": pa.array(np.where((uk // 4096) % 2 == 1, k2, k1)
+                             .astype(np.int64) if len(uk) else
+                             np.empty(0, np.int64), pa.int64()),
+            "l_year": pa.array(uk % 4096, pa.int64()),
+            "rev_micro": pa.array(rev)})
+
+    def li_common(t: pa.Table):
+        sd = t["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        m = (sd >= LO) & (sd < HI)
+        ls = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(sk):
+            j = np.clip(np.searchsorted(sk, ls), 0, len(sk) - 1)
+            m &= sk[j] == ls
+            snat = sn[j]
+        else:
+            m &= False
+            snat = np.zeros(len(ls), np.int64)
+        yr = pc.year(t["l_shipdate"]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ep = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100)),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        dc = pc.cast(pc.round(pc.multiply(t["l_discount"], 100)),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        return m, snat, yr, ep * (100 - dc)
+
+    if ot is not None:
+        okeys = ot["ok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        onat = ot["cnat"].to_numpy(zero_copy_only=False).astype(np.int64)
+        oo = np.argsort(okeys)
+        oref = ray.put((okeys[oo], onat[oo]))
+
+        def partial(t: pa.Table) -> pa.Table:
+            ok, on = cached_get(oref)
+            m, snat, yr, micro = li_common(t)
+            lo = t["l_orderkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            if not len(ok):
+                return _EMPTY
+            i = np.clip(np.searchsorted(ok, lo), 0, len(ok) - 1)
+            m &= ok[i] == lo
+            cnat = on[i]
+            # opposite-nation pairs only
+            m &= snat != cnat
+            return pair_partial(snat[m], cnat[m], yr[m], micro[m])
+
+        joined_partials = li.map_batches(partial, batch_format="pyarrow")
+    else:
+        from ray_data_mplsh.stages.relational import inner_join
+
+        def lmap(t: pa.Table) -> pa.Table:
+            m, snat, yr, micro = li_common(t)
+            lo = t["l_orderkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            return pa.table({"lok": pa.array(lo[m], pa.int64()),
+                             "snat": pa.array(snat[m], pa.int64()),
+                             "l_year": pa.array(yr[m], pa.int64()),
+                             "micro": pa.array(micro[m], pa.int64())})
+
+        j = inner_join(li.map_batches(lmap, batch_format="pyarrow"),
+                       o_ds, left_on="lok", right_on="ok",
+                       hot_key_threshold=0)
+
+        def post(t: pa.Table) -> pa.Table:
+            sn_ = t["snat"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cn_ = t["cnat"].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = sn_ != cn_
+            return pair_partial(
+                sn_[m], cn_[m],
+                t["l_year"].to_numpy(zero_copy_only=False)
+                .astype(np.int64)[m],
+                t["micro"].to_numpy(zero_copy_only=False)
+                .astype(np.int64)[m])
+
+        joined_partials = j.map_batches(post, batch_format="pyarrow")
+
+    agg = joined_partials.groupby(["snat", "cnat", "l_year"]) \
+        .aggregate(Sum("rev_micro", alias_name="rev_micro"))
+    # <= 2 pair-directions x |years| rows: gather so the empty case
+    # keeps its schema
+    t = gather_capped(agg, 1_000_000, pa.schema(
+        [("snat", pa.int64()), ("cnat", pa.int64()),
+         ("l_year", pa.int64()), ("rev_micro", pa.int64())]))
+    assert t is not None, "q7 pair-year aggregate overflowed the cap"
+    sn_ = t["snat"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cn_ = t["cnat"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table({
+        "supp_nation": pa.array([name_of[int(x)] for x in sn_],
+                                pa.string()),
+        "cust_nation": pa.array([name_of[int(x)] for x in cn_],
+                                pa.string()),
+        "l_year": pc.cast(t["l_year"], pa.int64()),
+        "revenue": pc.divide(
+            pc.cast(pc.cast(t["rev_micro"], pa.int64()), pa.float64()),
+            10000.0)})
+
+
+def q_gopher_quality(sf_dir: str):
+    """Gopher-style document quality rules (Rae et al. 2021, table A1
+    subset adapted to the single-spaced corpus): per-doc word count
+    bounds, mean-word-length band, alphabetic-word fraction, and
+    stopword presence. Stateless one-pass map, no exchange; every rule
+    is decided AS INTEGERS (3n <= chars <= 10n, 5*alpha >= 4*n) so no
+    float ratio can tie-break differently across engines. Splitting
+    keeps empty tokens exactly like DuckDB's string_split, and word
+    character mass comes from len(text) - #spaces so multi-space runs
+    agree too."""
+    STOP = pa.array(["the", "a", "of", "and", "to"], pa.string())
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern(text, pattern=" ")
+        nw = pc.list_value_length(words).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n_sp = pc.count_substring(text, pattern=" ") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        wchars = pc.utf8_length(text).to_numpy(zero_copy_only=False) \
+            .astype(np.int64) - n_sp
+        flat = words.flatten()
+        seg = np.concatenate(([0], np.cumsum(nw)))[:-1]
+        alpha = pc.match_substring_regex(flat, pattern="[a-z]") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        stop = pc.is_in(flat, value_set=STOP) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n_alpha = np.add.reduceat(alpha, seg) if len(flat) else \
+            np.zeros(len(nw), np.int64)
+        n_stop = np.add.reduceat(stop, seg) if len(flat) else \
+            np.zeros(len(nw), np.int64)
+        if len(nw):  # reduceat repeats segments for empty docs
+            n_alpha[nw == 0] = 0
+            n_stop[nw == 0] = 0
+        ok_nwords = (nw >= 50) & (nw <= 100000)
+        ok_meanlen = (3 * nw <= wchars) & (wchars <= 10 * nw)
+        ok_alpha = 5 * n_alpha >= 4 * nw
+        ok_stop = n_stop >= 2
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_words": pa.array(nw, pa.int64()),
+            "ok_nwords": pa.array(ok_nwords),
+            "ok_meanlen": pa.array(ok_meanlen),
+            "ok_alpha": pa.array(ok_alpha),
+            "ok_stop": pa.array(ok_stop),
+            "keep": pa.array(ok_nwords & ok_meanlen & ok_alpha & ok_stop)})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def dedup_tiers(ds, prefix_len: int = 40):
+    """Tier-dedup attribution over a (doc_id, text) Dataset: label every
+    document with the FIRST dedup tier that would remove it — 'exact'
+    (byte-identical to an earlier doc), 'normalized' (case/punctuation-
+    insensitive duplicate), 'prefix' (first ``prefix_len`` chars of the
+    NORMALIZED text collide — the cheap blocking tier web pipelines run
+    before MinHash), else 'unique'. The three group relations are nested
+    (exact ⊆ normalized ⊆ norm-prefix), so ONE exchange routed on the
+    norm-prefix hash co-locates every member of all three groups and
+    classifies with three in-partition factorize/min passes. Min doc_id
+    is the canonical rule, matching the flagship and the SQL window
+    replay."""
+    from ray_data_mplsh.functions.hashing import hash_str_array
+    from ray_data_mplsh.stages.shuffle import (default_partitions,
+                                               partition_apply)
+
+    def norm(b: pa.Table) -> pa.Table:
+        nt = pc.utf8_lower(pc.replace_substring_regex(
+            b["text"], pattern="[^a-zA-Z0-9 ]", replacement=""))
+        npfx = pc.utf8_slice_codeunits(nt, start=0, stop=prefix_len)
+        return pa.table({
+            "doc_id": b["doc_id"], "text": b["text"], "norm": nt,
+            "npfx": npfx,
+            "_ph": pa.array(hash_str_array(npfx), pa.uint64())})
+
+    def classify(part: pa.Table) -> pa.Table:
+        ids = part["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if not len(ids):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "tier": pa.array([], pa.string())})
+
+        def group_min(codes: np.ndarray) -> np.ndarray:
+            rep = np.full(codes.max() + 1, np.iinfo(np.int64).max,
+                          np.int64)
+            np.minimum.at(rep, codes, ids)
+            return rep[codes]
+
+        e_rep = group_min(pd.factorize(part["text"].to_pandas(),
+                                       sort=False)[0])
+        n_rep = group_min(pd.factorize(part["norm"].to_pandas(),
+                                       sort=False)[0])
+        p_rep = group_min(pd.factorize(part["npfx"].to_pandas(),
+                                       sort=False)[0])
+        tier = np.where(
+            ids != e_rep, "exact",
+            np.where(ids != n_rep, "normalized",
+                     np.where(ids != p_rep, "prefix", "unique")))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "tier": pa.array(tier.astype(object),
+                                          pa.string())})
+
+    return partition_apply(ds.map_batches(norm, batch_format="pyarrow"),
+                           "_ph", classify, default_partitions())
+
+
+def q_dedup_tiers(sf_dir: str):
+    """Tier-dedup attribution report over the documents table (see
+    ``dedup_tiers``)."""
+    return dedup_tiers(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_lang_counts": q_lang_counts,
@@ -4488,6 +5032,12 @@ QUERIES = {
     "q_tpch_q15": q_tpch_q15,
     "q_tpch_q13": q_tpch_q13,
     "q_tpch_q4": q_tpch_q4,
+    "q_tpch_q17": q_tpch_q17,
+    "q_tpch_q19": q_tpch_q19,
+    "q_tpch_q22": q_tpch_q22,
+    "q_tpch_q7": q_tpch_q7,
+    "q_gopher_quality": q_gopher_quality,
+    "q_dedup_tiers": q_dedup_tiers,
     "q_pack_sequences": q_pack_sequences,
     "q_remove_dup_ngrams": q_remove_dup_ngrams,
 }
@@ -5180,6 +5730,89 @@ ORACLE_SQL = {
         "SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
         "AND l_shipdate > o_orderdate + INTERVAL 30 DAY) "
         "GROUP BY o_orderpriority",
+    "q_tpch_q17":
+        "WITH bp AS (SELECT p_partkey FROM part "
+        "WHERE p_brand = 'Brand#4'), "
+        "agg AS (SELECT l_partkey AS pk, "
+        "SUM(CAST(round(l_quantity) AS BIGINT)) AS sq, "
+        "CAST(COUNT(*) AS BIGINT) AS cq FROM lineitem "
+        "JOIN bp ON l_partkey = p_partkey GROUP BY l_partkey) "
+        "SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) "
+        "AS DOUBLE) / 100.0 / 7.0 AS avg_yearly FROM lineitem "
+        "JOIN agg ON l_partkey = pk "
+        "WHERE 5 * CAST(round(l_quantity) AS BIGINT) * cq < sq",
+    "q_tpch_q19":
+        "SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * "
+        "(100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE) "
+        "/ 10000.0 AS revenue FROM lineitem "
+        "JOIN part ON l_partkey = p_partkey WHERE "
+        "(p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 "
+        "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 1 AND 11) "
+        "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20 "
+        "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20) "
+        "OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 25 "
+        "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)",
+    "q_tpch_q22":
+        "WITH pos AS (SELECT "
+        "SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS s, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM customer "
+        "WHERE CAST(round(c_acctbal*100) AS BIGINT) > 0) "
+        "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, "
+        "CAST(COUNT(*) AS BIGINT) AS numcust, "
+        "CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE) "
+        "/ 100.0 AS totacctbal FROM customer, pos "
+        "WHERE CAST(round(c_acctbal*100) AS BIGINT) * n > s "
+        "AND NOT EXISTS (SELECT 1 FROM orders "
+        "WHERE o_custkey = c_custkey "
+        "AND o_orderdate >= TIMESTAMP '2000-01-01') "
+        "GROUP BY c_nationkey",
+    "q_tpch_q7":
+        "WITH f AS (SELECT n1.n_name AS supp_nation, "
+        "n2.n_name AS cust_nation, "
+        "CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year, "
+        "CAST(round(l_extendedprice*100) AS BIGINT) * "
+        "(100 - CAST(round(l_discount*100) AS BIGINT)) AS micro "
+        "FROM supplier, lineitem, orders, customer, nation n1, nation n2 "
+        "WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey "
+        "AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey "
+        "AND c_nationkey = n2.n_nationkey "
+        "AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+        "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
+        "AND l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1998-01-01') "
+        "SELECT supp_nation, cust_nation, l_year, "
+        "CAST(SUM(micro) AS DOUBLE) / 10000.0 AS revenue FROM f "
+        "GROUP BY supp_nation, cust_nation, l_year",
+    "q_gopher_quality":
+        "WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws, "
+        "CAST(length(replace(text, ' ', '')) AS BIGINT) AS wchars "
+        "FROM documents), "
+        "r AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, "
+        "wchars, CAST(len(list_filter(ws, "
+        "w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha, "
+        "CAST(len(list_filter(ws, "
+        "w -> w IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop "
+        "FROM d) "
+        "SELECT doc_id, n_words, "
+        "(n_words >= 50 AND n_words <= 100000) AS ok_nwords, "
+        "(3*n_words <= wchars AND wchars <= 10*n_words) AS ok_meanlen, "
+        "(5*n_alpha >= 4*n_words) AS ok_alpha, "
+        "(n_stop >= 2) AS ok_stop, "
+        "((n_words >= 50 AND n_words <= 100000) AND "
+        "(3*n_words <= wchars AND wchars <= 10*n_words) AND "
+        "(5*n_alpha >= 4*n_words) AND (n_stop >= 2)) AS keep FROM r",
+    "q_dedup_tiers":
+        "WITH n AS (SELECT doc_id, text, lower(regexp_replace(text, "
+        "'[^a-zA-Z0-9 ]', '', 'g')) AS norm FROM documents), "
+        "r AS (SELECT doc_id, "
+        "MIN(doc_id) OVER (PARTITION BY text) AS e_rep, "
+        "MIN(doc_id) OVER (PARTITION BY norm) AS n_rep, "
+        "MIN(doc_id) OVER (PARTITION BY substring(norm, 1, 40)) "
+        "AS p_rep FROM n) "
+        "SELECT doc_id, CASE WHEN doc_id <> e_rep THEN 'exact' "
+        "WHEN doc_id <> n_rep THEN 'normalized' "
+        "WHEN doc_id <> p_rep THEN 'prefix' ELSE 'unique' END "
+        "AS tier FROM r",
     "q_tpch_q18":
         "SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, "
         "CAST(sum_qty AS BIGINT) AS sum_qty FROM (SELECT l_orderkey, "

@@ -48,7 +48,9 @@ CHECK = ["q_word_stats", "q_doc_freq", "q_allpair_jaccard",
          "q_lsh_verified_pairs", "q_lsh_clusters",
          "q_substring_candidates", "q_tpch_q10", "q_tpch_q18",
          "q_pack_sequences", "q_remove_dup_ngrams", "q_tpch_q6",
-         "q_tpch_q15", "q_tpch_q13", "q_tpch_q4"]
+         "q_tpch_q15", "q_tpch_q13", "q_tpch_q4", "q_tpch_q17",
+         "q_tpch_q19", "q_tpch_q22", "q_tpch_q7", "q_gopher_quality",
+         "q_dedup_tiers"]
 
 
 @pytest.fixture(scope="module")
@@ -512,3 +514,43 @@ def test_pack_sequences_sparse_ids_and_block_invariance(ray_session,
     got2 = q_pack_sequences(str(tmp_path)).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got2, want, check_exact=True)
+
+
+def test_dedup_tiers_planted(ray_session, tmp_path):
+    """dedup_tiers on a planted corpus exercising every tier (the sf
+    documents corpus has no exact/normalized dups, so the driver gate
+    only sees 'prefix'/'unique' — this pins the other branches): an
+    exact dup, a case variant, a punctuation variant, a shared-40-prefix
+    doc, and two uniques, checked against hand labels AND the DuckDB
+    window replay."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from ray_data_mplsh.pipelines.queries import ORACLE_SQL, q_dedup_tiers
+
+    base = "alpha beta gamma delta " * 4  # 40-char norm prefixes collide
+    texts = [
+        base + "one two three",                      # 0: unique rep
+        base + "one two three",                      # 1: exact dup of 0
+        (base + "one two three").upper(),            # 2: case variant
+        base + "one!! two,, three",                  # 3: punct variant
+        base + "totally different tail words here",  # 4: prefix-only dup
+        "no shared prefix at all in this document",  # 5: unique
+    ]
+    t = pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    got = q_dedup_tiers(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(got["tier"]) == ["unique", "exact", "normalized",
+                                 "normalized", "prefix", "unique"]
+
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.sql(ORACLE_SQL["q_dedup_tiers"]).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con.close()
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
