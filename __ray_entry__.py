@@ -41,7 +41,10 @@ prefix of it), rows-only entries last:
     docs dropping non-owner dup-8-gram spans, broadcast probe +
     exchange fallback),
     q_prefix_dup_groups* (exact-prefix dup blocking groups),
-    q_mixture_sample* (per-source deterministic mixture downsampling)
+    q_mixture_sample* (per-source deterministic mixture downsampling),
+    q_gopher_quality* (Gopher-rule quality gate, integer-decided
+    ratios), q_dedup_tiers* (tier-dedup attribution: exact/normalized/
+    prefix/unique via one nested-group exchange)
   relational/aggregates: q_lang_counts*, q_len_filter*, q_top_sources*,
     q_distinct_langs*, q_events_daily*, q_events_props*,
     q_join_ord_cust*, q_lineitem_agg*, q_region_nation*,
@@ -86,7 +89,15 @@ prefix of it), rows-only entries last:
     q_tpch_q3* (3-table zero-shuffle broadcast join, top-10 revenue),
     q_tpch_q10* (returned-item customer report, broadcast order map +
     dimension attach), q_tpch_q18* (large-volume orders, HAVING cutoff
-    + broadcast key filter), q_pack_sequences* (sequence packing via a
+    + broadcast key filter), q_tpch_q6* (predicate-pushdown scan, int
+    partials), q_tpch_q15* (top supplier, |suppliers|-bounded groupby),
+    q_tpch_q13* (customer order-count distribution via count-of-counts),
+    q_tpch_q4* (order-priority EXISTS via broadcast order map),
+    q_tpch_q17* (small-quantity revenue, integer 20%%-of-avg cutoff),
+    q_tpch_q19* (disjunctive brand/size/qty branches, broadcast part
+    sets), q_tpch_q22* (dormant rich customers via the distributed
+    anti-join), q_tpch_q7* (two-nation volume, broadcast order map with
+    keyed-exchange fallback), q_pack_sequences* (sequence packing via a
     distributed exclusive prefix sum over token counts),
     q_late_shipments* (fact-fact keyed-exchange inner join, Q12 shape),
     q_profile_events* (one-pass per-column null/count profile),
