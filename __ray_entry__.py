@@ -97,7 +97,9 @@ prefix of it), rows-only entries last:
     q_tpch_q19* (disjunctive brand/size/qty branches, broadcast part
     sets), q_tpch_q22* (dormant rich customers via the distributed
     anti-join), q_tpch_q7* (two-nation volume, broadcast order map with
-    keyed-exchange fallback), q_pack_sequences* (sequence packing via a
+    keyed-exchange fallback), q_tpch_q8* (national market share, dual
+    num/den integer partials per year), q_pack_sequences* (sequence
+    packing via a
     distributed exclusive prefix sum over token counts),
     q_late_shipments* (fact-fact keyed-exchange inner join, Q12 shape),
     q_profile_events* (one-pass per-column null/count profile),

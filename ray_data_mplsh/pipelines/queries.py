@@ -4807,6 +4807,206 @@ def q_tpch_q7(sf_dir: str, broadcast_max_rows: int = 4_000_000):
             10000.0)})
 
 
+def q_tpch_q8(sf_dir: str, broadcast_max_rows: int = 4_000_000):
+    """TPC-H Q8 shape (national market share): one nation's share of a
+    region's revenue for one part type, per order year. All three
+    dimension filters collapse to broadcasts (part-type partkeys,
+    suppkey -> is-nation flag, region custkeys); the two-year orders
+    window restricted to the region's customers becomes a sorted
+    (orderkey -> order year) broadcast under ``broadcast_max_rows``,
+    else the plan flips to the keyed exchange (map-side part/supplier
+    attach + inner_join on orderkey, the q_tpch_q5/q7 fallback). Each
+    lineitem batch folds to <= |years| (numerator, denominator) int64
+    cent partials; the one share division is replayed in SQL."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    REGION, PTYPE, NATION = "AMERICA", "ECONOMY", "NATION_5"
+    LO = int(pd.Timestamp("1996-01-01").value // 1000)
+    HI = int(pd.Timestamp("1998-01-01").value // 1000)
+
+    # region + nation are driver-tiny
+    reg_rows = [b for b in _read(sf_dir, "region",
+                                 ["r_regionkey", "r_name"])
+                .iter_batches(batch_size=4096, batch_format="pyarrow")]
+    reg = pa.concat_tables(reg_rows) if reg_rows else pa.table(
+        {"r_regionkey": pa.array([], pa.int64()),
+         "r_name": pa.array([], pa.string())})
+    rk = reg.filter(pc.equal(reg["r_name"], REGION))["r_regionkey"] \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    nat_rows = [b for b in _read(sf_dir, "nation",
+                                 ["n_nationkey", "n_name", "n_regionkey"])
+                .iter_batches(batch_size=4096, batch_format="pyarrow")]
+    nat = pa.concat_tables(nat_rows) if nat_rows else pa.table(
+        {"n_nationkey": pa.array([], pa.int64()),
+         "n_name": pa.array([], pa.string()),
+         "n_regionkey": pa.array([], pa.int64())})
+    nk_all = nat["n_nationkey"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    in_reg = np.isin(nat["n_regionkey"].to_numpy(zero_copy_only=False)
+                     .astype(np.int64), rk)
+    reg_nkeys = nk_all[in_reg]
+    nn = np.asarray(nat["n_name"].to_pylist(), dtype=object)
+    target_nk = nk_all[nn == NATION]
+    target_nk = int(target_nk[0]) if len(target_nk) else -1
+
+    # part-type partkeys + suppkey -> is-nation flag broadcasts
+    pk_parts = []
+    for b in _read(sf_dir, "part", ["p_partkey", "p_type"]) \
+            .iter_batches(batch_size=65536, batch_format="pyarrow"):
+        m = pc.equal(b["p_type"], PTYPE).to_numpy(zero_copy_only=False)
+        pk_parts.append(b["p_partkey"].to_numpy(zero_copy_only=False)
+                        .astype(np.int64)[m])
+    ppk = np.sort(np.concatenate(pk_parts)) if pk_parts else \
+        np.empty(0, np.int64)
+    sk_p, sf_p = [], []
+    for b in _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+            .iter_batches(batch_size=65536, batch_format="pyarrow"):
+        sk_p.append(b["s_suppkey"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64))
+        sf_p.append((b["s_nationkey"].to_numpy(zero_copy_only=False)
+                     .astype(np.int64) == target_nk).astype(np.int8))
+    sk = np.concatenate(sk_p) if sk_p else np.empty(0, np.int64)
+    sfl = np.concatenate(sf_p) if sf_p else np.empty(0, np.int8)
+    so = np.argsort(sk)
+    sk, sfl = sk[so], sfl[so]
+
+    # region custkeys
+    ck_parts = []
+    for b in _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+            .iter_batches(batch_size=65536, batch_format="pyarrow"):
+        m = np.isin(b["c_nationkey"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64), reg_nkeys)
+        ck_parts.append(b["c_custkey"].to_numpy(zero_copy_only=False)
+                        .astype(np.int64)[m])
+    ck = np.sort(np.concatenate(ck_parts)) if ck_parts else \
+        np.empty(0, np.int64)
+    cref = ray.put(ck)
+    dref = ray.put((ppk, sk, sfl))
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ofilt(t: pa.Table) -> pa.Table:
+        keys = cached_get(cref)
+        od = t["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        oc = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = (od >= LO) & (od < HI)
+        if len(keys):
+            i = np.clip(np.searchsorted(keys, oc), 0, len(keys) - 1)
+            m &= keys[i] == oc
+        else:
+            m &= False
+        yr = pc.year(t["o_orderdate"]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "ok": t["o_orderkey"].cast(pa.int64()).filter(pa.array(m)),
+            "o_year": pa.array(yr[m], pa.int64())})
+
+    o_ds = orders.map_batches(ofilt, batch_format="pyarrow")
+    ot = gather_capped(o_ds, broadcast_max_rows, pa.schema(
+        [("ok", pa.int64()), ("o_year", pa.int64())]))
+
+    li = _read_sized(sf_dir, "lineitem",
+                     ["l_orderkey", "l_partkey", "l_suppkey",
+                      "l_extendedprice", "l_discount"])
+
+    def li_common(t: pa.Table):
+        """part + supplier attach: mask, is-nation flag, cent micros."""
+        pk_, sk_, sf_ = cached_get(dref)
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ls = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(pk_):
+            i = np.clip(np.searchsorted(pk_, lp), 0, len(pk_) - 1)
+            m = pk_[i] == lp
+        else:
+            m = np.zeros(len(lp), dtype=bool)
+        if len(sk_):
+            j = np.clip(np.searchsorted(sk_, ls), 0, len(sk_) - 1)
+            m &= sk_[j] == ls
+            isn = sf_[j].astype(np.int64)
+        else:
+            m &= False
+            isn = np.zeros(len(ls), np.int64)
+        ep = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100)),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        dc = pc.cast(pc.round(pc.multiply(t["l_discount"], 100)),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        return m, isn, ep * (100 - dc)
+
+    def year_partial(yr, isn, micro) -> pa.Table:
+        uk, inv = np.unique(yr, return_inverse=True)
+        den = np.zeros(len(uk), np.int64)
+        num = np.zeros(len(uk), np.int64)
+        np.add.at(den, inv, micro)
+        np.add.at(num, inv, micro * isn)
+        return pa.table({"o_year": pa.array(uk, pa.int64()),
+                         "num_micro": pa.array(num),
+                         "den_micro": pa.array(den)})
+
+    _EMPTY = pa.table({"o_year": pa.array([], pa.int64()),
+                       "num_micro": pa.array([], pa.int64()),
+                       "den_micro": pa.array([], pa.int64())})
+
+    if ot is not None:
+        okeys = ot["ok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        oyr = ot["o_year"].to_numpy(zero_copy_only=False).astype(np.int64)
+        oo = np.argsort(okeys)
+        oref = ray.put((okeys[oo], oyr[oo]))
+
+        def partial(t: pa.Table) -> pa.Table:
+            ok, oy = cached_get(oref)
+            m, isn, micro = li_common(t)
+            lo = t["l_orderkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            if not len(ok):
+                return _EMPTY
+            i = np.clip(np.searchsorted(ok, lo), 0, len(ok) - 1)
+            m &= ok[i] == lo
+            return year_partial(oy[i][m], isn[m], micro[m])
+
+        partials = li.map_batches(partial, batch_format="pyarrow")
+    else:
+        from ray_data_mplsh.stages.relational import inner_join
+
+        def lmap(t: pa.Table) -> pa.Table:
+            m, isn, micro = li_common(t)
+            lo = t["l_orderkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            return pa.table({"lok": pa.array(lo[m], pa.int64()),
+                             "isn": pa.array(isn[m], pa.int64()),
+                             "micro": pa.array(micro[m], pa.int64())})
+
+        j = inner_join(li.map_batches(lmap, batch_format="pyarrow"),
+                       o_ds, left_on="lok", right_on="ok",
+                       hot_key_threshold=0)
+
+        def post(t: pa.Table) -> pa.Table:
+            return year_partial(
+                t["o_year"].to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                t["isn"].to_numpy(zero_copy_only=False).astype(np.int64),
+                t["micro"].to_numpy(zero_copy_only=False)
+                .astype(np.int64))
+
+        partials = j.map_batches(post, batch_format="pyarrow")
+
+    agg = partials.groupby("o_year").aggregate(
+        Sum("num_micro", alias_name="num_micro"),
+        Sum("den_micro", alias_name="den_micro"))
+    t = gather_capped(agg, 1_000_000, pa.schema(
+        [("o_year", pa.int64()), ("num_micro", pa.int64()),
+         ("den_micro", pa.int64())]))
+    assert t is not None, "q8 year aggregate overflowed the cap"
+    num = t["num_micro"].to_numpy(zero_copy_only=False).astype(np.float64)
+    den = t["den_micro"].to_numpy(zero_copy_only=False).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        share = num / den
+    return pa.table({"o_year": pc.cast(t["o_year"], pa.int64()),
+                     "mkt_share": pa.array(share, pa.float64())})
+
+
 def q_gopher_quality(sf_dir: str):
     """Gopher-style document quality rules (Rae et al. 2021, table A1
     subset adapted to the single-spaced corpus): per-doc word count
@@ -5038,6 +5238,7 @@ QUERIES = {
     "q_tpch_q7": q_tpch_q7,
     "q_gopher_quality": q_gopher_quality,
     "q_dedup_tiers": q_dedup_tiers,
+    "q_tpch_q8": q_tpch_q8,
     "q_pack_sequences": q_pack_sequences,
     "q_remove_dup_ngrams": q_remove_dup_ngrams,
 }
@@ -5783,6 +5984,25 @@ ORACLE_SQL = {
         "SELECT supp_nation, cust_nation, l_year, "
         "CAST(SUM(micro) AS DOUBLE) / 10000.0 AS revenue FROM f "
         "GROUP BY supp_nation, cust_nation, l_year",
+    "q_tpch_q8":
+        "WITH f AS (SELECT "
+        "CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year, "
+        "CAST(round(l_extendedprice*100) AS BIGINT) * "
+        "(100 - CAST(round(l_discount*100) AS BIGINT)) AS micro, "
+        "(s_nationkey = (SELECT n_nationkey FROM nation "
+        "WHERE n_name = 'NATION_5')) AS is_n "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+        "JOIN region ON n2.n_regionkey = r_regionkey "
+        "JOIN part ON l_partkey = p_partkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY' "
+        "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1998-01-01') "
+        "SELECT o_year, "
+        "CAST(SUM(CASE WHEN is_n THEN micro ELSE 0 END) AS DOUBLE) / "
+        "CAST(SUM(micro) AS DOUBLE) AS mkt_share FROM f GROUP BY o_year",
     "q_gopher_quality":
         "WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws, "
         "CAST(length(replace(text, ' ', '')) AS BIGINT) AS wchars "

@@ -364,21 +364,22 @@ def test_tpch_broadcast_overflow_fallback(ray_session):
         pd.testing.assert_frame_equal(got, want, check_exact=True)
 
 
-def test_tpch_q7_broadcast_overflow_fallback(ray_session):
-    """q_tpch_q7 with broadcast_max_rows=0: the two-nation filtered
+def test_tpch_q7_q8_broadcast_overflow_fallback(ray_session):
+    """q_tpch_q7 / q_tpch_q8 with broadcast_max_rows=0: the filtered
     orders map overflows the gather cap and the plan flips to the keyed
-    exchange (map-side supplier-nation attach + inner_join on orderkey).
-    Must equal the broadcast plan bit-for-bit; sf0.01 so the pair-year
-    result is non-empty (sf0.001's two-nation window has no rows)."""
+    exchange (map-side dimension attach + inner_join on orderkey).
+    Must equal the broadcast plan bit-for-bit; sf0.01 so the results
+    are non-empty (sf0.001's filtered windows have no rows)."""
     import pandas as pd
 
-    from ray_data_mplsh.pipelines.queries import q_tpch_q7
+    from ray_data_mplsh.pipelines.queries import q_tpch_q7, q_tpch_q8
 
     sf = "/root/testdata/sf0.01"
-    want = q_tpch_q7(sf).to_pandas()
-    assert len(want) > 0
-    cols = list(want.columns)
-    want = want.sort_values(cols).reset_index(drop=True)
-    got = q_tpch_q7(sf, broadcast_max_rows=0).to_pandas()[cols] \
-        .sort_values(cols).reset_index(drop=True)
-    pd.testing.assert_frame_equal(got, want, check_exact=True)
+    for q in (q_tpch_q7, q_tpch_q8):
+        want = q(sf).to_pandas()
+        assert len(want) > 0
+        cols = list(want.columns)
+        want = want.sort_values(cols).reset_index(drop=True)
+        got = q(sf, broadcast_max_rows=0).to_pandas()[cols] \
+            .sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_exact=True)
