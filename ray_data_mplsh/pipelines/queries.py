@@ -5007,6 +5007,89 @@ def q_tpch_q8(sf_dir: str, broadcast_max_rows: int = 4_000_000):
                      "mkt_share": pa.array(share, pa.float64())})
 
 
+def q_tpch_q16(sf_dir: str):
+    """TPC-H Q16 shape (supplier count per part attribute), adapted to
+    the shipped schema: the partsupp relation is stood in by the
+    DISTINCT (l_partkey, l_suppkey) pairs observed in lineitem. Parts of
+    one excluded brand are dropped, survivors grouped by (brand, type,
+    size) with an exact COUNT(DISTINCT supplier). The part dimension
+    reduces to a broadcast partkey -> group-code lookup; each lineitem
+    batch emits its DISTINCT (group, suppkey) pairs (a combiner —
+    exchange volume is bounded by |groups| x |suppliers|, not rows), one
+    pair-keyed groupby dedups globally, and a |groups|-bounded reduce
+    counts. Group attributes re-attach from the driver-held code
+    table."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    EXCL = "Brand#4"
+    SIZES = np.array([1, 7, 14, 23, 36, 45], np.int64)
+
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_type", "p_size"])
+    rows = [b for b in part.iter_batches(batch_size=65536,
+                                         batch_format="pyarrow")]
+    pt = pa.concat_tables(rows) if rows else pa.table(
+        {"p_partkey": pa.array([], pa.int64()),
+         "p_brand": pa.array([], pa.string()),
+         "p_type": pa.array([], pa.string()),
+         "p_size": pa.array([], pa.int32())})
+    br = np.asarray(pt["p_brand"].to_pylist(), dtype=object)
+    ty = np.asarray(pt["p_type"].to_pylist(), dtype=object)
+    sz = pt["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = (br != EXCL) & np.isin(sz, SIZES)
+    pk = pt["p_partkey"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)[keep]
+    gkey = pd.factorize(
+        pd.Series([f"{b}|{t}|{s}" for b, t, s in
+                   zip(br[keep], ty[keep], sz[keep])]), sort=False)
+    codes, uniq = gkey
+    # driver-held group attribute table, |groups|-sized
+    first = pd.Series(np.arange(len(codes))).groupby(codes).min().values
+    g_brand = br[keep][first]
+    g_type = ty[keep][first]
+    g_size = sz[keep][first]
+    po = np.argsort(pk)
+    ref = ray.put((pk[po], codes[po].astype(np.int64)))
+
+    li = _read_sized(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        keys, gcode = cached_get(ref)
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ls = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(keys):
+            return pa.table({"pair": pa.array([], pa.int64())})
+        i = np.clip(np.searchsorted(keys, lp), 0, len(keys) - 1)
+        m = keys[i] == lp
+        # pack (group, suppkey) into one int64: suppkeys are dense ids
+        pair = np.unique(gcode[i][m] << 32 | ls[m])
+        return pa.table({"pair": pa.array(pair, pa.int64())})
+
+    dedup = li.map_batches(pairs, batch_format="pyarrow") \
+        .groupby("pair").aggregate(Count(alias_name="_n"))
+
+    def per_group(t: pa.Table) -> pa.Table:
+        g = t["pair"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64) >> 32
+        uk, inv = np.unique(g, return_inverse=True)
+        return pa.table({"g": pa.array(uk, pa.int64()),
+                         "n": pa.array(np.bincount(inv)
+                                       .astype(np.int64))})
+
+    agg = dedup.map_batches(per_group, batch_format="pyarrow") \
+        .groupby("g").aggregate(Sum("n", alias_name="supplier_cnt"))
+    t = gather_capped(agg, 4_000_000, pa.schema(
+        [("g", pa.int64()), ("supplier_cnt", pa.int64())]))
+    assert t is not None, "q16 group aggregate overflowed the cap"
+    g = t["g"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table({
+        "p_brand": pa.array(g_brand[g].astype(object), pa.string()),
+        "p_type": pa.array(g_type[g].astype(object), pa.string()),
+        "p_size": pa.array(g_size[g], pa.int64()),
+        "supplier_cnt": pc.cast(t["supplier_cnt"], pa.int64())})
+
+
 def q_gopher_quality(sf_dir: str):
     """Gopher-style document quality rules (Rae et al. 2021, table A1
     subset adapted to the single-spaced corpus): per-doc word count
@@ -5239,6 +5322,7 @@ QUERIES = {
     "q_gopher_quality": q_gopher_quality,
     "q_dedup_tiers": q_dedup_tiers,
     "q_tpch_q8": q_tpch_q8,
+    "q_tpch_q16": q_tpch_q16,
     "q_pack_sequences": q_pack_sequences,
     "q_remove_dup_ngrams": q_remove_dup_ngrams,
 }
@@ -5984,6 +6068,13 @@ ORACLE_SQL = {
         "SELECT supp_nation, cust_nation, l_year, "
         "CAST(SUM(micro) AS DOUBLE) / 10000.0 AS revenue FROM f "
         "GROUP BY supp_nation, cust_nation, l_year",
+    "q_tpch_q16":
+        "SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size, "
+        "CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE p_brand <> 'Brand#4' "
+        "AND p_size IN (1, 7, 14, 23, 36, 45) "
+        "GROUP BY p_brand, p_type, p_size",
     "q_tpch_q8":
         "WITH f AS (SELECT "
         "CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year, "
