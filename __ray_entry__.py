@@ -98,8 +98,10 @@ prefix of it), rows-only entries last:
     sets), q_tpch_q22* (dormant rich customers via the distributed
     anti-join), q_tpch_q7* (two-nation volume, broadcast order map with
     keyed-exchange fallback), q_tpch_q8* (national market share, dual
-    num/den integer partials per year), q_pack_sequences* (sequence
-    packing via a
+    num/den integer partials per year), q_tpch_q9* (profit by supplier
+    nation x year, exchange-first at scale), q_tpch_q16* (supplier
+    count per part attrs via a packed-pair distinct combiner),
+    q_pack_sequences* (sequence packing via a
     distributed exclusive prefix sum over token counts),
     q_late_shipments* (fact-fact keyed-exchange inner join, Q12 shape),
     q_profile_events* (one-pass per-column null/count profile),

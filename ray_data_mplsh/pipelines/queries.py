@@ -5007,6 +5007,167 @@ def q_tpch_q8(sf_dir: str, broadcast_max_rows: int = 4_000_000):
                      "mkt_share": pa.array(share, pa.float64())})
 
 
+def q_tpch_q9(sf_dir: str, broadcast_max_rows: int = 4_000_000):
+    """TPC-H Q9 shape (product-type profit), adapted to the shipped
+    schema (no partsupp supplycost, so profit = discounted revenue):
+    revenue from parts whose name matches a pattern, grouped by
+    supplier nation x order year. Part filter (Arrow match_substring —
+    DuckDB's LIKE '%red%' twin) and suppkey -> nationkey ride as
+    broadcasts; orders are UNFILTERED here, so the sorted (orderkey ->
+    year) map only broadcasts under ``broadcast_max_rows`` and
+    otherwise takes the keyed-exchange fallback (the q5/q7/q8 plan) —
+    at real scale Q9 is always on the exchange path, the broadcast is
+    the small-sf fast path. Partials are |nations| x |years|-bounded
+    int64 cents."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    PATTERN = "red"
+
+    nat_rows = [b for b in _read(sf_dir, "nation",
+                                 ["n_nationkey", "n_name"])
+                .iter_batches(batch_size=4096, batch_format="pyarrow")]
+    nat = pa.concat_tables(nat_rows) if nat_rows else pa.table(
+        {"n_nationkey": pa.array([], pa.int64()),
+         "n_name": pa.array([], pa.string())})
+    nkeys = nat["n_nationkey"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    nnames = np.asarray(nat["n_name"].to_pylist(), dtype=object)
+    no = np.argsort(nkeys)
+    nkeys, nnames = nkeys[no], nnames[no]
+
+    pk_parts = []
+    for b in _read(sf_dir, "part", ["p_partkey", "p_name"]) \
+            .iter_batches(batch_size=65536, batch_format="pyarrow"):
+        m = pc.match_substring(b["p_name"], pattern=PATTERN) \
+            .to_numpy(zero_copy_only=False)
+        pk_parts.append(b["p_partkey"].to_numpy(zero_copy_only=False)
+                        .astype(np.int64)[m])
+    ppk = np.sort(np.concatenate(pk_parts)) if pk_parts else \
+        np.empty(0, np.int64)
+    sk_p, sn_p = [], []
+    for b in _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+            .iter_batches(batch_size=65536, batch_format="pyarrow"):
+        sk_p.append(b["s_suppkey"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64))
+        sn_p.append(b["s_nationkey"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64))
+    sk = np.concatenate(sk_p) if sk_p else np.empty(0, np.int64)
+    sn = np.concatenate(sn_p) if sn_p else np.empty(0, np.int64)
+    so = np.argsort(sk)
+    sk, sn = sk[so], sn[so]
+    dref = ray.put((ppk, sk, sn))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def oyear(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "ok": t["o_orderkey"].cast(pa.int64()),
+            "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64())})
+
+    o_ds = orders.map_batches(oyear, batch_format="pyarrow")
+    ot = gather_capped(o_ds, broadcast_max_rows, pa.schema(
+        [("ok", pa.int64()), ("o_year", pa.int64())]))
+
+    li = _read_sized(sf_dir, "lineitem",
+                     ["l_orderkey", "l_partkey", "l_suppkey",
+                      "l_extendedprice", "l_discount"])
+
+    def li_common(t: pa.Table):
+        pk_, sk_, sn_ = cached_get(dref)
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ls = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(pk_):
+            i = np.clip(np.searchsorted(pk_, lp), 0, len(pk_) - 1)
+            m = pk_[i] == lp
+        else:
+            m = np.zeros(len(lp), dtype=bool)
+        if len(sk_):
+            j = np.clip(np.searchsorted(sk_, ls), 0, len(sk_) - 1)
+            m &= sk_[j] == ls
+            snat = sn_[j]
+        else:
+            m &= False
+            snat = np.zeros(len(ls), np.int64)
+        ep = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100)),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        dc = pc.cast(pc.round(pc.multiply(t["l_discount"], 100)),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        return m, snat, ep * (100 - dc)
+
+    def ny_partial(snat, yr, micro) -> pa.Table:
+        key = snat * 4096 + yr
+        uk, inv = np.unique(key, return_inverse=True)
+        rev = np.zeros(len(uk), np.int64)
+        np.add.at(rev, inv, micro)
+        return pa.table({"nkey": pa.array(uk // 4096, pa.int64()),
+                         "o_year": pa.array(uk % 4096, pa.int64()),
+                         "rev_micro": pa.array(rev)})
+
+    _EMPTY = pa.table({"nkey": pa.array([], pa.int64()),
+                       "o_year": pa.array([], pa.int64()),
+                       "rev_micro": pa.array([], pa.int64())})
+
+    if ot is not None:
+        okeys = ot["ok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        oyr = ot["o_year"].to_numpy(zero_copy_only=False).astype(np.int64)
+        oo = np.argsort(okeys)
+        oref = ray.put((okeys[oo], oyr[oo]))
+
+        def partial(t: pa.Table) -> pa.Table:
+            ok, oy = cached_get(oref)
+            m, snat, micro = li_common(t)
+            lo = t["l_orderkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            if not len(ok):
+                return _EMPTY
+            i = np.clip(np.searchsorted(ok, lo), 0, len(ok) - 1)
+            m &= ok[i] == lo
+            return ny_partial(snat[m], oy[i][m], micro[m])
+
+        partials = li.map_batches(partial, batch_format="pyarrow")
+    else:
+        from ray_data_mplsh.stages.relational import inner_join
+
+        def lmap(t: pa.Table) -> pa.Table:
+            m, snat, micro = li_common(t)
+            lo = t["l_orderkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            return pa.table({"lok": pa.array(lo[m], pa.int64()),
+                             "snat": pa.array(snat[m], pa.int64()),
+                             "micro": pa.array(micro[m], pa.int64())})
+
+        j = inner_join(li.map_batches(lmap, batch_format="pyarrow"),
+                       o_ds, left_on="lok", right_on="ok",
+                       hot_key_threshold=0)
+
+        def post(t: pa.Table) -> pa.Table:
+            return ny_partial(
+                t["snat"].to_numpy(zero_copy_only=False).astype(np.int64),
+                t["o_year"].to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                t["micro"].to_numpy(zero_copy_only=False)
+                .astype(np.int64))
+
+        partials = j.map_batches(post, batch_format="pyarrow")
+
+    agg = partials.groupby(["nkey", "o_year"]).aggregate(
+        Sum("rev_micro", alias_name="rev_micro"))
+    t = gather_capped(agg, 1_000_000, pa.schema(
+        [("nkey", pa.int64()), ("o_year", pa.int64()),
+         ("rev_micro", pa.int64())]))
+    assert t is not None, "q9 nation-year aggregate overflowed the cap"
+    nk_ = t["nkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    i = np.clip(np.searchsorted(nkeys, nk_), 0, max(len(nkeys) - 1, 0))
+    return pa.table({
+        "nation": pa.array(nnames[i].astype(object) if len(nkeys) else
+                           np.empty(0, object), pa.string()),
+        "o_year": pc.cast(t["o_year"], pa.int64()),
+        "revenue": pc.divide(
+            pc.cast(pc.cast(t["rev_micro"], pa.int64()), pa.float64()),
+            10000.0)})
+
+
 def q_tpch_q16(sf_dir: str):
     """TPC-H Q16 shape (supplier count per part attribute), adapted to
     the shipped schema: the partsupp relation is stood in by the
@@ -5323,6 +5484,7 @@ QUERIES = {
     "q_dedup_tiers": q_dedup_tiers,
     "q_tpch_q8": q_tpch_q8,
     "q_tpch_q16": q_tpch_q16,
+    "q_tpch_q9": q_tpch_q9,
     "q_pack_sequences": q_pack_sequences,
     "q_remove_dup_ngrams": q_remove_dup_ngrams,
 }
@@ -6068,6 +6230,17 @@ ORACLE_SQL = {
         "SELECT supp_nation, cust_nation, l_year, "
         "CAST(SUM(micro) AS DOUBLE) / 10000.0 AS revenue FROM f "
         "GROUP BY supp_nation, cust_nation, l_year",
+    "q_tpch_q9":
+        "SELECT n_name AS nation, "
+        "CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year, "
+        "CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * "
+        "(100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE) "
+        "/ 10000.0 AS revenue "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE p_name LIKE '%red%' GROUP BY n_name, o_year",
     "q_tpch_q16":
         "SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size, "
         "CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "

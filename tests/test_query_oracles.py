@@ -50,7 +50,7 @@ CHECK = ["q_word_stats", "q_doc_freq", "q_allpair_jaccard",
          "q_pack_sequences", "q_remove_dup_ngrams", "q_tpch_q6",
          "q_tpch_q15", "q_tpch_q13", "q_tpch_q4", "q_tpch_q17",
          "q_tpch_q19", "q_tpch_q22", "q_tpch_q7", "q_gopher_quality",
-         "q_dedup_tiers", "q_tpch_q8", "q_tpch_q16"]
+         "q_dedup_tiers", "q_tpch_q8", "q_tpch_q16", "q_tpch_q9"]
 
 
 @pytest.fixture(scope="module")

@@ -364,18 +364,19 @@ def test_tpch_broadcast_overflow_fallback(ray_session):
         pd.testing.assert_frame_equal(got, want, check_exact=True)
 
 
-def test_tpch_q7_q8_broadcast_overflow_fallback(ray_session):
-    """q_tpch_q7 / q_tpch_q8 with broadcast_max_rows=0: the filtered
+def test_tpch_q7_q8_q9_broadcast_overflow_fallback(ray_session):
+    """q_tpch_q7 / q_tpch_q8 / q_tpch_q9 with broadcast_max_rows=0: the
     orders map overflows the gather cap and the plan flips to the keyed
     exchange (map-side dimension attach + inner_join on orderkey).
     Must equal the broadcast plan bit-for-bit; sf0.01 so the results
     are non-empty (sf0.001's filtered windows have no rows)."""
     import pandas as pd
 
-    from ray_data_mplsh.pipelines.queries import q_tpch_q7, q_tpch_q8
+    from ray_data_mplsh.pipelines.queries import (q_tpch_q7, q_tpch_q8,
+                                                  q_tpch_q9)
 
     sf = "/root/testdata/sf0.01"
-    for q in (q_tpch_q7, q_tpch_q8):
+    for q in (q_tpch_q7, q_tpch_q8, q_tpch_q9):
         want = q(sf).to_pandas()
         assert len(want) > 0
         cols = list(want.columns)
