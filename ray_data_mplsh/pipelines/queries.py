@@ -5224,7 +5224,14 @@ def q_tpch_q16(sf_dir: str):
         i = np.clip(np.searchsorted(keys, lp), 0, len(keys) - 1)
         m = keys[i] == lp
         # pack (group, suppkey) into one int64: suppkeys are dense ids
-        pair = np.unique(gcode[i][m] << 32 | ls[m])
+        # (TPC-H: 10k per SF, < 2^32 even at SF 100k) and group codes
+        # are |part-attr combos| < 2^31 — guard the packing invariant
+        # rather than silently corrupt
+        lsm = ls[m]
+        assert not len(lsm) or (int(lsm.max()) < (1 << 32)
+                                and int(lsm.min()) >= 0), \
+            "q16 pair packing needs suppkey in [0, 2^32)"
+        pair = np.unique(gcode[i][m] << 32 | lsm)
         return pa.table({"pair": pa.array(pair, pa.int64())})
 
     dedup = li.map_batches(pairs, batch_format="pyarrow") \
