@@ -75,7 +75,8 @@ def run_dedup(pages, cfg: MPLSHConfig, *, extract: bool = True,
     # S4-S5: band/probe keys -> candidate pairs (never materialized between)
     pairs = read_stage_or_compute(
         cfg, "pairs",
-        lambda: pairs_stage(band_stage(sigs, cfg), cfg, P), counters)
+        lambda: pairs_stage(band_stage(sigs, cfg, n_docs=n_docs), cfg, P),
+        counters)
 
     # S6: Jaccard verification
     verified = read_stage_or_compute(

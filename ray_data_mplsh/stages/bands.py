@@ -79,5 +79,22 @@ def make_band_emitter(cfg: MPLSHConfig):
     return emit
 
 
-def band_stage(sigs, cfg: MPLSHConfig):
+def band_stage(sigs, cfg: MPLSHConfig, n_docs: int | None = None):
+    """Emit (band_hash, doc_id) keys. When the caller knows ``n_docs``
+    (run_dedup does — it counts the materialized signatures) and the
+    corpus is large (>= 32768 docs; small corpora are fixed-overhead-
+    bound and pipeline better unbundled), the
+    emitter's input is bundled into ~64 data-sized blocks: the key
+    stream feeds a sort-exchange that pays one shuffle object per
+    (block x partition), and upstream stages leave signatures in
+    ~rows/256 slivers — 256 x 64 objects measured 2-3x slower than
+    64 x 64 on the 150k-doc scaling fixture. The bundle size is a pure
+    function of the data (never the cluster), keeping the physical plan
+    identical across cluster sizes — the scaling-bench invariant. Sig
+    rows are fixed-width (~num_perm x 8B), so an 8192-row cap bounds
+    any bundle at a few MB."""
+    if n_docs and n_docs >= 32768:
+        bs = int(min(8192, max(512, n_docs // 64)))
+        return sigs.map_batches(make_band_emitter(cfg),
+                                batch_format="pyarrow", batch_size=bs)
     return sigs.map_batches(make_band_emitter(cfg), batch_format="pyarrow")

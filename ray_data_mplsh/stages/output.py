@@ -336,7 +336,24 @@ def substring_stage(dedup_out, cfg: MPLSHConfig, num_partitions: int):
     from ray_data_mplsh.stages.shuffle import sized_partitions
     est_rows = max(n_canon, int(canon_bytes) // 45)
     pe = sized_partitions(est_rows, num_partitions)
-    fps = canon.map_batches(_fingerprint_emitter(cfg), batch_format="pyarrow")
+    # LARGE corpora only: bundle the emitter's input so its OUTPUT
+    # blocks are few and big — upstream stages leave the corpus in
+    # ~rows/256 slivers, and a sort-exchange pays one shuffle object
+    # per (block x partition); 256 blocks x 64 partitions measured
+    # 2-3x slower than 64 x 64 on the 150k-doc scaling fixture
+    # (16cpu leg 71.3s -> 47.5s). Sized by BYTES (~32 MB of text per
+    # bundle — docs vary 100x in length); small corpora keep the
+    # unbundled plan, whose many tiny tasks pipeline better when the
+    # whole stage is fixed-overhead-bound. The gate is a pure function
+    # of the data, never the cluster (the scaling-bench invariant).
+    if n_canon >= 32768 and int(canon_bytes) >= (32 << 20):
+        avg_doc = max(1, int(canon_bytes) // max(n_canon, 1))
+        fp_bs = int(min(8192, max(512, (32 << 20) // avg_doc)))
+        fps = canon.map_batches(_fingerprint_emitter(cfg),
+                                batch_format="pyarrow", batch_size=fp_bs)
+    else:
+        fps = canon.map_batches(_fingerprint_emitter(cfg),
+                                batch_format="pyarrow")
     pfn = _fp_pairs_fn(cfg.substr_bucket_cap)
     local_fp = False
     if est_rows <= cfg.local_state_max_rows:
