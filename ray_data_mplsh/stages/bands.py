@@ -93,7 +93,9 @@ def band_stage(sigs, cfg: MPLSHConfig, n_docs: int | None = None):
     identical across cluster sizes — the scaling-bench invariant. Sig
     rows are fixed-width (~num_perm x 8B), so an 8192-row cap bounds
     any bundle at a few MB."""
-    if n_docs and n_docs >= 32768:
+    from ray_data_mplsh.stages.output import BUNDLE_MIN_DOCS
+
+    if n_docs and n_docs >= BUNDLE_MIN_DOCS:
         bs = int(min(8192, max(512, n_docs // 64)))
         return sigs.map_batches(make_band_emitter(cfg),
                                 batch_format="pyarrow", batch_size=bs)

@@ -108,6 +108,14 @@ def assign_and_mark(docs_with_rep, labels, cfg: MPLSHConfig):
 # shares it); kept under the old name here for its many callers
 from ray_data_mplsh.functions.hashing import utf8_flat as _utf8_flat  # noqa: E402
 
+# large-corpus gate for bundling the exchange-feeding emitters (see
+# substring_stage / bands.band_stage): bundling wins only when the
+# exchange's block x partition object count dominates; small corpora
+# pipeline better unbundled. Module-level so tests can lower them and
+# pin bundled == unbundled bit-equality on a fixture-sized corpus.
+BUNDLE_MIN_DOCS = 32768
+BUNDLE_MIN_BYTES = 32 << 20
+
 
 def _fingerprint_emitter(cfg: MPLSHConfig):
     def fn(batch: pa.Table) -> pa.Table:
@@ -346,9 +354,9 @@ def substring_stage(dedup_out, cfg: MPLSHConfig, num_partitions: int):
     # unbundled plan, whose many tiny tasks pipeline better when the
     # whole stage is fixed-overhead-bound. The gate is a pure function
     # of the data, never the cluster (the scaling-bench invariant).
-    if n_canon >= 32768 and int(canon_bytes) >= (32 << 20):
+    if n_canon >= BUNDLE_MIN_DOCS and int(canon_bytes) >= BUNDLE_MIN_BYTES:
         avg_doc = max(1, int(canon_bytes) // max(n_canon, 1))
-        fp_bs = int(min(8192, max(512, (32 << 20) // avg_doc)))
+        fp_bs = int(min(8192, max(512, BUNDLE_MIN_BYTES // avg_doc)))
         fps = canon.map_batches(_fingerprint_emitter(cfg),
                                 batch_format="pyarrow", batch_size=fp_bs)
     else:

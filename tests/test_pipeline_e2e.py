@@ -254,3 +254,31 @@ def test_one_giant_near_dup_family(ray_session):
     out, want = _pipeline_vs_oracle_on(table, ray_session)
     assert out["cluster_id"].nunique() == 1  # one family
     assert len(want.verified) > 0
+
+
+def test_bundled_emitter_path_equivalent(pipeline_result, ray_session,
+                                         small_fixture, monkeypatch):
+    """The large-corpus emitter bundling (stages/output.BUNDLE_MIN_DOCS /
+    BUNDLE_MIN_BYTES — fingerprint and band-key streams coalesced into
+    few big blocks before their sort exchanges) must be invisible to
+    results: lower the gate so the fixture corpus takes the bundled
+    plan and compare the whole dedup output bit-for-bit against the
+    default (unbundled) run. Covers the path the 150k-doc scaling
+    fixture exercises but the small pytest corpora otherwise never
+    reach."""
+    import ray.data as rd
+
+    from ray_data_mplsh.stages import output as So
+
+    monkeypatch.setattr(So, "BUNDLE_MIN_DOCS", 1)
+    monkeypatch.setattr(So, "BUNDLE_MIN_BYTES", 1)
+    pages = rd.read_parquet(f"{small_fixture}/pages.parquet")
+    res = run_dedup(pages, MPLSHConfig(), extract=True)
+    cols = ["doc_id", "cluster_id", "is_canonical", "final_text"]
+    got = res.dedup_out.to_pandas()[cols] \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = pipeline_result.dedup_out.to_pandas()[cols] \
+        .sort_values("doc_id").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
