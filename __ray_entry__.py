@@ -44,7 +44,11 @@ prefix of it), rows-only entries last:
     q_mixture_sample* (per-source deterministic mixture downsampling),
     q_gopher_quality* (Gopher-rule quality gate, integer-decided
     ratios), q_dedup_tiers* (tier-dedup attribution: exact/normalized/
-    prefix/unique via one nested-group exchange)
+    prefix/unique via one nested-group exchange), q_dedup_tier_report*
+    (THE theme report — full tier attribution incl. the 'near' tier
+    from the production LSH chain, oracled by the widest SQL replay in
+    the registry: signatures + banding + pairing + verify + recursive
+    CC + three window partitions)
   relational/aggregates: q_lang_counts*, q_len_filter*, q_top_sources*,
     q_distinct_langs*, q_events_daily*, q_events_props*,
     q_join_ord_cust*, q_lineitem_agg*, q_region_nation*,

@@ -5374,6 +5374,113 @@ def q_dedup_tiers(sf_dir: str):
     return dedup_tiers(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_dedup_tier_report(sf_dir: str):
+    """THE theme report — full tier-dedup attribution in the flagship's
+    own tier order: label every document with the first dedup tier that
+    would remove it, 'exact' (byte-identical), 'normalized' (case/punct-
+    insensitive), 'near' (non-canonical member of a MinHash-LSH verified
+    cluster — the production S3-S7 chain at the q_lsh_clusters config),
+    'prefix' (norm-40-prefix blocking, the cheap tier downstream of the
+    flagship), else 'unique'. Engine plan: ONE prefix-hash exchange
+    classifies the three nested string tiers (exact ⊆ normalized ⊆
+    norm-prefix co-locate); the LSH cluster labels are |clustered
+    docs|-bounded (dup docs only, not the corpus) and ride a broadcast
+    probed in the final map. The oracle replays the ENTIRE chain —
+    signatures, band/probe keys, bucket pairing, Jaccard verify,
+    recursive CC — plus the three window partitions, making this the
+    widest single driver signature in the registry."""
+    import ray
+
+    from ray_data_mplsh.functions.hashing import hash_str_array
+    from ray_data_mplsh.stages.bands import band_stage
+    from ray_data_mplsh.stages.cc import connected_components
+    from ray_data_mplsh.stages.minhash import minhash_stage
+    from ray_data_mplsh.stages.pairs import pairs_stage
+    from ray_data_mplsh.stages.shuffle import (default_partitions,
+                                               partition_apply)
+    from ray_data_mplsh.stages.verify import verify_stage
+
+    cfg = MPLSHConfig(num_perm=_MINHASH_SIGS_K, bands=4, rows_per_band=4,
+                      probes=4, word_hash="poly")
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    P = default_partitions(cfg.num_partitions)
+    sigs = minhash_stage(docs, cfg).materialize()
+    n_docs = sigs.count()
+    ver = verify_stage(pairs_stage(band_stage(sigs, cfg), cfg, P), sigs,
+                       cfg, P, n_docs)
+    labels = connected_components(ver, cfg, P)
+    lt = gather_capped(labels, 4_000_000, pa.schema(
+        [("doc_id", pa.uint64()), ("cluster_id", pa.uint64())]))
+    # bounded by |docs inside near-dup clusters|, not the corpus — the
+    # dup fraction of a curated web corpus; a >4M-cluster-member run
+    # should consume labels distributed (keyed join) instead of this
+    # diagnostic's broadcast.
+    assert lt is not None, "tier report cluster labels overflowed the cap"
+    lk = lt["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lv = lt["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lo = np.argsort(lk)
+    lref = ray.put((lk[lo], lv[lo]))
+
+    def norm(b: pa.Table) -> pa.Table:
+        nt = pc.utf8_lower(pc.replace_substring_regex(
+            b["text"], pattern="[^a-zA-Z0-9 ]", replacement=""))
+        npfx = pc.utf8_slice_codeunits(nt, start=0, stop=40)
+        return pa.table({
+            "doc_id": b["doc_id"], "text": b["text"], "norm": nt,
+            "npfx": npfx,
+            "_ph": pa.array(hash_str_array(npfx), pa.uint64())})
+
+    def classify(part: pa.Table) -> pa.Table:
+        ids = part["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if not len(ids):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "e": pa.array([], pa.bool_()),
+                             "n": pa.array([], pa.bool_()),
+                             "p": pa.array([], pa.bool_())})
+
+        def group_min(codes: np.ndarray) -> np.ndarray:
+            rep = np.full(codes.max() + 1, np.iinfo(np.int64).max,
+                          np.int64)
+            np.minimum.at(rep, codes, ids)
+            return rep[codes]
+
+        e = ids != group_min(pd.factorize(part["text"].to_pandas(),
+                                          sort=False)[0])
+        nn_ = ids != group_min(pd.factorize(part["norm"].to_pandas(),
+                                            sort=False)[0])
+        p = ids != group_min(pd.factorize(part["npfx"].to_pandas(),
+                                          sort=False)[0])
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "e": pa.array(e), "n": pa.array(nn_),
+                         "p": pa.array(p)})
+
+    flags = partition_apply(docs.map_batches(norm,
+                                             batch_format="pyarrow"),
+                            "_ph", classify, P)
+
+    def tier(t: pa.Table) -> pa.Table:
+        lk_, lv_ = cached_get(lref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(lk_):
+            i = np.clip(np.searchsorted(lk_, ids), 0, len(lk_) - 1)
+            near = (lk_[i] == ids) & (lv_[i] != ids)
+        else:
+            near = np.zeros(len(ids), dtype=bool)
+        e = t["e"].to_numpy(zero_copy_only=False)
+        nn_ = t["n"].to_numpy(zero_copy_only=False)
+        p = t["p"].to_numpy(zero_copy_only=False)
+        lab = np.where(e, "exact",
+                       np.where(nn_, "normalized",
+                                np.where(near, "near",
+                                         np.where(p, "prefix", "unique"))))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "tier": pa.array(lab.astype(object),
+                                          pa.string())})
+
+    return flags.map_batches(tier, batch_format="pyarrow")
+
+
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_lang_counts": q_lang_counts,
@@ -5489,6 +5596,7 @@ QUERIES = {
     "q_tpch_q7": q_tpch_q7,
     "q_gopher_quality": q_gopher_quality,
     "q_dedup_tiers": q_dedup_tiers,
+    "q_dedup_tier_report": q_dedup_tier_report,
     "q_tpch_q8": q_tpch_q8,
     "q_tpch_q16": q_tpch_q16,
     "q_tpch_q9": q_tpch_q9,
@@ -5694,6 +5802,35 @@ _LSH_CLUSTERS_SQL = (
     "SELECT CAST(u AS BIGINT) AS doc_id, "
     "CAST(MIN(lbl) AS BIGINT) AS cluster_id FROM walk GROUP BY u")
 
+# full tier-dedup attribution (q_dedup_tier_report): the LSH cluster
+# replay above + the three nested string-tier window partitions, CASE'd
+# in the flagship's tier order (exact -> normalized -> near -> prefix).
+_TIER_REPORT_SQL = (
+    "WITH RECURSIVE " + _LSH_PAIRS_CTES[len("WITH "):] + ", "
+    f"vp AS (SELECT a, b FROM vs "
+    f"WHERE jaccard >= {MPLSHConfig().verify_theta}), "
+    "ed AS (SELECT a AS u, b AS v FROM vp "
+    "UNION ALL SELECT b AS u, a AS v FROM vp), "
+    "walk(u, lbl) AS ("
+    "SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM ed) "
+    "UNION "
+    "SELECT ed.u, w.lbl FROM ed JOIN walk w ON w.u = ed.v), "
+    "cl AS (SELECT CAST(u AS BIGINT) AS doc_id, "
+    "CAST(MIN(lbl) AS BIGINT) AS cluster_id FROM walk GROUP BY u), "
+    "nn AS (SELECT doc_id, text, lower(regexp_replace(text, "
+    "'[^a-zA-Z0-9 ]', '', 'g')) AS norm FROM documents), "
+    "rr AS (SELECT doc_id, "
+    "MIN(doc_id) OVER (PARTITION BY text) AS e_rep, "
+    "MIN(doc_id) OVER (PARTITION BY norm) AS n_rep, "
+    "MIN(doc_id) OVER (PARTITION BY substring(norm, 1, 40)) AS p_rep "
+    "FROM nn) "
+    "SELECT rr.doc_id, CASE WHEN rr.doc_id <> rr.e_rep THEN 'exact' "
+    "WHEN rr.doc_id <> rr.n_rep THEN 'normalized' "
+    "WHEN cl.cluster_id IS NOT NULL AND cl.cluster_id <> rr.doc_id "
+    "THEN 'near' "
+    "WHEN rr.doc_id <> rr.p_rep THEN 'prefix' ELSE 'unique' END AS tier "
+    "FROM rr LEFT JOIN cl ON rr.doc_id = cl.doc_id")
+
 # winnowing fingerprint replay (q_fingerprints, op 24): per doc the
 # char-30-gram hashes (masked-Horner over codepoints + SplitMix64 — same
 # ASCII-corpus precondition as _SIMHASH_SQL: the kernel folds UTF-8
@@ -5763,6 +5900,7 @@ ORACLE_SQL = {
     "q_band_keys": _BAND_KEYS_SQL,
     "q_lsh_verified_pairs": _LSH_PAIRS_SQL,
     "q_lsh_clusters": _LSH_CLUSTERS_SQL,
+    "q_dedup_tier_report": _TIER_REPORT_SQL,
     "q_substring_candidates": _SUBSTR_PAIRS_SQL,
     "q_fingerprints": _WINNOW_SQL,
     "q_exact_dedup":

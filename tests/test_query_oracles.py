@@ -50,7 +50,8 @@ CHECK = ["q_word_stats", "q_doc_freq", "q_allpair_jaccard",
          "q_pack_sequences", "q_remove_dup_ngrams", "q_tpch_q6",
          "q_tpch_q15", "q_tpch_q13", "q_tpch_q4", "q_tpch_q17",
          "q_tpch_q19", "q_tpch_q22", "q_tpch_q7", "q_gopher_quality",
-         "q_dedup_tiers", "q_tpch_q8", "q_tpch_q16", "q_tpch_q9"]
+         "q_dedup_tiers", "q_tpch_q8", "q_tpch_q16", "q_tpch_q9",
+         "q_dedup_tier_report"]
 
 
 @pytest.fixture(scope="module")
@@ -551,6 +552,55 @@ def test_dedup_tiers_planted(ray_session, tmp_path):
     con = duckdb.connect()
     con.register("documents", t)
     want = con.sql(ORACLE_SQL["q_dedup_tiers"]).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con.close()
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_dedup_tier_report_planted(ray_session, tmp_path):
+    """q_dedup_tier_report on a planted corpus exercising every tier
+    including 'near' (the sf corpus families are prefix-identical, so
+    the driver gate never shows 'prefix' behind 'near'): an exact dup,
+    a case variant, a prefix-only collision with an unrelated tail, and
+    a high-Jaccard near pair perturbed INSIDE the first 40 chars (so
+    prefix blocking does not catch it), checked against hand labels AND
+    the full-chain DuckDB replay. All texts lowercase/ASCII/single-
+    spaced where LSH parity requires it (the case variant is shielded:
+    its 'normalized' tier fires before any signature divergence could
+    matter)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ray_data_mplsh.pipelines.queries import (ORACLE_SQL,
+                                                  q_dedup_tier_report)
+
+    words = ["w%d" % (i * 7 % 97) for i in range(200)]
+    base = " ".join(words)
+    near = " ".join(["zz" if i == 2 else w
+                     for i, w in enumerate(words)])  # differs at char ~8
+    pfx_tail = " ".join(words[:14]) + " " + \
+        " ".join("t%d" % (i * 13 % 89) for i in range(200))
+    texts = [
+        base,                    # 0: rep -> unique
+        base,                    # 1: exact dup of 0
+        base.upper(),            # 2: case variant -> normalized
+        near,                    # 3: near-dup of 0, prefix differs
+        pfx_tail,                # 4: shares 40-prefix with 0, tail alien
+        "totally unrelated words only here once",  # 5: unique
+    ]
+    t = pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    got = q_dedup_tier_report(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(got["tier"]) == ["unique", "exact", "normalized",
+                                 "near", "prefix", "unique"]
+
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.sql(ORACLE_SQL["q_dedup_tier_report"]).df() \
         .sort_values("doc_id").reset_index(drop=True)
     con.close()
     pd.testing.assert_frame_equal(got, want, check_exact=True)
