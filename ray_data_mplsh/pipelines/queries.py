@@ -3812,8 +3812,10 @@ def q_promo_revenue(sf_dir: str):
         tm = int(pc.sum(tot["total_micro"]).as_py() or 0)
     else:  # empty lineitem: zero revenue either way
         pm = tm = 0
+    # tm == 0 means no rows matched (SUM over zero rows is NULL in SQL)
+    # or an all-zero-revenue window (DuckDB x/0 is NULL) — NULL either way
     return pa.table({"promo_revenue_pct":
-                     pa.array([100.0 * pm / tm if tm else 0.0],
+                     pa.array([100.0 * pm / tm if tm else None],
                               pa.float64())})
 
 
@@ -4188,12 +4190,16 @@ def q_tpch_q6(sf_dir: str):
                      pa.int64()).to_numpy(zero_copy_only=False)
         m = (sd >= LO) & (sd < HI) & (dc >= 5) & (dc <= 7) & (q < 24)
         return pa.table({"rev_micro":
-                         pa.array([int((ep[m] * dc[m]).sum())], pa.int64())})
+                         pa.array([int((ep[m] * dc[m]).sum())], pa.int64()),
+                         "n": pa.array([int(m.sum())], pa.int64())})
 
     parts = [b for b in li.map_batches(partial, batch_format="pyarrow")
              .iter_batches(batch_size=65536, batch_format="pyarrow")]
-    micro = int(pc.sum(pa.concat_tables(parts)["rev_micro"]).as_py() or 0) \
-        if parts else 0
+    folded = pa.concat_tables(parts) if parts else None
+    n = int(pc.sum(folded["n"]).as_py() or 0) if folded is not None else 0
+    if n == 0:  # SUM over zero rows is NULL in SQL, not 0.0 (ADVICE r4)
+        return pa.table({"revenue": pa.array([None], pa.float64())})
+    micro = int(pc.sum(folded["rev_micro"]).as_py() or 0)
     return pa.table({"revenue": pa.array([micro / 10000.0], pa.float64())})
 
 
@@ -4297,6 +4303,12 @@ def q_tpch_q13(sf_dir: str):
     assert h is not None, "q13 activity histogram overflowed the cap"
     n_cust = _read(sf_dir, "customer", ["c_custkey"]).count()
     n_zero = n_cust - int(pc.sum(h["custdist"]).as_py() or 0)
+    # o_custkey ⊆ c_custkey is a schema invariant here; an orphan custkey
+    # would add phantom histogram mass and push n_zero negative, silently
+    # dropping the zero bucket and diverging from the LEFT-JOIN oracle —
+    # surface the RI violation loudly instead (ADVICE r4).
+    assert n_zero >= 0, (
+        f"q13: orders reference {-n_zero} custkeys absent from customer")
     if n_zero > 0:
         h = pa.concat_tables([h, pa.table(
             {"c_count": pa.array([0], pa.int64()),
@@ -4445,7 +4457,8 @@ def q_tpch_q17(sf_dir: str, brand: str = "Brand#4"):
         keys, sq, cq = cached_get(tref)
         lp = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         if not len(keys):
-            return pa.table({"cents": pa.array([0], pa.int64())})
+            return pa.table({"cents": pa.array([0], pa.int64()),
+                             "n": pa.array([0], pa.int64())})
         i = np.clip(np.searchsorted(keys, lp), 0, len(keys) - 1)
         m = keys[i] == lp
         q = pc.cast(pc.round(t["l_quantity"]), pa.int64()) \
@@ -4453,12 +4466,16 @@ def q_tpch_q17(sf_dir: str, brand: str = "Brand#4"):
         m &= 5 * q * cq[i] < sq[i]
         ep = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100)),
                      pa.int64()).to_numpy(zero_copy_only=False)[m]
-        return pa.table({"cents": pa.array([int(ep.sum())], pa.int64())})
+        return pa.table({"cents": pa.array([int(ep.sum())], pa.int64()),
+                         "n": pa.array([int(m.sum())], pa.int64())})
 
     parts = [b for b in li2.map_batches(rev_partial, batch_format="pyarrow")
              .iter_batches(batch_size=65536, batch_format="pyarrow")]
-    cents = int(pc.sum(pa.concat_tables(parts)["cents"]).as_py() or 0) \
-        if parts else 0
+    folded = pa.concat_tables(parts) if parts else None
+    nm = int(pc.sum(folded["n"]).as_py() or 0) if folded is not None else 0
+    if nm == 0:  # SUM over zero rows is NULL in SQL (ADVICE r4)
+        return pa.table({"avg_yearly": pa.array([None], pa.float64())})
+    cents = int(pc.sum(folded["cents"]).as_py() or 0)
     return pa.table({"avg_yearly":
                      pa.array([cents / 100.0 / 7.0], pa.float64())})
 
@@ -4515,12 +4532,16 @@ def q_tpch_q19(sf_dir: str):
                      pa.int64()).to_numpy(zero_copy_only=False)[m]
         return pa.table({"rev_micro":
                          pa.array([int((ep * (100 - dc)).sum())],
-                                  pa.int64())})
+                                  pa.int64()),
+                         "n": pa.array([int(m.sum())], pa.int64())})
 
     parts = [b for b in li.map_batches(partial, batch_format="pyarrow")
              .iter_batches(batch_size=65536, batch_format="pyarrow")]
-    micro = int(pc.sum(pa.concat_tables(parts)["rev_micro"]).as_py() or 0) \
-        if parts else 0
+    folded = pa.concat_tables(parts) if parts else None
+    nm = int(pc.sum(folded["n"]).as_py() or 0) if folded is not None else 0
+    if nm == 0:  # SUM over zero rows is NULL in SQL (ADVICE r4)
+        return pa.table({"revenue": pa.array([None], pa.float64())})
+    micro = int(pc.sum(folded["rev_micro"]).as_py() or 0)
     return pa.table({"revenue": pa.array([micro / 10000.0], pa.float64())})
 
 
@@ -5158,14 +5179,21 @@ def q_tpch_q9(sf_dir: str, broadcast_max_rows: int = 4_000_000):
          ("rev_micro", pa.int64())]))
     assert t is not None, "q9 nation-year aggregate overflowed the cap"
     nk_ = t["nkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-    i = np.clip(np.searchsorted(nkeys, nk_), 0, max(len(nkeys) - 1, 0))
+    if len(nkeys):
+        i = np.clip(np.searchsorted(nkeys, nk_), 0, len(nkeys) - 1)
+        hit = nkeys[i] == nk_  # inner-join semantics: drop orphan nationkeys
+    else:
+        i = np.zeros(len(nk_), np.int64)
+        hit = np.zeros(len(nk_), dtype=bool)
+    names = nnames[i[hit]].astype(object) if len(nkeys) else \
+        np.empty(0, object)
+    yr = t["o_year"].to_numpy(zero_copy_only=False).astype(np.int64)[hit]
+    rev = t["rev_micro"].to_numpy(zero_copy_only=False) \
+        .astype(np.float64)[hit] / 10000.0
     return pa.table({
-        "nation": pa.array(nnames[i].astype(object) if len(nkeys) else
-                           np.empty(0, object), pa.string()),
-        "o_year": pc.cast(t["o_year"], pa.int64()),
-        "revenue": pc.divide(
-            pc.cast(pc.cast(t["rev_micro"], pa.int64()), pa.float64()),
-            10000.0)})
+        "nation": pa.array(names, pa.string()),
+        "o_year": pa.array(yr, pa.int64()),
+        "revenue": pa.array(rev, pa.float64())})
 
 
 def q_tpch_q16(sf_dir: str):
@@ -6699,13 +6727,17 @@ ORACLE_SQL["q_url_dedup"] = (
     "CAST(COUNT(*) AS BIGINT) AS n_docs FROM c GROUP BY curl")
 
 # The driver signs correctness rows for only a prefix of this registry
-# (50 entries in rounds 1-3), so oracle-bearing queries are ordered FIRST:
+# (50 entries per round), so oracle-bearing queries are ordered FIRST:
 # every driver-signed row then carries the strong value-hash check, while
 # rows-only entries (pytest-gated by contract) follow. Within the oracled
-# block, the 50 queries ALREADY hash-signed in round 3 (frozen below —
-# the CORRECTNESS_r03.json key set) rotate to the back so the round-4
-# window signs the oracle-bearing queries that have never carried a
-# driver signature (VERDICT r3 "Next round" #4).
+# block, queries already hash-signed in a past round (the frozen
+# CORRECTNESS_r03/r04.json key sets below) rotate to the BACK so each
+# round's 50-slot window signs the oracle-bearing queries that have never
+# carried a driver signature (VERDICT r4 "Next round" #1: the 17 queries
+# added after the r4 prefix was consumed — the TPC-H Q4-Q22 wave,
+# q_gopher_quality, q_dedup_tiers, q_dedup_tier_report, q_pack_sequences,
+# q_remove_dup_ngrams — plus anything new this round). Never-signed come
+# first, then the r3 set (least recently re-signed), then the r4 set.
 _SIGNED_R3 = frozenset([
     'q_exact_dedup', 'q_lang_counts', 'q_len_filter', 'q_top_sources',
     'q_distinct_langs', 'q_events_daily', 'q_events_props',
@@ -6724,10 +6756,32 @@ _SIGNED_R3 = frozenset([
     'q_cumulative_daily', 'q_crossdoc_ngrams', 'q_mixture_sample',
     'q_prefix_dup_groups', 'q_rollup_lang_source', 'q_distinct_users',
     'q_left_join_counts'])
+_SIGNED_R4 = frozenset([
+    'q_band_keys', 'q_canonical_urls', 'q_click_heavy_users',
+    'q_cohort_retention', 'q_corr_len_tokens', 'q_cube_lang_source',
+    'q_curation_e2e', 'q_dup_cluster_sizes', 'q_dup_rate_by_source',
+    'q_edit_distance_dups', 'q_event_transitions', 'q_events_distinct',
+    'q_events_hourly', 'q_fingerprints', 'q_first_event_per_user',
+    'q_full_outer_cust_supp', 'q_funnel_view_purchase',
+    'q_global_rank_len', 'q_grouped_quantiles_cont', 'q_lang_sources_agg',
+    'q_late_shipments', 'q_len_histogram', 'q_lsh_clusters',
+    'q_lsh_verified_pairs', 'q_mad_len', 'q_minhash_sigs',
+    'q_mode_event_type', 'q_moving_sum_daily', 'q_moving_sum_range',
+    'q_normalized_dedup', 'q_ntile_doc_len', 'q_parts_by_brand',
+    'q_pattern_counts', 'q_percent_rank_len', 'q_profile_events',
+    'q_promo_revenue', 'q_quantiles_cont', 'q_regression_len_tokens',
+    'q_shingle_stats', 'q_substring_candidates', 'q_top_parts_revenue',
+    'q_tpch_q10', 'q_tpch_q3', 'q_tpch_q5', 'q_unpivot_event_metrics',
+    'q_url_dedup', 'q_user_activity_histogram',
+    'q_user_days_purchase_and_error', 'q_user_days_purchase_no_error',
+    'q_weighted_sample'])
+_SIGNED = _SIGNED_R3 | _SIGNED_R4
 QUERIES = {
     **{k: v for k, v in QUERIES.items()
-       if k in ORACLE_SQL and k not in _SIGNED_R3},
+       if k in ORACLE_SQL and k not in _SIGNED},
     **{k: v for k, v in QUERIES.items()
        if k in ORACLE_SQL and k in _SIGNED_R3},
+    **{k: v for k, v in QUERIES.items()
+       if k in ORACLE_SQL and k in _SIGNED_R4},
     **{k: v for k, v in QUERIES.items() if k not in ORACLE_SQL},
 }

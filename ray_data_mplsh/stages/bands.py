@@ -82,8 +82,8 @@ def make_band_emitter(cfg: MPLSHConfig):
 def band_stage(sigs, cfg: MPLSHConfig, n_docs: int | None = None):
     """Emit (band_hash, doc_id) keys. When the caller knows ``n_docs``
     (run_dedup does — it counts the materialized signatures) and the
-    corpus is large (>= 32768 docs; small corpora are fixed-overhead-
-    bound and pipeline better unbundled), the
+    corpus is large (>= ``output.BUNDLE_MIN_DOCS``; small corpora are
+    fixed-overhead-bound and pipeline better unbundled), the
     emitter's input is bundled into ~64 data-sized blocks: the key
     stream feeds a sort-exchange that pays one shuffle object per
     (block x partition), and upstream stages leave signatures in
