@@ -364,19 +364,21 @@ def test_tpch_broadcast_overflow_fallback(ray_session):
         pd.testing.assert_frame_equal(got, want, check_exact=True)
 
 
-def test_tpch_q7_q8_q9_broadcast_overflow_fallback(ray_session):
-    """q_tpch_q7 / q_tpch_q8 / q_tpch_q9 with broadcast_max_rows=0: the
-    orders map overflows the gather cap and the plan flips to the keyed
-    exchange (map-side dimension attach + inner_join on orderkey).
-    Must equal the broadcast plan bit-for-bit; sf0.01 so the results
-    are non-empty (sf0.001's filtered windows have no rows)."""
+def test_tpch_q7_q8_q9_q10_broadcast_overflow_fallback(ray_session):
+    """q_tpch_q7 / q_tpch_q8 / q_tpch_q9 / q_tpch_q10 with
+    broadcast_max_rows=0: EVERY capped gather overflows on its first
+    batch — the orders maps flip to the keyed inner_join exchange, and
+    the dimension sides (q9's part-pattern keys and supplier map, q10's
+    customer attach) flip to their semi-join / inner_join exchanges.
+    Must equal the all-broadcast plan bit-for-bit; sf0.01 so the
+    results are non-empty (sf0.001's filtered windows have no rows)."""
     import pandas as pd
 
     from ray_data_mplsh.pipelines.queries import (q_tpch_q7, q_tpch_q8,
-                                                  q_tpch_q9)
+                                                  q_tpch_q9, q_tpch_q10)
 
     sf = "/root/testdata/sf0.01"
-    for q in (q_tpch_q7, q_tpch_q8, q_tpch_q9):
+    for q in (q_tpch_q7, q_tpch_q8, q_tpch_q9, q_tpch_q10):
         want = q(sf).to_pandas()
         assert len(want) > 0
         cols = list(want.columns)
