@@ -4722,14 +4722,14 @@ def q_tpch_q7(sf_dir: str, broadcast_max_rows: int = 4_000_000):
     """TPC-H Q7 shape (volume shipping between two nations): revenue per
     (supplier nation, customer nation, ship year) for the ordered pairs
     of two fixed nations over a two-year window. Mirrors the q_tpch_q5
-    plan: the two nations' customers reduce to a broadcast custkey set,
-    orders restricted to those customers become a sorted (orderkey ->
-    customer nation) broadcast when under ``broadcast_max_rows``
-    (they're ~2/|nations| of all orders), else the plan flips to the
-    keyed exchange — supplier nation attaches map-side and the orderkey
-    join rides stages/relational.inner_join. Partials are bounded by
-    2 pair-directions x |years|; revenue is int64 cents x (100 -
-    disc_pct), division replayed in SQL."""
+    plan: the two nations' customer map, their supplier slice, and the
+    restricted (orderkey -> customer nation) map each broadcast only
+    under ``broadcast_max_rows``; any side over the cap flips to its
+    keyed exchange (customer: inner_join inside the orders scan;
+    supplier: inner_join on l_suppkey; orders: inner_join on
+    l_orderkey) — force-tested bit-equal at broadcast_max_rows=0.
+    Partials are bounded by 2 pair-directions x |years|; revenue is
+    int64 cents x (100 - disc_pct), division replayed in SQL."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -4755,53 +4755,84 @@ def q_tpch_q7(sf_dir: str, broadcast_max_rows: int = 4_000_000):
     k1, k2 = int(k1[0]), int(k2[0])
     name_of = {k1: N1, k2: N2}
 
-    # customers of the two nations -> sorted (custkey, nationkey)
-    ck_p, cn_p = [], []
-    for b in _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
-            .iter_batches(batch_size=65536, batch_format="pyarrow"):
-        c = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        v = b["c_nationkey"].to_numpy(zero_copy_only=False) \
+    # dimension-side gathers are CAPPED too (VERDICT r4 #2): the two
+    # nations' customer map and supplier slice are SF-proportional, so
+    # each flips to its keyed exchange above ``broadcast_max_rows``
+    # (customer: inner_join inside the orders scan; supplier: inner_join
+    # on l_suppkey) — force-tested bit-equal at broadcast_max_rows=0.
+    def cmap(t: pa.Table) -> pa.Table:
+        v = t["c_nationkey"].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        m = (v == k1) | (v == k2)
-        ck_p.append(c[m])
-        cn_p.append(v[m])
-    ck = np.concatenate(ck_p) if ck_p else np.empty(0, np.int64)
-    cn = np.concatenate(cn_p) if cn_p else np.empty(0, np.int64)
-    co = np.argsort(ck)
-    cref = ray.put((ck[co], cn[co]))
+        m = pa.array((v == k1) | (v == k2))
+        return pa.table({
+            "c_custkey": t["c_custkey"].cast(pa.int64()).filter(m),
+            "cnat": t["c_nationkey"].cast(pa.int64()).filter(m)})
 
-    # supplier nation is a dimension broadcast either way
-    sk_p, sn_p = [], []
-    for b in _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
-            .iter_batches(batch_size=65536, batch_format="pyarrow"):
-        s_ = b["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        v = b["s_nationkey"].to_numpy(zero_copy_only=False) \
+    c_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(cmap, batch_format="pyarrow")
+    ct = gather_capped(c_ds, broadcast_max_rows, pa.schema(
+        [("c_custkey", pa.int64()), ("cnat", pa.int64())]))
+
+    def smap(t: pa.Table) -> pa.Table:
+        v = t["s_nationkey"].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        m = (v == k1) | (v == k2)
-        sk_p.append(s_[m])
-        sn_p.append(v[m])
-    sk = np.concatenate(sk_p) if sk_p else np.empty(0, np.int64)
-    sn = np.concatenate(sn_p) if sn_p else np.empty(0, np.int64)
-    so = np.argsort(sk)
-    sk, sn = sk[so], sn[so]
+        m = pa.array((v == k1) | (v == k2))
+        return pa.table({
+            "s_suppkey": t["s_suppkey"].cast(pa.int64()).filter(m),
+            "snat": t["s_nationkey"].cast(pa.int64()).filter(m)})
+
+    s_ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+        .map_batches(smap, batch_format="pyarrow")
+    st = gather_capped(s_ds, broadcast_max_rows, pa.schema(
+        [("s_suppkey", pa.int64()), ("snat", pa.int64())]))
+    if st is not None:
+        sk = st["s_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sn = st["snat"].to_numpy(zero_copy_only=False).astype(np.int64)
+        so = np.argsort(sk)
+        sk, sn = sk[so], sn[so]
+        sup_ref = ray.put((sk, sn))
+    else:
+        sk = sn = sup_ref = None
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
 
-    def ofilt(t: pa.Table) -> pa.Table:
-        k, v = cached_get(cref)
-        oc = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(k):
-            i = np.clip(np.searchsorted(k, oc), 0, len(k) - 1)
-            m = k[i] == oc
-            cnat = v[i]
-        else:
-            m = np.zeros(len(oc), dtype=bool)
-            cnat = np.zeros(len(oc), np.int64)
-        return pa.table({
-            "ok": t["o_orderkey"].cast(pa.int64()).filter(pa.array(m)),
-            "cnat": pa.array(cnat[m], pa.int64())})
+    if ct is not None:
+        ck = ct["c_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cn = ct["cnat"].to_numpy(zero_copy_only=False).astype(np.int64)
+        co = np.argsort(ck)
+        cref = ray.put((ck[co], cn[co]))
 
-    o_ds = orders.map_batches(ofilt, batch_format="pyarrow")
+        def ofilt(t: pa.Table) -> pa.Table:
+            k, v = cached_get(cref)
+            oc = t["o_custkey"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            if len(k):
+                i = np.clip(np.searchsorted(k, oc), 0, len(k) - 1)
+                m = k[i] == oc
+                cnat = v[i]
+            else:
+                m = np.zeros(len(oc), dtype=bool)
+                cnat = np.zeros(len(oc), np.int64)
+            return pa.table({
+                "ok": t["o_orderkey"].cast(pa.int64()).filter(pa.array(m)),
+                "cnat": pa.array(cnat[m], pa.int64())})
+
+        o_ds = orders.map_batches(ofilt, batch_format="pyarrow")
+    else:
+        from ray_data_mplsh.stages.relational import inner_join
+
+        j0 = inner_join(orders.map_batches(
+            lambda t: pa.table({
+                "ok": t["o_orderkey"].cast(pa.int64()),
+                "oc": t["o_custkey"].cast(pa.int64())}),
+            batch_format="pyarrow"), c_ds,
+            left_on="oc", right_on="c_custkey", hot_key_threshold=0)
+        o_ds = j0.map_batches(
+            lambda t: pa.table({"ok": pc.cast(t["ok"], pa.int64()),
+                                "cnat": pc.cast(t["cnat"], pa.int64())}),
+            batch_format="pyarrow")
     ot = gather_capped(o_ds, broadcast_max_rows, pa.schema(
         [("ok", pa.int64()), ("cnat", pa.int64())]))
 
@@ -4830,14 +4861,18 @@ def q_tpch_q7(sf_dir: str, broadcast_max_rows: int = 4_000_000):
     def li_common(t: pa.Table):
         sd = t["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         m = (sd >= LO) & (sd < HI)
-        ls = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(sk):
-            j = np.clip(np.searchsorted(sk, ls), 0, len(sk) - 1)
-            m &= sk[j] == ls
-            snat = sn[j]
-        else:
-            m &= False
-            snat = np.zeros(len(ls), np.int64)
+        snat = None
+        if sup_ref is not None:
+            sk_, sn_ = cached_get(sup_ref)
+            ls = t["l_suppkey"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            if len(sk_):
+                j = np.clip(np.searchsorted(sk_, ls), 0, len(sk_) - 1)
+                m &= sk_[j] == ls
+                snat = sn_[j]
+            else:
+                m &= False
+                snat = np.zeros(len(ls), np.int64)
         yr = pc.year(t["l_shipdate"]).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         ep = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100)),
@@ -4846,7 +4881,7 @@ def q_tpch_q7(sf_dir: str, broadcast_max_rows: int = 4_000_000):
                      pa.int64()).to_numpy(zero_copy_only=False)
         return m, snat, yr, ep * (100 - dc)
 
-    if ot is not None:
+    if sk is not None and ot is not None:
         okeys = ot["ok"].to_numpy(zero_copy_only=False).astype(np.int64)
         onat = ot["cnat"].to_numpy(zero_copy_only=False).astype(np.int64)
         oo = np.argsort(okeys)
@@ -4868,20 +4903,35 @@ def q_tpch_q7(sf_dir: str, broadcast_max_rows: int = 4_000_000):
 
         joined_partials = li.map_batches(partial, batch_format="pyarrow")
     else:
+        # staged plan: each overflowed side rides its own keyed exchange
         from ray_data_mplsh.stages.relational import inner_join
 
-        def lmap(t: pa.Table) -> pa.Table:
+        def lprep(t: pa.Table) -> pa.Table:
             m, snat, yr, micro = li_common(t)
             lo = t["l_orderkey"].to_numpy(
                 zero_copy_only=False).astype(np.int64)
-            return pa.table({"lok": pa.array(lo[m], pa.int64()),
-                             "snat": pa.array(snat[m], pa.int64()),
-                             "l_year": pa.array(yr[m], pa.int64()),
-                             "micro": pa.array(micro[m], pa.int64())})
+            cols = {"lok": pa.array(lo[m], pa.int64())}
+            if sk is None:
+                ls = t["l_suppkey"].to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                cols["ls"] = pa.array(ls[m], pa.int64())
+            else:
+                cols["snat"] = pa.array(snat[m], pa.int64())
+            cols["l_year"] = pa.array(yr[m], pa.int64())
+            cols["micro"] = pa.array(micro[m], pa.int64())
+            return pa.table(cols)
 
-        j = inner_join(li.map_batches(lmap, batch_format="pyarrow"),
-                       o_ds, left_on="lok", right_on="ok",
-                       hot_key_threshold=0)
+        ds = li.map_batches(lprep, batch_format="pyarrow")
+        if sk is None:
+            ds = inner_join(ds, s_ds, left_on="ls",
+                            right_on="s_suppkey", hot_key_threshold=0)
+            ds = ds.map_batches(
+                lambda t: pa.table({
+                    "lok": pc.cast(t["lok"], pa.int64()),
+                    "snat": pc.cast(t["snat"], pa.int64()),
+                    "l_year": pc.cast(t["l_year"], pa.int64()),
+                    "micro": pc.cast(t["micro"], pa.int64())}),
+                batch_format="pyarrow")
 
         def post(t: pa.Table) -> pa.Table:
             sn_ = t["snat"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -4894,7 +4944,34 @@ def q_tpch_q7(sf_dir: str, broadcast_max_rows: int = 4_000_000):
                 t["micro"].to_numpy(zero_copy_only=False)
                 .astype(np.int64)[m])
 
-        joined_partials = j.map_batches(post, batch_format="pyarrow")
+        if ot is not None:
+            okeys = ot["ok"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            onat = ot["cnat"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            oo = np.argsort(okeys)
+            oref = ray.put((okeys[oo], onat[oo]))
+
+            def probe_cnat(t: pa.Table) -> pa.Table:
+                ok, on = cached_get(oref)
+                lo = t["lok"].to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                if not len(ok):
+                    return _EMPTY
+                i = np.clip(np.searchsorted(ok, lo), 0, len(ok) - 1)
+                hit = ok[i] == lo
+                return post(pa.table({
+                    "snat": t["snat"].filter(pa.array(hit)),
+                    "cnat": pa.array(on[i][hit], pa.int64()),
+                    "l_year": t["l_year"].filter(pa.array(hit)),
+                    "micro": t["micro"].filter(pa.array(hit))}))
+
+            joined_partials = ds.map_batches(probe_cnat,
+                                             batch_format="pyarrow")
+        else:
+            j = inner_join(ds, o_ds, left_on="lok", right_on="ok",
+                           hot_key_threshold=0)
+            joined_partials = j.map_batches(post, batch_format="pyarrow")
 
     agg = joined_partials.groupby(["snat", "cnat", "l_year"]) \
         .aggregate(Sum("rev_micro", alias_name="rev_micro"))
@@ -4920,14 +4997,15 @@ def q_tpch_q7(sf_dir: str, broadcast_max_rows: int = 4_000_000):
 def q_tpch_q8(sf_dir: str, broadcast_max_rows: int = 4_000_000):
     """TPC-H Q8 shape (national market share): one nation's share of a
     region's revenue for one part type, per order year. All three
-    dimension filters collapse to broadcasts (part-type partkeys,
-    suppkey -> is-nation flag, region custkeys); the two-year orders
-    window restricted to the region's customers becomes a sorted
-    (orderkey -> order year) broadcast under ``broadcast_max_rows``,
-    else the plan flips to the keyed exchange (map-side part/supplier
-    attach + inner_join on orderkey, the q_tpch_q5/q7 fallback). Each
-    lineitem batch folds to <= |years| (numerator, denominator) int64
-    cent partials; the one share division is replayed in SQL."""
+    dimension filters (part-type partkeys, suppkey -> is-nation flag,
+    region custkeys) and the two-year orders window broadcast only
+    under ``broadcast_max_rows``; any side over the cap flips to its
+    keyed exchange (part: semi-join on l_partkey; supplier flag:
+    inner_join on l_suppkey; custkey filter: semi-join in the orders
+    scan; orders: the q5/q7 inner_join on l_orderkey) — force-tested
+    bit-equal at broadcast_max_rows=0. Each lineitem batch folds to
+    <= |years| (numerator, denominator) int64 cent partials; the one
+    share division is replayed in SQL."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -4960,61 +5038,97 @@ def q_tpch_q8(sf_dir: str, broadcast_max_rows: int = 4_000_000):
     target_nk = nk_all[nn == NATION]
     target_nk = int(target_nk[0]) if len(target_nk) else -1
 
-    # part-type partkeys + suppkey -> is-nation flag broadcasts
-    pk_parts = []
-    for b in _read(sf_dir, "part", ["p_partkey", "p_type"]) \
-            .iter_batches(batch_size=65536, batch_format="pyarrow"):
-        m = pc.equal(b["p_type"], PTYPE).to_numpy(zero_copy_only=False)
-        pk_parts.append(b["p_partkey"].to_numpy(zero_copy_only=False)
-                        .astype(np.int64)[m])
-    ppk = np.sort(np.concatenate(pk_parts)) if pk_parts else \
-        np.empty(0, np.int64)
-    sk_p, sf_p = [], []
-    for b in _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
-            .iter_batches(batch_size=65536, batch_format="pyarrow"):
-        sk_p.append(b["s_suppkey"].to_numpy(zero_copy_only=False)
-                    .astype(np.int64))
-        sf_p.append((b["s_nationkey"].to_numpy(zero_copy_only=False)
-                     .astype(np.int64) == target_nk).astype(np.int8))
-    sk = np.concatenate(sk_p) if sk_p else np.empty(0, np.int64)
-    sfl = np.concatenate(sf_p) if sf_p else np.empty(0, np.int8)
-    so = np.argsort(sk)
-    sk, sfl = sk[so], sfl[so]
+    # dimension-side gathers are CAPPED too (VERDICT r4 #2): each
+    # SF-proportional side flips to its keyed exchange above the cap —
+    # part to a distributed semi-join on l_partkey, the supplier
+    # is-nation flag to an inner_join on l_suppkey, the region custkey
+    # filter to a semi-join inside the orders scan.
+    p_ds = _read(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        lambda t: pa.table({
+            "p_partkey": t["p_partkey"].cast(pa.int64()).filter(
+                pc.equal(t["p_type"], PTYPE))}), batch_format="pyarrow")
+    pt_ = gather_capped(p_ds, broadcast_max_rows,
+                        pa.schema([("p_partkey", pa.int64())]))
+    ppk = np.sort(pt_["p_partkey"].to_numpy(zero_copy_only=False)
+                  .astype(np.int64)) if pt_ is not None else None
 
-    # region custkeys
-    ck_parts = []
-    for b in _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
-            .iter_batches(batch_size=65536, batch_format="pyarrow"):
-        m = np.isin(b["c_nationkey"].to_numpy(zero_copy_only=False)
-                    .astype(np.int64), reg_nkeys)
-        ck_parts.append(b["c_custkey"].to_numpy(zero_copy_only=False)
-                        .astype(np.int64)[m])
-    ck = np.sort(np.concatenate(ck_parts)) if ck_parts else \
-        np.empty(0, np.int64)
-    cref = ray.put(ck)
+    def smap(t: pa.Table) -> pa.Table:
+        isn = (t["s_nationkey"].to_numpy(zero_copy_only=False)
+               .astype(np.int64) == target_nk).astype(np.int8)
+        return pa.table({"s_suppkey": t["s_suppkey"].cast(pa.int64()),
+                         "s_isnat": pa.array(isn, pa.int8())})
+
+    s_ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+        .map_batches(smap, batch_format="pyarrow")
+    st = gather_capped(s_ds, broadcast_max_rows, pa.schema(
+        [("s_suppkey", pa.int64()), ("s_isnat", pa.int8())]))
+    if st is not None:
+        sk = st["s_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sfl = st["s_isnat"].to_numpy(zero_copy_only=False) \
+            .astype(np.int8)
+        so = np.argsort(sk)
+        sk, sfl = sk[so], sfl[so]
+    else:
+        sk = sfl = None
     dref = ray.put((ppk, sk, sfl))
+
+    # region custkeys (reg_nkeys is nation-bounded, <= 25 — rides the
+    # closure; the custkey SET is the SF-proportional side being capped)
+    c_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(lambda t: pa.table({
+            "c_custkey": t["c_custkey"].cast(pa.int64()).filter(
+                pa.array(np.isin(
+                    t["c_nationkey"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64), reg_nkeys)))}),
+            batch_format="pyarrow")
+    ct = gather_capped(c_ds, broadcast_max_rows,
+                       pa.schema([("c_custkey", pa.int64())]))
 
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_orderdate"])
 
-    def ofilt(t: pa.Table) -> pa.Table:
-        keys = cached_get(cref)
-        od = t["o_orderdate"].cast(pa.int64()).to_numpy(
-            zero_copy_only=False)
-        oc = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        m = (od >= LO) & (od < HI)
-        if len(keys):
-            i = np.clip(np.searchsorted(keys, oc), 0, len(keys) - 1)
-            m &= keys[i] == oc
-        else:
-            m &= False
-        yr = pc.year(t["o_orderdate"]).to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        return pa.table({
-            "ok": t["o_orderkey"].cast(pa.int64()).filter(pa.array(m)),
-            "o_year": pa.array(yr[m], pa.int64())})
+    if ct is not None:
+        ck = np.sort(ct["c_custkey"].to_numpy(zero_copy_only=False)
+                     .astype(np.int64))
+        cref = ray.put(ck)
 
-    o_ds = orders.map_batches(ofilt, batch_format="pyarrow")
+        def ofilt(t: pa.Table) -> pa.Table:
+            keys = cached_get(cref)
+            od = t["o_orderdate"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            oc = t["o_custkey"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            m = (od >= LO) & (od < HI)
+            if len(keys):
+                i = np.clip(np.searchsorted(keys, oc), 0, len(keys) - 1)
+                m &= keys[i] == oc
+            else:
+                m &= False
+            yr = pc.year(t["o_orderdate"]).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return pa.table({
+                "ok": t["o_orderkey"].cast(pa.int64()).filter(pa.array(m)),
+                "o_year": pa.array(yr[m], pa.int64())})
+
+        o_ds = orders.map_batches(ofilt, batch_format="pyarrow")
+    else:
+        from ray_data_mplsh.stages.relational import semi_anti_join
+
+        def odate(t: pa.Table) -> pa.Table:
+            od = t["o_orderdate"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            return t.filter(pa.array((od >= LO) & (od < HI)))
+
+        o_ds = semi_anti_join(
+            orders.map_batches(odate, batch_format="pyarrow"), c_ds,
+            left_on="o_custkey", right_on="c_custkey",
+            broadcast_max_keys=broadcast_max_rows).map_batches(
+                lambda t: pa.table({
+                    "ok": t["o_orderkey"].cast(pa.int64()),
+                    "o_year": pc.cast(pc.year(t["o_orderdate"]),
+                                      pa.int64())}),
+                batch_format="pyarrow")
     ot = gather_capped(o_ds, broadcast_max_rows, pa.schema(
         [("ok", pa.int64()), ("o_year", pa.int64())]))
 
@@ -5023,22 +5137,28 @@ def q_tpch_q8(sf_dir: str, broadcast_max_rows: int = 4_000_000):
                       "l_extendedprice", "l_discount"])
 
     def li_common(t: pa.Table):
-        """part + supplier attach: mask, is-nation flag, cent micros."""
+        """part + supplier attach: mask, is-nation flag (or None when
+        the supplier side is on its exchange), cent micros — applies
+        whichever probes are broadcast-resident."""
         pk_, sk_, sf_ = cached_get(dref)
         lp = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         ls = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(pk_):
-            i = np.clip(np.searchsorted(pk_, lp), 0, len(pk_) - 1)
-            m = pk_[i] == lp
-        else:
-            m = np.zeros(len(lp), dtype=bool)
-        if len(sk_):
-            j = np.clip(np.searchsorted(sk_, ls), 0, len(sk_) - 1)
-            m &= sk_[j] == ls
-            isn = sf_[j].astype(np.int64)
-        else:
-            m &= False
-            isn = np.zeros(len(ls), np.int64)
+        m = np.ones(len(lp), dtype=bool)
+        if pk_ is not None:
+            if len(pk_):
+                i = np.clip(np.searchsorted(pk_, lp), 0, len(pk_) - 1)
+                m &= pk_[i] == lp
+            else:
+                m &= False
+        isn = None
+        if sk_ is not None:
+            if len(sk_):
+                j = np.clip(np.searchsorted(sk_, ls), 0, len(sk_) - 1)
+                m &= sk_[j] == ls
+                isn = sf_[j].astype(np.int64)
+            else:
+                m &= False
+                isn = np.zeros(len(ls), np.int64)
         ep = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100)),
                      pa.int64()).to_numpy(zero_copy_only=False)
         dc = pc.cast(pc.round(pc.multiply(t["l_discount"], 100)),
@@ -5059,7 +5179,9 @@ def q_tpch_q8(sf_dir: str, broadcast_max_rows: int = 4_000_000):
                        "num_micro": pa.array([], pa.int64()),
                        "den_micro": pa.array([], pa.int64())})
 
-    if ot is not None:
+    dims_resident = ppk is not None and sk is not None
+    if dims_resident and ot is not None:
+        # fully fused fast path: all three probes in ONE map, partials out
         okeys = ot["ok"].to_numpy(zero_copy_only=False).astype(np.int64)
         oyr = ot["o_year"].to_numpy(zero_copy_only=False).astype(np.int64)
         oo = np.argsort(okeys)
@@ -5078,29 +5200,82 @@ def q_tpch_q8(sf_dir: str, broadcast_max_rows: int = 4_000_000):
 
         partials = li.map_batches(partial, batch_format="pyarrow")
     else:
-        from ray_data_mplsh.stages.relational import inner_join
+        # staged plan: each overflowed side rides its own keyed exchange
+        from ray_data_mplsh.stages.relational import (inner_join,
+                                                      semi_anti_join)
 
-        def lmap(t: pa.Table) -> pa.Table:
+        def lprep(t: pa.Table) -> pa.Table:
             m, isn, micro = li_common(t)
             lo = t["l_orderkey"].to_numpy(
                 zero_copy_only=False).astype(np.int64)
-            return pa.table({"lok": pa.array(lo[m], pa.int64()),
-                             "isn": pa.array(isn[m], pa.int64()),
-                             "micro": pa.array(micro[m], pa.int64())})
+            cols = {"lok": pa.array(lo[m], pa.int64())}
+            if ppk is None:
+                lp = t["l_partkey"].to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                cols["lp"] = pa.array(lp[m], pa.int64())
+            if sk is None:
+                ls = t["l_suppkey"].to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                cols["ls"] = pa.array(ls[m], pa.int64())
+            else:
+                cols["isn"] = pa.array(isn[m], pa.int64())
+            cols["micro"] = pa.array(micro[m], pa.int64())
+            return pa.table(cols)
 
-        j = inner_join(li.map_batches(lmap, batch_format="pyarrow"),
-                       o_ds, left_on="lok", right_on="ok",
-                       hot_key_threshold=0)
+        ds = li.map_batches(lprep, batch_format="pyarrow")
+        if ppk is None:
+            ds = semi_anti_join(ds, p_ds, left_on="lp",
+                                right_on="p_partkey",
+                                broadcast_max_keys=broadcast_max_rows)
+            ds = ds.map_batches(lambda t: t.drop_columns(["lp"]),
+                                batch_format="pyarrow")
+        if sk is None:
+            ds = inner_join(ds, s_ds, left_on="ls",
+                            right_on="s_suppkey", hot_key_threshold=0)
+            ds = ds.map_batches(
+                lambda t: pa.table({
+                    "lok": pc.cast(t["lok"], pa.int64()),
+                    "isn": pc.cast(t["s_isnat"], pa.int64()),
+                    "micro": pc.cast(t["micro"], pa.int64())}),
+                batch_format="pyarrow")
+        if ot is not None:
+            okeys = ot["ok"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            oyr = ot["o_year"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            oo = np.argsort(okeys)
+            oref = ray.put((okeys[oo], oyr[oo]))
 
-        def post(t: pa.Table) -> pa.Table:
-            return year_partial(
-                t["o_year"].to_numpy(zero_copy_only=False)
-                .astype(np.int64),
-                t["isn"].to_numpy(zero_copy_only=False).astype(np.int64),
-                t["micro"].to_numpy(zero_copy_only=False)
-                .astype(np.int64))
+            def probe_year(t: pa.Table) -> pa.Table:
+                ok, oy = cached_get(oref)
+                lo = t["lok"].to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                if not len(ok):
+                    return _EMPTY
+                i = np.clip(np.searchsorted(ok, lo), 0, len(ok) - 1)
+                hit = ok[i] == lo
+                return year_partial(
+                    oy[i][hit],
+                    t["isn"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64)[hit],
+                    t["micro"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64)[hit])
 
-        partials = j.map_batches(post, batch_format="pyarrow")
+            partials = ds.map_batches(probe_year, batch_format="pyarrow")
+        else:
+            j = inner_join(ds, o_ds, left_on="lok", right_on="ok",
+                           hot_key_threshold=0)
+
+            def post(t: pa.Table) -> pa.Table:
+                return year_partial(
+                    t["o_year"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                    t["isn"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                    t["micro"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64))
+
+            partials = j.map_batches(post, batch_format="pyarrow")
 
     agg = partials.groupby("o_year").aggregate(
         Sum("num_micro", alias_name="num_micro"),

@@ -179,11 +179,18 @@ class _SpanExtractor:
         ], names=["doc_id", "start", "end"])
 
 
-def _attach_texts_broadcast(pairs, canon, cfg: MPLSHConfig):
-    """Small-corpus path: the canonical (id, text) table is put in the
-    object store ONCE (sorted-id index + permutation, so the driver never
-    copies the text column) and every span task resolves both sides with
-    searchsorted. Bounded by cfg.broadcast_max_docs."""
+def _extract_spans_broadcast(pairs, canon, cfg: MPLSHConfig):
+    """Small-corpus path, attach FUSED with span extraction (VERDICT r4
+    #8): the canonical (id, text) table is put in the object store ONCE
+    (sorted-id index + permutation, so the driver never copies the text
+    column); each span task resolves both pair sides with searchsorted
+    AND runs the suffix-array cross-match in the same map, so the
+    intermediate (a, b, text_a, text_b) table — two text copies per
+    pair, wrapped into Arrow only to be unwrapped by the extractor — is
+    never built. Per-batch text memo: a hot doc appearing in many pairs
+    of one batch decodes once. Bit-equal to attach->_SpanExtractor (the
+    pair orientation / missing-id rules are identical); bounded by
+    cfg.broadcast_max_docs."""
     import ray
 
     canon_batches = list(canon.iter_batches(batch_size=65536,
@@ -197,25 +204,41 @@ def _attach_texts_broadcast(pairs, canon, cfg: MPLSHConfig):
     perm = np.argsort(ids_un, kind="stable")
     tref = ray.put((ids_un[perm], perm.astype(np.int64),
                     canon_tbl["text"].combine_chunks()))
+    L = cfg.substr_len
 
-    def attach(batch: pa.Table) -> pa.Table:
+    def extract(batch: pa.Table) -> pa.Table:
         sorted_ids, perm, texts = cached_get(tref)
+        memo: dict[int, str] = {}
 
         def text_of(x):
-            i = int(np.searchsorted(sorted_ids, x))
-            if i < len(sorted_ids) and sorted_ids[i] == x:
-                return texts[int(perm[i])].as_py()
-            return ""
+            x = int(x)
+            t = memo.get(x)
+            if t is None:
+                i = int(np.searchsorted(sorted_ids, x))
+                t = texts[int(perm[i])].as_py() \
+                    if i < len(sorted_ids) and sorted_ids[i] == x else ""
+                memo[x] = t
+            return t
 
         a = batch["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
         b = batch["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        out_id, out_s, out_e = [], [], []
+        for x, y in zip(a, b):
+            # spans are always removed from the LARGER doc_id (deterministic)
+            if x > y:
+                x, y = y, x
+            for s, e in cross_match_intervals(text_of(x), text_of(y), L):
+                out_id.append(y)
+                out_s.append(s)
+                out_e.append(e)
         return pa.Table.from_arrays([
-            batch["a"], batch["b"],
-            pa.array([text_of(x) for x in a], pa.string()),
-            pa.array([text_of(x) for x in b], pa.string()),
-        ], names=["a", "b", "text_a", "text_b"])
+            pa.array(np.array(out_id, dtype=np.uint64), pa.uint64()),
+            pa.array(out_s, pa.int64()),
+            pa.array(out_e, pa.int64()),
+        ], names=["doc_id", "start", "end"])
 
-    return pairs.map_batches(attach, batch_format="pyarrow", batch_size=512)
+    return pairs.map_batches(extract, batch_format="pyarrow",
+                             batch_size=512)
 
 
 def _attach_texts_shuffle(pairs, canon, num_partitions: int):
@@ -308,9 +331,11 @@ def substring_stage(dedup_out, cfg: MPLSHConfig, num_partitions: int):
     ``final_text`` (null for non-canonical docs) and updated is_canonical.
 
     Pair-text attachment is gated on ``cfg.broadcast_max_docs`` exactly
-    like S6 verification: broadcast below the threshold, pair-keyed
-    shuffle (``_attach_texts_shuffle``) above it — both proven
-    byte-identical by tests/test_suffix.py."""
+    like S6 verification: below the threshold the attach is FUSED with
+    span extraction over a broadcast text index
+    (``_extract_spans_broadcast``), above it texts ride the pair-keyed
+    shuffle (``_attach_texts_shuffle``) into ``_SpanExtractor`` — both
+    proven byte-identical by tests/test_suffix.py."""
     import ray
 
     # dedup_out (the marked corpus) feeds three consumers: the fingerprint
@@ -388,13 +413,12 @@ def substring_stage(dedup_out, cfg: MPLSHConfig, num_partitions: int):
 
     if n_canon <= cfg.broadcast_max_docs and \
             canon_bytes <= cfg.substr_broadcast_max_bytes:
-        withtexts = _attach_texts_broadcast(pairs, canon, cfg)
+        spans = _extract_spans_broadcast(pairs, canon, cfg)
     else:
         withtexts = _attach_texts_shuffle(pairs, canon, num_partitions)
-
-    extractor = _SpanExtractor(cfg.substr_len)
-    spans = withtexts.map_batches(extractor, batch_format="pyarrow",
-                                  batch_size=512)
+        spans = withtexts.map_batches(_SpanExtractor(cfg.substr_len),
+                                      batch_format="pyarrow",
+                                      batch_size=512)
 
     # merge intervals per doc, collect to the driver (docs carrying dup
     # spans only — orders of magnitude smaller than the corpus; the
