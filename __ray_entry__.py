@@ -21,7 +21,9 @@ prefix of it), rows-only entries last:
     oracle), q_allpair_containment* (asymmetric Broder containment,
     both directions, shared intersect kernel)
   similarity search: q_knn_bruteforce* (list_cosine_similarity oracle),
-    q_knn_lsh (multi-probe ANN), q_knn_ivf (IVF-flat) — both with the
+    q_knn_lsh* (multi-probe ANN — full SQL replay since r5: hyperplane
+    double literals, mask-enumerated Algorithm-1 probe selection,
+    candidate rank join), q_knn_ivf (IVF-flat) — both with the
     distributed query-keyed top-k merge
   multimodal: q_media_dedup (exact byte dedup over the synthetic media
     table), q_media_features (real BMP/PNG/JPEG/WAV/Y4M decode ->
@@ -139,13 +141,15 @@ prefix of it), rows-only entries last:
     tiny |days|-row groupby result)
 
 Rows-only rationale (driver contract permits omitting SQL for
-non-expressible ops; only 6 of 94 entries remain rows-only):
+non-expressible ops):
 q_minhash_pairs / q_dedup_documents depend on url-hash doc ids
 (SipHash) that SQL cannot replay — q_ngram_jaccard* now covers the same
 band/probe candidate generation with original ids, and
-q_allpair_jaccard* pins the exact-Jaccard scoring kernel; q_knn_lsh /
-q_knn_ivf are approximate by design (probe/centroid-dependent candidate
-sets; q_knn_bruteforce* pins the scoring + distributed merge);
+q_allpair_jaccard* pins the exact-Jaccard scoring kernel; q_knn_ivf is
+approximate by design (its candidate set depends on sampled centroids
+of an iterative k-means — no SQL twin; q_knn_bruteforce* pins the
+scoring + distributed merge and q_knn_lsh* replays the multi-probe
+plan in full);
 q_fingerprints is winnowing (rolling-hash rightmost-argmin windows);
 q_kmeans_embeddings is iterative (numpy-reference pinned);
 q_media_dedup has no sf media table (planted-dup pytest oracle). The

@@ -444,13 +444,73 @@ def q_knn_bruteforce(sf_dir: str):
 
 def q_knn_lsh(sf_dir: str):
     """Approximate top-k via hyperplane LSH + score-ordered multi-probe
-    ([MPLSH §4]). Rows-only for the driver; recall vs brute force is gated
-    in pytest (tests/test_similarity.py)."""
+    ([MPLSH §4]) — ORACLED since r5 by a full SQL replay
+    (``_knn_lsh_sql``): the seeded hyperplanes ride the SQL as double
+    literals, codes/margins are double dots of the raw vectors (exactly
+    the engine's ``_vec_code64``), Algorithm 1's first n_probes-1 heap
+    pops are replayed as the n_probes-1 smallest-score non-empty flip
+    masks (the heap emits sets in non-decreasing score order, so the
+    selected SET is order-free), and the candidate top-k is ranked by
+    cosine with vec_id tie-break. Output is the id SET per query (cosine
+    dropped — the q_knn_bruteforce float convention); recall vs brute
+    force stays gated in pytest (tests/test_similarity.py)."""
     from ray_data_mplsh.pipelines.similarity import knn_lsh
 
     ids, q = _load_queries(sf_dir)
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return knn_lsh(emb, ids, q, k=_KNN_K)
+    return knn_lsh(emb, ids, q, k=_KNN_K).select(["query_id", "vec_id"])
+
+
+def _knn_lsh_sql() -> str:
+    """Multi-probe-LSH SQL replay for q_knn_lsh (the namesake algorithm's
+    widest non-dedup signature): embeds the engine's seeded hyperplanes
+    (same PCG64 draws, float32 values round-tripped to double literals)
+    and replays bucketing, probe selection and candidate ranking over the
+    64-dim testdata embeddings (TESTDATA.md schema contract)."""
+    from ray_data_mplsh.pipelines.similarity import (
+        LSH_N_BITS, LSH_N_PROBES, LSH_N_TABLES, LSH_SEED, _hyperplanes)
+
+    d = 64
+    rows = []
+    for t in range(LSH_N_TABLES):
+        pl = _hyperplanes(d, LSH_N_BITS, LSH_SEED + t).astype(np.float64)
+        for b in range(LSH_N_BITS):
+            ws = ", ".join(repr(float(x)) for x in pl[:, b])
+            rows.append(f"({t}, {b}, [{ws}]::DOUBLE[])")
+    n_masks = 1 << LSH_N_BITS
+    return (
+        "WITH planes(t, b, w) AS (VALUES " + ", ".join(rows) + "), "
+        "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
+        "FROM embeddings), "
+        "proj AS (SELECT vec_id, t, b, list_inner_product(e, w) AS ip "
+        "FROM emb CROSS JOIN planes), "
+        "code AS (SELECT vec_id, t, "
+        "CAST(SUM(CASE WHEN ip > 0 THEN (1::BIGINT << b) ELSE 0 END) "
+        "AS BIGINT) AS code FROM proj GROUP BY vec_id, t), "
+        f"qproj AS (SELECT * FROM proj WHERE vec_id < {_KNN_NQ}), "
+        f"qcode AS (SELECT * FROM code WHERE vec_id < {_KNN_NQ}), "
+        "masks AS (SELECT CAST(r.range AS BIGINT) AS m "
+        f"FROM range(1, {n_masks}) r), "
+        "mscore AS (SELECT q.vec_id AS qid, q.t, k.m, SUM(abs(q.ip)) "
+        "AS score FROM qproj q JOIN masks k ON ((k.m >> q.b) & 1) = 1 "
+        "GROUP BY q.vec_id, q.t, k.m), "
+        "msel AS (SELECT qid, t, m FROM (SELECT qid, t, m, ROW_NUMBER() "
+        "OVER (PARTITION BY qid, t ORDER BY score ASC, m ASC) AS rk "
+        f"FROM mscore) WHERE rk <= {LSH_N_PROBES - 1}), "
+        "probes AS (SELECT vec_id AS qid, t, code AS pcode FROM qcode "
+        "UNION ALL SELECT s.qid, s.t, xor(qc.code, s.m) FROM msel s "
+        "JOIN qcode qc ON qc.vec_id = s.qid AND qc.t = s.t), "
+        "cand AS (SELECT DISTINCT p.qid AS query_id, c.vec_id "
+        "FROM probes p JOIN code c ON c.t = p.t AND c.code = p.pcode), "
+        "sc AS (SELECT cand.query_id, cand.vec_id, "
+        "list_cosine_similarity(qe.embedding, de.embedding) AS cos "
+        "FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id "
+        "JOIN embeddings de ON de.vec_id = cand.vec_id), "
+        "r AS (SELECT query_id, vec_id, ROW_NUMBER() OVER "
+        "(PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rk "
+        "FROM sc) "
+        f"SELECT query_id, vec_id FROM r WHERE rk <= {_KNN_K}"
+    )
 
 
 def q_knn_ivf(sf_dir: str):
@@ -7064,6 +7124,9 @@ ORACLE_SQL["q_url_dedup"] = (
     "WITH c AS (" + ORACLE_SQL["q_canonical_urls"] + ") "
     "SELECT curl, MIN(doc_id) AS doc_id, "
     "CAST(COUNT(*) AS BIGINT) AS n_docs FROM c GROUP BY curl")
+
+# generated oracle: the full multi-probe-LSH replay (hyperplane literals)
+ORACLE_SQL["q_knn_lsh"] = _knn_lsh_sql()
 
 # The driver signs correctness rows for only a prefix of this registry
 # (50 entries per round), so oracle-bearing queries are ordered FIRST:

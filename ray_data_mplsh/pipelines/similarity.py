@@ -207,17 +207,45 @@ def _vec_simhash(m: np.ndarray, planes: np.ndarray
     return code, np.abs(proj)
 
 
+def _vec_code64(raw: np.ndarray, planes64: np.ndarray
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """(bucket codes uint64, |projection| margins) in FLOAT64 from RAW
+    (unnormalized) vectors. sign(e . w) is normalization-invariant, and
+    per-query probe ordering only needs margin ORDER (a common 1/||q||
+    scale drops out), so raw double dots give identical buckets/probes —
+    while being the one quantity a SQL oracle can replay bit-safely:
+    float32-normalized projections flip a sign whenever |proj| lands
+    inside f32 rounding (~1e-7 — a real event at corpus scale), the
+    double window (~1e-15) never fires on real data."""
+    proj = raw @ planes64
+    bits = (proj > 0).astype(np.uint64)
+    weights = np.uint64(1) << np.arange(planes64.shape[1], dtype=np.uint64)
+    code = (bits * weights[None, :]).sum(axis=1, dtype=np.uint64)
+    return code, np.abs(proj)
+
+
+# knn_lsh defaults — module-level so the SQL oracle builder embeds the
+# SAME hyperplane seed / geometry it replays (queries._knn_lsh_sql)
+LSH_N_BITS = 12
+LSH_N_TABLES = 4
+LSH_N_PROBES = 8
+LSH_SEED = 0xC0FFEE
+
+
 def knn_lsh(embeddings, query_ids: np.ndarray, queries: np.ndarray,
-            k: int = 10, *, n_bits: int = 12, n_tables: int = 4,
-            n_probes: int = 8, seed: int = 0xC0FFEE, num_partitions: int = 0):
+            k: int = 10, *, n_bits: int = LSH_N_BITS,
+            n_tables: int = LSH_N_TABLES, n_probes: int = LSH_N_PROBES,
+            seed: int = LSH_SEED, num_partitions: int = 0):
     """Approximate top-k: hyperplane-LSH bucketing with score-ordered
     multi-probe ([MPLSH §4]: probe the buckets whose perturbed codes have
     the smallest summed margins, generated by Algorithm 1's heap).
 
     Data side: each vector lands in 1 bucket per table. Query side: the
-    exact bucket + (n_probes-1) perturbed buckets per table. Candidates
-    are exact-cosine-scored per batch and merged by the distributed
-    query-keyed top-k exchange (_merge_topk).
+    exact bucket + (n_probes-1) perturbed buckets per table. Bucket codes
+    and probe margins are double-precision dots of the RAW vectors
+    (``_vec_code64`` — normalization-invariant, SQL-replayable); the
+    candidates are then exact-cosine-scored per batch and merged by the
+    distributed query-keyed top-k exchange (_merge_topk).
     """
     import ray
 
@@ -225,6 +253,7 @@ def knn_lsh(embeddings, query_ids: np.ndarray, queries: np.ndarray,
 
     P = default_partitions(num_partitions)
     qm = _normalize(np.asarray(queries, np.float32))
+    qraw = np.asarray(queries, np.float64)
     qids = np.asarray(query_ids, np.int64)
     d = qm.shape[1]
 
@@ -232,7 +261,7 @@ def knn_lsh(embeddings, query_ids: np.ndarray, queries: np.ndarray,
     probe_keys = []   # (table, code) rows per query
     planes = [_hyperplanes(d, n_bits, seed + t) for t in range(n_tables)]
     for t in range(n_tables):
-        code, marg = _vec_simhash(qm, planes[t])
+        code, marg = _vec_code64(qraw, planes[t].astype(np.float64))
         for qi in range(len(qids)):
             sets = perturbation_sets(marg[qi], n_probes - 1)
             codes = [code[qi]]
@@ -262,16 +291,17 @@ def knn_lsh(embeddings, query_ids: np.ndarray, queries: np.ndarray,
     class Prober:
         def __init__(self):
             self.uk, self.uoffs, self.qp = ray.get(want_ref)
-            self.planes = ray.get(planes_ref)
+            self.planes64 = ray.get(planes_ref).astype(np.float64)
             self.qids, self.qm = ray.get(q_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _normalize(_emb_matrix(batch).astype(np.float32))
+            raw = _emb_matrix(batch).astype(np.float64)
+            m = _normalize(raw.astype(np.float32))
             ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
             out_q, out_v, out_c = [], [], []
             if m.size and len(self.uk):
-                for t in range(self.planes.shape[0]):
-                    code, _ = _vec_simhash(m, self.planes[t])
+                for t in range(self.planes64.shape[0]):
+                    code, _ = _vec_code64(raw, self.planes64[t])
                     key = (np.uint64(t << n_bits) | code)
                     pos = np.clip(np.searchsorted(self.uk, key), 0,
                                   len(self.uk) - 1)

@@ -51,7 +51,7 @@ CHECK = ["q_word_stats", "q_doc_freq", "q_allpair_jaccard",
          "q_tpch_q15", "q_tpch_q13", "q_tpch_q4", "q_tpch_q17",
          "q_tpch_q19", "q_tpch_q22", "q_tpch_q7", "q_gopher_quality",
          "q_dedup_tiers", "q_tpch_q8", "q_tpch_q16", "q_tpch_q9",
-         "q_dedup_tier_report"]
+         "q_dedup_tier_report", "q_knn_lsh"]
 
 
 @pytest.fixture(scope="module")
