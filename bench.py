@@ -200,6 +200,76 @@ def _scale_worker(num_cpus: int) -> None:
     ray.shutdown()
 
 
+def bench_incremental() -> None:
+    """Incremental-vs-from-scratch at bench scale (VERDICT r4 item 7).
+
+    Split the scale fixture's parquet files into two half-corpora A and B,
+    then time three jobs in one 32-cpu session:
+
+      1. base       — full dedup of A with checkpoints enabled,
+      2. incremental — ``run_dedup_incremental`` folding B into A's
+         checkpointed docs/sigs/verified state (only B's docs are
+         extracted/signed; A's signatures are re-read, not recomputed),
+      3. from_scratch — full dedup of A+B with no checkpoints.
+
+    The claim evidenced for BASELINE.md: wall(incremental) <
+    wall(from_scratch) on the same second shard, i.e. a daily-crawl user
+    pays for the new shard, not the archive. Same num_partitions as the
+    scaling worker so plans are comparable."""
+    import dataclasses
+
+    _ensure_scale_fixture()
+    probe_pre = _window_probe()
+    _init_ray(NUM_CPUS)
+    from ray_data_mplsh.config import MPLSHConfig
+    from ray_data_mplsh.pipelines.dedup import run_dedup
+    from ray_data_mplsh.pipelines.incremental import run_dedup_incremental
+    from ray_data_mplsh.sources import read_pages
+
+    pages_dir = os.path.join(SCALE_DIR, "pages")
+    files = sorted(os.path.join(pages_dir, f) for f in os.listdir(pages_dir)
+                   if f.endswith(".parquet"))
+    half = max(1, len(files) // 2)
+    files_a, files_b = files[:half], files[half:]
+    ckpt_dir = os.path.join(SCALE_DIR, "incr_ckpt")
+
+    def timed(fn):
+        t0 = time.monotonic()
+        res = fn()
+        n = res.dedup_out.materialize().count()
+        return round(time.monotonic() - t0, 3), n, res
+
+    cfg = MPLSHConfig(num_partitions=64, ckpt_dir=ckpt_dir, run_id="base")
+    base_s, base_n, _ = timed(lambda: run_dedup(
+        read_pages(files_a, extract=True), cfg, extract=True))
+    inc_cfg = dataclasses.replace(cfg, run_id="incr")
+    inc_s, inc_n, inc_res = timed(lambda: run_dedup_incremental(
+        read_pages(files_b, extract=True), inc_cfg, base_run_id="base",
+        extract=True))
+    scratch_s, scratch_n, _ = timed(lambda: run_dedup(
+        read_pages(files, extract=True),
+        MPLSHConfig(num_partitions=64), extract=True))
+
+    out = {
+        "metric": "incremental_speedup",
+        "value": round(scratch_s / inc_s, 3),
+        "unit": "ratio",
+        "queries": {"dedup_base_shard": base_s,
+                    "dedup_incremental_shard": inc_s,
+                    "dedup_from_scratch_joint": scratch_s},
+        "sf": SCALE_DIR,
+        "num_cpus": NUM_CPUS,
+        "docs": {"base": base_n, "incremental": inc_n,
+                 "from_scratch": scratch_n},
+        "n_new_sigs": inc_res.counters.get("n_new_sigs"),
+        "probe_s": [probe_pre, _window_probe()],
+    }
+    print(json.dumps(out))
+    import ray
+
+    ray.shutdown()
+
+
 def bench_scaling() -> None:
     """N vs 4N. Default levels 4/16: this box throttles per-core speed
     ~27% when all 32 cores are busy (pure-CPU Ray microbench: 8->32
@@ -262,6 +332,8 @@ def main() -> None:
         _scale_worker(int(sys.argv[sys.argv.index("--_scale_worker") + 1]))
     elif "--scaling" in sys.argv:
         bench_scaling()
+    elif "--incremental" in sys.argv:
+        bench_incremental()
     else:
         bench_default()
 
