@@ -229,9 +229,13 @@ def bench_incremental() -> None:
     pages_dir = os.path.join(SCALE_DIR, "pages")
     files = sorted(os.path.join(pages_dir, f) for f in os.listdir(pages_dir)
                    if f.endswith(".parquet"))
-    half = max(1, len(files) // 2)
+    frac = float(os.environ.get("GRAFT_INCR_SPLIT", "0.8"))
+    half = min(len(files) - 1, max(1, int(len(files) * frac)))
     files_a, files_b = files[:half], files[half:]
     ckpt_dir = os.path.join(SCALE_DIR, "incr_ckpt")
+    if os.path.exists(ckpt_dir):    # cold base: no stale-checkpoint resume
+        import shutil
+        shutil.rmtree(ckpt_dir)
 
     def timed(fn):
         t0 = time.monotonic()
@@ -261,7 +265,9 @@ def bench_incremental() -> None:
         "num_cpus": NUM_CPUS,
         "docs": {"base": base_n, "incremental": inc_n,
                  "from_scratch": scratch_n},
+        "split": frac,
         "n_new_sigs": inc_res.counters.get("n_new_sigs"),
+        "substr_incremental": inc_res.counters.get("substr_incremental"),
         "probe_s": [probe_pre, _window_probe()],
     }
     print(json.dumps(out))

@@ -48,7 +48,8 @@ from ray_data_mplsh.stages.minhash import minhash_stage
 from ray_data_mplsh.stages.output import assign_and_mark, substring_stage
 from ray_data_mplsh.stages.pairs import pairs_stage
 from ray_data_mplsh.stages.shuffle import (
-    cached_get, default_partitions, group_runs, lookup_u64, partition_apply,
+    cached_get, default_partitions, group_runs, isin_sorted, lookup_u64,
+    partition_apply,
 )
 from ray_data_mplsh.stages.verify import verify_stage
 from ray_data_mplsh.state.checkpoint import _stage_dir, manifest_valid
@@ -77,21 +78,23 @@ def _adoption_map(new_reps_slim, base_reps_slim, num_partitions: int
             .astype(np.uint64)
         ids = part["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         side = part["side"].to_numpy(zero_copy_only=False)
+        if not len(th):
+            e = pa.array([], pa.uint64())
+            return pa.table({"new_rep": e, "base_rep": e})
         order, starts = group_runs(th)
         sid, sside = ids[order], side[order]
-        out_n, out_b = [], []
-        for gi in range(len(starts) - 1):
-            s, e = starts[gi], starts[gi + 1]
-            b_mask = sside[s:e] == 1
-            if not b_mask.any() or b_mask.all():
-                continue
-            base_rep = sid[s:e][b_mask].min()
-            for r in sid[s:e][~b_mask]:
-                out_n.append(r)
-                out_b.append(base_rep)
+        # vectorized per-group reduce: min base id per text_hash run
+        # (non-base rows masked to u64::MAX), then every new-side row in
+        # a run that has a base member adopts that min
+        gidx = np.repeat(np.arange(len(starts) - 1), np.diff(starts))
+        isb = sside == 1
+        sentinel = np.uint64(0xFFFFFFFFFFFFFFFF)
+        minb = np.minimum.reduceat(np.where(isb, sid, sentinel),
+                                   starts[:-1])
+        m = ~isb & (minb[gidx] != sentinel)
         return pa.table({
-            "new_rep": pa.array(np.array(out_n, np.uint64), pa.uint64()),
-            "base_rep": pa.array(np.array(out_b, np.uint64), pa.uint64()),
+            "new_rep": pa.array(sid[m], pa.uint64()),
+            "base_rep": pa.array(minb[gidx[m]], pa.uint64()),
         })
 
     mapped = partition_apply(u, "text_hash", emit, num_partitions)
@@ -108,6 +111,309 @@ def _adoption_map(new_reps_slim, base_reps_slim, num_partitions: int
     v = np.concatenate(vs)
     o = np.argsort(k)
     return k[o], v[o]
+
+
+def _adoption_map_broadcast(new_tbl: pa.Table, base_reps_slim
+                            ) -> tuple[np.ndarray, np.ndarray]:
+    """Small-new-shard adoption path: broadcast the new reps' text-hash
+    SET (8 bytes/rep), scan the slim base projection once, and build the
+    (new_rep -> base_rep) map driver-side — no exchange. Output is
+    identical to ``_adoption_map``: every new rep whose text_hash also
+    occurs in the base maps to the MIN base doc_id carrying that hash."""
+    import ray
+
+    nh = new_tbl["text_hash"].to_numpy(zero_copy_only=False) \
+        .astype(np.uint64)
+    nid = new_tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    o = np.argsort(nh, kind="stable")
+    nh_s, nid_s = nh[o], nid[o]
+    href = ray.put(np.unique(nh_s))
+
+    def probe(t: pa.Table) -> pa.Table:
+        hs = cached_get(href)
+        th = t["text_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        m = isin_sorted(hs, th)
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table({"text_hash": pa.array(th[m], pa.uint64()),
+                         "doc_id": pa.array(did[m], pa.uint64())})
+
+    hk_l, hv_l = [], []
+    for b in base_reps_slim.map_batches(probe, batch_format="pyarrow") \
+            .iter_batches(batch_size=65536, batch_format="pyarrow"):
+        hk_l.append(b["text_hash"].to_numpy(zero_copy_only=False)
+                    .astype(np.uint64))
+        hv_l.append(b["doc_id"].to_numpy(zero_copy_only=False)
+                    .astype(np.uint64))
+    hk = np.concatenate(hk_l) if hk_l else np.empty(0, np.uint64)
+    if not len(hk):
+        e = np.empty(0, np.uint64)
+        return e, e
+    hv = np.concatenate(hv_l)
+    oo = np.lexsort((hv, hk))
+    hk, hv = hk[oo], hv[oo]
+    first = np.concatenate(([True], hk[1:] != hk[:-1]))
+    hk, hv = hk[first], hv[first]          # min base id per shared hash
+    m = isin_sorted(hk, nh_s)
+    k = nid_s[m]
+    v = hv[np.searchsorted(hk, nh_s[m])]
+    so = np.argsort(k)
+    return k[so], v[so]
+
+
+def _substring_incremental(marked, cfg: MPLSHConfig, P: int,
+                           base_cfg: MPLSHConfig, new_ids: np.ndarray,
+                           counters: dict):
+    """Substring pass with base-run reuse (the incremental S9).
+
+    The winnow fingerprints and the per-pair span intervals are pure
+    functions of (doc text, cfg) — independent of the corpus around them
+    — so the base run's ``substr_fps`` / ``substr_pairs`` /
+    ``substr_spans`` checkpoints can be reused verbatim:
+
+    * joint fingerprints = base fps minus REVOKED docs (base docs that
+      lost canonical status because a new doc with a smaller id joined /
+      merged their cluster — only possible inside clusters touching a
+      new doc, so the revoked set is new-shard-bounded), plus fps of the
+      new shard's canonical docs. Since pick_canonical is argmin over
+      members, a base doc canonical in the joint run was necessarily
+      canonical in the base run, so this union reproduces the
+      from-scratch fingerprint multiset EXACTLY.
+    * candidate pairs are recomputed over the joint fps (the bucket
+      pairing depends on whole-bucket content, so per-bucket reuse would
+      not be exact — but the pairing exchange is cheap); each joint pair
+      then either reuses the base span rows (pair processed by the base
+      run) or goes through fresh attach+extract.
+
+    Returns the final output Dataset, or ``None`` when the base run has
+    no substring checkpoints / a driver-side set overflows its cap —
+    the caller then falls back to the plain joint ``substring_stage``.
+    Bit-equality with the from-scratch pass is pinned by
+    tests/test_incremental.py."""
+    import ray
+    import ray.data as rd
+
+    from ray_data_mplsh.functions.hashing import mix64
+    from ray_data_mplsh.stages import output as _out
+    from ray_data_mplsh.stages.shuffle import gather_capped, sized_partitions
+
+    for st in ("substr_fps", "substr_pairs", "substr_spans"):
+        if not manifest_valid(base_cfg, st):
+            return None
+    spans_dir = _stage_dir(base_cfg, "substr_spans")
+    base_spans = rd.read_parquet(spans_dir)
+    sschema = base_spans.schema()
+    if sschema is not None and "a" not in sschema.names:
+        return None     # pre-provenance checkpoint layout: not reusable
+
+    CAP = 4_000_000
+    marked = marked.materialize()
+    nref = ray.put(np.sort(new_ids.astype(np.uint64)))
+
+    # 1. clusters touching a new doc (new-shard-bounded)
+    def new_clusters(t: pa.Table) -> pa.Table:
+        nid = cached_get(nref)
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        cid = t["cluster_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        return pa.table({"cluster_id":
+                         pa.array(np.unique(cid[isin_sorted(nid, did)]),
+                                  pa.uint64())})
+
+    cht = gather_capped(
+        marked.select_columns(["doc_id", "cluster_id"])
+        .map_batches(new_clusters, batch_format="pyarrow"),
+        CAP, pa.schema([("cluster_id", pa.uint64())]))
+    if cht is None:
+        return None
+    chref = ray.put(np.unique(
+        cht["cluster_id"].to_numpy(zero_copy_only=False)
+        .astype(np.uint64)))
+
+    # 2. revoked = base docs in changed clusters, not joint-canonical
+    def revoked_rows(t: pa.Table) -> pa.Table:
+        ch_ = cached_get(chref)
+        nid = cached_get(nref)
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        cid = t["cluster_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        can = t["is_canonical"].to_numpy(zero_copy_only=False)
+        m = isin_sorted(ch_, cid) & ~can & ~isin_sorted(nid, did)
+        return pa.table({"doc_id": pa.array(did[m], pa.uint64())})
+
+    rvt = gather_capped(
+        marked.select_columns(["doc_id", "cluster_id", "is_canonical"])
+        .map_batches(revoked_rows, batch_format="pyarrow"),
+        CAP, pa.schema([("doc_id", pa.uint64())]))
+    if rvt is None:
+        return None
+    revoked = np.sort(rvt["doc_id"].to_numpy(zero_copy_only=False)
+                      .astype(np.uint64))
+    counters["n_substr_revoked"] = int(len(revoked))
+    rvref = ray.put(revoked)
+
+    # 3. joint fps = (base fps minus revoked) + fps(new canonical docs)
+    def keep_fps(t: pa.Table) -> pa.Table:
+        rv_ = cached_get(rvref)
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.filter(pa.array(~isin_sorted(rv_, did)))
+
+    base_fps = rd.read_parquet(_stage_dir(base_cfg, "substr_fps")) \
+        .map_batches(keep_fps, batch_format="pyarrow",
+                     batch_size=1 << 20)   # whole-block filter, no shred
+
+    def only_new_canon(t: pa.Table) -> pa.Table:
+        nid = cached_get(nref)
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        can = t["is_canonical"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(can & isin_sorted(nid, did)))
+
+    new_canon = marked.select_columns(["doc_id", "text", "is_canonical"]) \
+        .map_batches(only_new_canon, batch_format="pyarrow") \
+        .select_columns(["doc_id", "text"])
+    # joint canon stats: the same data-sized gates as substring_stage
+    canon = marked.filter(expr="is_canonical == True") \
+        .select_columns(["doc_id", "text"]).materialize()
+    n_canon = canon.count()
+    schema = marked.schema()
+    if schema is not None and "n_chars" in schema.names:
+        canon_bytes = marked.select_columns(["is_canonical", "n_chars"]) \
+            .filter(expr="is_canonical == True").sum("n_chars") or 0
+    else:
+        canon_bytes = 0
+    est_rows = max(n_canon, int(canon_bytes) // 45)
+    pe = sized_partitions(est_rows, P)
+
+    # the emitter feeds the pairing exchange: apply substring_stage's
+    # data-sized bundling gate (sliver input blocks make the
+    # sort-exchange pay blocks x partitions objects — the round-4
+    # scaling lesson). The gate keys on the JOINT canon stats — the
+    # exchange is joint-sized however small the new shard is, and
+    # new_canon inherits the whole corpus's sliver block structure.
+    emitter = _out._fingerprint_emitter(cfg)
+    if n_canon >= _out.BUNDLE_MIN_DOCS and \
+            int(canon_bytes) >= _out.BUNDLE_MIN_BYTES:
+        avg_doc = max(1, int(canon_bytes) // max(n_canon, 1))
+        fp_bs = int(min(8192, max(512, _out.BUNDLE_MIN_BYTES // avg_doc)))
+        fps_new = new_canon.map_batches(emitter, batch_format="pyarrow",
+                                        batch_size=fp_bs)
+    else:
+        fps_new = new_canon.map_batches(emitter, batch_format="pyarrow")
+    fps = base_fps.union(fps_new)
+
+    # 4. pairing over the joint fps (identical multiset -> identical pair
+    # set; _pairs_of_runs is partitioning/order independent, pinned)
+    pfn = _out._fp_pairs_fn(cfg.substr_bucket_cap)
+    pairs = _out.dedup_pairs(partition_apply(fps, "fp", pfn, pe), pe,
+                             local_max_rows=cfg.local_state_max_rows)
+
+    # 5. split joint pairs on base membership (pk routes; identity is the
+    # exact (a, b) within the partition, so pk collisions are harmless)
+    def tag_pairs(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            a = t["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            b = t["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            return pa.table({
+                "pk": pa.array(mix64(a) ^ mix64(b), pa.uint64()),
+                "a": pa.array(a, pa.uint64()),
+                "b": pa.array(b, pa.uint64()),
+                "side": pa.array(np.full(len(a), side, np.int8), pa.int8()),
+            })
+        return fn
+
+    base_pairs = rd.read_parquet(_stage_dir(base_cfg, "substr_pairs"))
+    u = pairs.map_batches(tag_pairs(0), batch_format="pyarrow").union(
+        base_pairs.select_columns(["a", "b"])
+        .map_batches(tag_pairs(1), batch_format="pyarrow"))
+
+    def split(part: pa.Table) -> pa.Table:
+        a = part["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = part["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        side = part["side"].to_numpy(zero_copy_only=False)
+        if not len(a):
+            e = pa.array([], pa.uint64())
+            return pa.table({"a": e, "b": e,
+                             "reused": pa.array([], pa.bool_())})
+        o = np.lexsort((side, b, a))
+        sa, sb, ss = a[o], b[o], side[o]
+        grp = np.concatenate(([True], (sa[1:] != sa[:-1]) |
+                              (sb[1:] != sb[:-1])))
+        gidx = np.cumsum(grp) - 1
+        has_base = np.zeros(int(gidx[-1]) + 1, bool)
+        np.logical_or.at(has_base, gidx, ss == 1)
+        jm = ss == 0
+        return pa.table({
+            "a": pa.array(sa[jm], pa.uint64()),
+            "b": pa.array(sb[jm], pa.uint64()),
+            "reused": pa.array(has_base[gidx[jm]], pa.bool_())})
+
+    tagged = partition_apply(u, "pk", split, pe).materialize()
+    fresh = tagged.filter(expr="reused == False") \
+        .select_columns(["a", "b"])
+    reused_pairs = tagged.filter(expr="reused == True") \
+        .select_columns(["a", "b"])
+    counters["n_substr_pairs"] = tagged.count()
+
+    # 6. reused spans: base span rows semi-joined on the reused pairs
+    def tag_req(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(a)
+        return pa.table({
+            "pk": pa.array(mix64(a) ^ mix64(b), pa.uint64()),
+            "a": pa.array(a, pa.uint64()),
+            "b": pa.array(b, pa.uint64()),
+            "doc_id": pa.array(np.zeros(n, np.uint64), pa.uint64()),
+            "start": pa.array(np.full(n, -1, np.int64), pa.int64()),
+            "end": pa.array(np.full(n, -1, np.int64), pa.int64()),
+            "side": pa.array(np.zeros(n, np.int8), pa.int8())})
+
+    def tag_span(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table({
+            "pk": pa.array(mix64(a) ^ mix64(b), pa.uint64()),
+            "a": pa.array(a, pa.uint64()),
+            "b": pa.array(b, pa.uint64()),
+            "doc_id": pc.cast(t["doc_id"], pa.uint64()),
+            "start": pc.cast(t["start"], pa.int64()),
+            "end": pc.cast(t["end"], pa.int64()),
+            "side": pa.array(np.ones(len(a), np.int8), pa.int8())})
+
+    u2 = reused_pairs.map_batches(tag_req, batch_format="pyarrow").union(
+        base_spans.map_batches(tag_span, batch_format="pyarrow"))
+
+    def pick(part: pa.Table) -> pa.Table:
+        a = part["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = part["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        side = part["side"].to_numpy(zero_copy_only=False)
+        if not len(a):
+            e = pa.array([], pa.uint64())
+            z = pa.array([], pa.int64())
+            return pa.table({"a": e, "b": e, "doc_id": e,
+                             "start": z, "end": z})
+        o = np.lexsort((side, b, a))
+        sa, sb, ss = a[o], b[o], side[o]
+        grp = np.concatenate(([True], (sa[1:] != sa[:-1]) |
+                              (sb[1:] != sb[:-1])))
+        gidx = np.cumsum(grp) - 1
+        has_req = np.zeros(int(gidx[-1]) + 1, bool)
+        np.logical_or.at(has_req, gidx, ss == 0)
+        keep = pa.array((ss == 1) & has_req[gidx])
+        kept = part.take(pa.array(o)).filter(keep)
+        return kept.select(["a", "b", "doc_id", "start", "end"])
+
+    reused_spans = partition_apply(u2, "pk", pick, pe)
+
+    # 7. fresh spans through the standard attach gates
+    if n_canon <= cfg.broadcast_max_docs and \
+            canon_bytes <= cfg.substr_broadcast_max_bytes:
+        fresh_spans = _out._extract_spans_broadcast(fresh, canon, cfg)
+    else:
+        wt = _out._attach_texts_shuffle(fresh, canon, P)
+        fresh_spans = wt.map_batches(_out._SpanExtractor(cfg.substr_len),
+                                     batch_format="pyarrow",
+                                     batch_size=512)
+    return _out._apply_spans(marked, reused_spans.union(fresh_spans), cfg)
 
 
 def run_dedup_incremental(new_pages, cfg: MPLSHConfig, *, base_run_id: str,
@@ -138,20 +444,47 @@ def run_dedup_incremental(new_pages, cfg: MPLSHConfig, *, base_run_id: str,
     base_sigs = rd.read_parquet(_stage_dir(base_cfg, "sigs"))
     base_verified = rd.read_parquet(_stage_dir(base_cfg, "verified"))
 
+    def lap(name: str, _t=[t0]) -> None:
+        now = time.monotonic()
+        counters[f"t_{name}"] = round(now - _t[0], 3)
+        _t[0] = now
+
     # S1-S2 on the new shard only
     new_docs = exact_dedup_stage(
         docs_stage(new_pages, cfg, extract=extract, url_col=url_col,
                    text_col=text_col, lang_col=lang_col), cfg, P)
     new_docs = new_docs.materialize()
+    lap("new_docs")
 
     # exact-text adoption: a new doc whose text byte-equals a base doc
     # joins the base rep's group (so its signature is never recomputed)
     new_reps_slim = new_docs.map_batches(_only_reps, batch_format="pyarrow") \
         .select_columns(["doc_id", "text_hash"])
-    base_reps_slim = base_docs.map_batches(_only_reps,
-                                           batch_format="pyarrow") \
+    # slim re-read of the base docs checkpoint: the adoption exchange only
+    # needs 3 int columns, so don't drag the base TEXT through the scan
+    # (the full-width base_docs read above is reserved for the final
+    # output union, where text is genuinely needed)
+    base_reps_slim = rd.read_parquet(
+        _stage_dir(base_cfg, "docs"),
+        columns=["doc_id", "rep_id", "text_hash"]) \
+        .map_batches(_only_reps, batch_format="pyarrow") \
         .select_columns(["doc_id", "text_hash"])
-    ak, av = _adoption_map(new_reps_slim, base_reps_slim, P)
+    # daily-crawl fast path: when the NEW shard's rep set fits the
+    # broadcast gate, resolve adoption with one probe scan of the base
+    # slim projection instead of a text_hash-keyed exchange (the shard is
+    # the small side by construction; the exchange path remains for
+    # shard-sized-like-the-archive folds)
+    from ray_data_mplsh.stages.shuffle import gather_capped
+    new_reps_tbl = gather_capped(
+        new_reps_slim, cfg.broadcast_max_docs,
+        pa.schema([("doc_id", pa.uint64()), ("text_hash", pa.uint64())]))
+    if new_reps_tbl is not None:
+        ak, av = _adoption_map_broadcast(new_reps_tbl, base_reps_slim)
+        counters["adoption_path"] = "broadcast"
+    else:
+        ak, av = _adoption_map(new_reps_slim, base_reps_slim, P)
+        counters["adoption_path"] = "exchange"
+    lap("adoption_map")
     counters["n_adopted_reps"] = int(len(ak))
     aref = ray.put((ak, av))
 
@@ -165,14 +498,17 @@ def run_dedup_incremental(new_pages, cfg: MPLSHConfig, *, base_run_id: str,
 
     new_docs = new_docs.map_batches(adopt, batch_format="pyarrow") \
         .materialize()
+    lap("adopt")
 
     # S3 on NEW reps only (adopted groups have a base rep -> excluded)
     reps_new = new_docs.map_batches(_only_reps, batch_format="pyarrow")
     sigs_new = minhash_stage(reps_new, cfg).materialize()
     counters["n_new_sigs"] = sigs_new.count()
+    lap("new_sigs")
     sigs = base_sigs.union(sigs_new).materialize()
     n_docs = sigs.count()
     counters["n_docs_sig"] = n_docs
+    lap("sig_union")
 
     # S4-S5 over the JOINT key set (base band keys are re-hashed from the
     # checkpointed sigs — cheap), then drop pairs not touching a new doc:
@@ -201,8 +537,10 @@ def run_dedup_incremental(new_pages, cfg: MPLSHConfig, *, base_run_id: str,
     # S6 on the new-touching pairs only
     verified_new = verify_stage(pairs, sigs, cfg, P, n_docs).materialize()
     counters["n_verified_new"] = verified_new.count()
+    lap("pairs_verify")
     verified = base_verified.union(verified_new).materialize()
     counters["n_verified"] = verified.count()
+    lap("verified_union")
 
     # S7-S9 over the joint corpus
     docs_all = base_docs.union(new_docs)
@@ -213,7 +551,9 @@ def run_dedup_incremental(new_pages, cfg: MPLSHConfig, *, base_run_id: str,
     else:
         labels = connected_components(verified, cfg, P,
                                       n_edges=counters["n_verified"])
+    lap("cc")
     marked = assign_and_mark(docs_all, labels, cfg)
+    lap("mark")
     if skip_substring:
         def add_final(batch: pa.Table) -> pa.Table:
             ft = pc.if_else(batch["is_canonical"], batch["text"],
@@ -221,8 +561,24 @@ def run_dedup_incremental(new_pages, cfg: MPLSHConfig, *, base_run_id: str,
             return batch.append_column("final_text", ft)
         out = marked.map_batches(add_final, batch_format="pyarrow")
     else:
-        out = substring_stage(marked, cfg, P)
+        # the full NEW-shard id set (reps and exact dups alike: an
+        # adopted dup can shrink a base cluster's min id and so flip its
+        # canonical pick) — new-shard-bounded, the same driver bound the
+        # keep_new filter above already accepts
+        all_new_l = [b["doc_id"].to_numpy(zero_copy_only=False)
+                     .astype(np.uint64)
+                     for b in new_docs.select_columns(["doc_id"])
+                     .iter_batches(batch_size=65536,
+                                   batch_format="pyarrow")]
+        all_new = np.sort(np.concatenate(all_new_l)) if all_new_l \
+            else np.empty(0, np.uint64)
+        out = _substring_incremental(marked, cfg, P, base_cfg, all_new,
+                                     counters)
+        counters["substr_incremental"] = out is not None
+        if out is None:     # no base substring checkpoints: joint pass
+            out = substring_stage(marked, cfg, P)
 
+    lap("label_mark_substring_lazy")
     counters["wall_s"] = time.monotonic() - t0
     return DedupResult(docs=docs_all, sigs=sigs, pairs=pairs,
                        verified=verified, labels=labels, dedup_out=out,

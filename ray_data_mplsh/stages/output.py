@@ -163,20 +163,27 @@ class _SpanExtractor:
         b = batch["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
         ta = batch["text_a"].to_pylist()
         tb = batch["text_b"].to_pylist()
-        out_id, out_s, out_e = [], [], []
+        out_a, out_b, out_id, out_s, out_e = [], [], [], [], []
         for x, y, tx, ty in zip(a, b, ta, tb):
             # spans are always removed from the LARGER doc_id (deterministic)
             if x > y:
                 x, y, tx, ty = y, x, ty, tx
             for s, e in cross_match_intervals(tx, ty, self.L):
+                out_a.append(x)
+                out_b.append(y)
                 out_id.append(y)
                 out_s.append(s)
                 out_e.append(e)
+        # (a, b) provenance rides along so a checkpointed span can later
+        # be reused per-pair (incremental substring); the merge pass only
+        # reads doc_id/start/end
         return pa.Table.from_arrays([
+            pa.array(np.array(out_a, dtype=np.uint64), pa.uint64()),
+            pa.array(np.array(out_b, dtype=np.uint64), pa.uint64()),
             pa.array(np.array(out_id, dtype=np.uint64), pa.uint64()),
             pa.array(out_s, pa.int64()),
             pa.array(out_e, pa.int64()),
-        ], names=["doc_id", "start", "end"])
+        ], names=["a", "b", "doc_id", "start", "end"])
 
 
 def _extract_spans_broadcast(pairs, canon, cfg: MPLSHConfig):
@@ -222,20 +229,25 @@ def _extract_spans_broadcast(pairs, canon, cfg: MPLSHConfig):
 
         a = batch["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
         b = batch["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        out_id, out_s, out_e = [], [], []
+        out_a, out_b, out_id, out_s, out_e = [], [], [], [], []
         for x, y in zip(a, b):
             # spans are always removed from the LARGER doc_id (deterministic)
             if x > y:
                 x, y = y, x
             for s, e in cross_match_intervals(text_of(x), text_of(y), L):
+                out_a.append(x)
+                out_b.append(y)
                 out_id.append(y)
                 out_s.append(s)
                 out_e.append(e)
+        # (a, b) provenance for per-pair span reuse — see _SpanExtractor
         return pa.Table.from_arrays([
+            pa.array(np.array(out_a, dtype=np.uint64), pa.uint64()),
+            pa.array(np.array(out_b, dtype=np.uint64), pa.uint64()),
             pa.array(np.array(out_id, dtype=np.uint64), pa.uint64()),
             pa.array(out_s, pa.int64()),
             pa.array(out_e, pa.int64()),
-        ], names=["doc_id", "start", "end"])
+        ], names=["a", "b", "doc_id", "start", "end"])
 
     return pairs.map_batches(extract, batch_format="pyarrow",
                              batch_size=512)
@@ -387,6 +399,14 @@ def substring_stage(dedup_out, cfg: MPLSHConfig, num_partitions: int):
     else:
         fps = canon.map_batches(_fingerprint_emitter(cfg),
                                 batch_format="pyarrow")
+    # with checkpointing on, persist the substring internals too: the
+    # fingerprints and per-pair spans are pure functions of (text, cfg),
+    # so an incremental run can reuse them verbatim (incremental.py) and
+    # a resumed run skips the fingerprint scan
+    if cfg.ckpt_dir:
+        from ray_data_mplsh.state.checkpoint import read_stage_or_compute
+        _fps_lazy = fps
+        fps = read_stage_or_compute(cfg, "substr_fps", lambda: _fps_lazy)
     pfn = _fp_pairs_fn(cfg.substr_bucket_cap)
     local_fp = False
     if est_rows <= cfg.local_state_max_rows:
@@ -410,6 +430,11 @@ def substring_stage(dedup_out, cfg: MPLSHConfig, num_partitions: int):
         pairs = partition_apply(fps, "fp", pfn, pe)
         pairs = dedup_pairs(pairs, pe,
                             local_max_rows=cfg.local_state_max_rows)
+    if cfg.ckpt_dir:
+        from ray_data_mplsh.state.checkpoint import read_stage_or_compute
+        _pairs_lazy = pairs
+        pairs = read_stage_or_compute(cfg, "substr_pairs",
+                                      lambda: _pairs_lazy)
 
     if n_canon <= cfg.broadcast_max_docs and \
             canon_bytes <= cfg.substr_broadcast_max_bytes:
@@ -419,6 +444,20 @@ def substring_stage(dedup_out, cfg: MPLSHConfig, num_partitions: int):
         spans = withtexts.map_batches(_SpanExtractor(cfg.substr_len),
                                       batch_format="pyarrow",
                                       batch_size=512)
+    if cfg.ckpt_dir:
+        from ray_data_mplsh.state.checkpoint import read_stage_or_compute
+        _spans_lazy = spans
+        spans = read_stage_or_compute(cfg, "substr_spans",
+                                      lambda: _spans_lazy)
+
+    return _apply_spans(dedup_out, spans, cfg)
+
+
+def _apply_spans(dedup_out, spans, cfg: MPLSHConfig):
+    """Merge the span intervals per doc and rewrite ``final_text`` over the
+    (already materialized) marked corpus — the shared tail of the
+    from-scratch and incremental substring paths."""
+    import ray
 
     # merge intervals per doc, collect to the driver (docs carrying dup
     # spans only — orders of magnitude smaller than the corpus; the

@@ -115,6 +115,14 @@ def lookup_u64(sorted_keys: np.ndarray, vals: np.ndarray, q: np.ndarray,
     return out
 
 
+def isin_sorted(sorted_arr: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Vectorized membership test against a sorted array."""
+    if len(sorted_arr) == 0:
+        return np.zeros(len(q), dtype=bool)
+    i = np.clip(np.searchsorted(sorted_arr, q), 0, len(sorted_arr) - 1)
+    return sorted_arr[i] == q
+
+
 def sized_partitions(n_rows: int, num_partitions: int, *,
                      rows_per_part: int = 65536, floor: int = 8) -> int:
     """Adaptive exchange width for a KNOWN input size: a partition_apply
