@@ -386,3 +386,28 @@ def test_tpch_q7_q8_q9_q10_broadcast_overflow_fallback(ray_session):
         got = q(sf, broadcast_max_rows=0).to_pandas()[cols] \
             .sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_tpch_q2_q11_q12_q20_q21_broadcast_overflow_fallback(ray_session):
+    """The round-5 sweep completers (adapted Q2/Q11/Q12/Q20/Q21) with
+    broadcast_max_rows=0: every capped dimension gather (in-region /
+    one-nation supplier maps, filtered part sets, the order maps)
+    overflows on its first batch and flips to its keyed inner_join
+    exchange; winner/qualifier attachment flips to broadcast_join
+    against the winner-bounded small side. Must equal the all-broadcast
+    plan bit-for-bit; sf0.01 so every result is non-empty."""
+    import pandas as pd
+
+    from ray_data_mplsh.pipelines.queries import (q_tpch_q2, q_tpch_q11,
+                                                  q_tpch_q12, q_tpch_q20,
+                                                  q_tpch_q21)
+
+    sf = "/root/testdata/sf0.01"
+    for q in (q_tpch_q2, q_tpch_q11, q_tpch_q12, q_tpch_q20, q_tpch_q21):
+        want = q(sf).to_pandas()
+        assert len(want) > 0, q.__name__
+        cols = list(want.columns)
+        want = want.sort_values(cols).reset_index(drop=True)
+        got = q(sf, broadcast_max_rows=0).to_pandas()[cols] \
+            .sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_exact=True)
