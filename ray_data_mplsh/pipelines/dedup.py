@@ -100,16 +100,20 @@ def run_dedup(pages, cfg: MPLSHConfig, *, extract: bool = True,
     # members)
     marked = assign_and_mark(docs_rep, labels, cfg)
 
-    # S9: suffix-array substring pass over canonical survivors
-    if skip_substring:
-        def add_final(batch: pa.Table) -> pa.Table:
-            ft = pc.if_else(batch["is_canonical"], batch["text"],
-                            pa.scalar(None, pa.string()))
-            return batch.append_column("final_text", ft)
-        out = marked.map_batches(add_final, batch_format="pyarrow")
-    else:
-        out = substring_stage(marked, cfg, P)
-    out = read_stage_or_compute(cfg, "dedup_out", lambda: out, counters)
+    # S9: suffix-array substring pass over canonical survivors.
+    # substring_stage runs eager driver work (canon materialize, span
+    # merge), so it is built INSIDE the resume lambda — a run whose
+    # dedup_out checkpoint is valid skips S9 entirely.
+    def _s9():
+        if skip_substring:
+            def add_final(batch: pa.Table) -> pa.Table:
+                ft = pc.if_else(batch["is_canonical"], batch["text"],
+                                pa.scalar(None, pa.string()))
+                return batch.append_column("final_text", ft)
+            return marked.map_batches(add_final, batch_format="pyarrow")
+        return substring_stage(marked, cfg, P)
+
+    out = read_stage_or_compute(cfg, "dedup_out", _s9, counters)
 
     counters["wall_s"] = time.monotonic() - t0
     if cfg.ckpt_dir:
