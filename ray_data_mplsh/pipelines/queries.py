@@ -4465,16 +4465,17 @@ def q_tpch_q13(sf_dir: str):
     return h
 
 
-def q_tpch_q4(sf_dir: str):
+def q_tpch_q4(sf_dir: str, broadcast_max_rows: int = 4_000_000):
     """TPC-H Q4 shape (order priority checking), adapted to the shipped
     lineitem schema (no commit/receipt dates): count one quarter's orders
     per priority where EXISTS a lineitem shipped more than 30 days after
-    the order date. The quarter's orders reduce to a broadcast sorted
-    (orderkey -> orderdate_us, priority code) map probed inside the
-    lineitem scan — the EXISTS never joins; each batch emits the DISTINCT
-    late orderkeys it saw, one |window orders|-bounded groupby dedups
-    them globally, and a second |priorities|-bounded reduce finishes the
-    count."""
+    the order date. The quarter's (orderkey -> orderdate_us, priority)
+    map broadcasts under ``broadcast_max_rows`` and is probed inside the
+    lineitem scan — the EXISTS never joins; above the cap the plan flips
+    to a keyed-exchange inner join (force-tested bit-equal). Each batch
+    emits the DISTINCT late (orderkey, priority) rows it saw, one
+    |window orders|-bounded groupby dedups them globally, and a
+    |priorities|-bounded reduce finishes the count."""
     import ray
     from ray.data.aggregate import Count, Sum
 
@@ -4482,61 +4483,114 @@ def q_tpch_q4(sf_dir: str):
     HI = int(pd.Timestamp("1997-04-01").value // 1000)
     GRACE_US = 30 * 86400 * 1_000_000
 
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate",
-                                      "o_orderpriority"])
-    ok_p, od_p, pr_p = [], [], []
-    for b in orders.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        od = b["o_orderdate"].cast(pa.int64()).to_numpy(
-            zero_copy_only=False)
-        m = (od >= LO) & (od < HI)
-        ok_p.append(b["o_orderkey"].to_numpy(zero_copy_only=False)
-                    .astype(np.int64)[m])
-        od_p.append(od[m])
-        pr_p.append(b["o_orderpriority"].to_numpy(zero_copy_only=False)[m])
-    ok = np.concatenate(ok_p) if ok_p else np.empty(0, np.int64)
-    od = np.concatenate(od_p) if od_p else np.empty(0, np.int64)
-    pr = np.concatenate(pr_p) if pr_p else np.empty(0, object)
-    prios, pcode = np.unique(pr.astype(str), return_inverse=True) \
-        if len(pr) else (np.empty(0, "U16"), np.empty(0, np.int64))
-    o = np.argsort(ok)
-    ref = ray.put((ok[o], od[o], pcode[o].astype(np.int64)))
+    def ofilt(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        m = pa.array((od >= LO) & (od < HI))
+        return pa.table({
+            "ok": t["o_orderkey"].cast(pa.int64()).filter(m),
+            "od": t["o_orderdate"].cast(pa.int64()).filter(m),
+            "o_orderpriority": t["o_orderpriority"].filter(m)})
+
+    o_ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate",
+                                    "o_orderpriority"]) \
+        .map_batches(ofilt, batch_format="pyarrow")
+    ot = gather_capped(o_ds, broadcast_max_rows, pa.schema(
+        [("ok", pa.int64()), ("od", pa.int64()),
+         ("o_orderpriority", pa.string())]))
 
     li = _read_sized(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
 
-    def late_keys(t: pa.Table) -> pa.Table:
-        okeys, odates, _ = cached_get(ref)
-        lk = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        sd = t["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        if not len(okeys):
-            return pa.table({"o_orderkey": pa.array([], pa.int64())})
-        j = np.clip(np.searchsorted(okeys, lk), 0, len(okeys) - 1)
-        hit = (okeys[j] == lk) & (sd > odates[j] + GRACE_US)
-        return pa.table({"o_orderkey":
-                         pa.array(np.unique(lk[hit]), pa.int64())})
+    if ot is not None:
+        ok = ot["ok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        od = ot["od"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pr = np.asarray(ot["o_orderpriority"].to_pylist(), dtype=object)
+        prios, pcode = np.unique(pr.astype(str), return_inverse=True) \
+            if len(pr) else (np.empty(0, "U16"), np.empty(0, np.int64))
+        o = np.argsort(ok)
+        ref = ray.put((ok[o], od[o], pcode[o].astype(np.int64)))
 
-    late = li.map_batches(late_keys, batch_format="pyarrow") \
-        .groupby("o_orderkey").aggregate(Count(alias_name="nl"))
+        def late_keys(t: pa.Table) -> pa.Table:
+            okeys, odates, codes = cached_get(ref)
+            lk = t["l_orderkey"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            sd = t["l_shipdate"].cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            if not len(okeys):
+                return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                                 "pc_": pa.array([], pa.int64())})
+            j = np.clip(np.searchsorted(okeys, lk), 0, len(okeys) - 1)
+            hit = (okeys[j] == lk) & (sd > odates[j] + GRACE_US)
+            uk = np.unique(lk[hit])
+            return pa.table({
+                "o_orderkey": pa.array(uk, pa.int64()),
+                "pc_": pa.array(codes[np.searchsorted(okeys, uk)],
+                                pa.int64())})
 
-    def to_prio(t: pa.Table) -> pa.Table:
-        okeys, _, codes = cached_get(ref)
-        lk = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        j = np.searchsorted(okeys, lk)  # every key came from the map
-        cnt = np.bincount(codes[j], minlength=len(prios)).astype(np.int64)
-        nz = cnt > 0
-        return pa.table({"prio_code": pa.array(np.flatnonzero(nz),
-                                               pa.int64()),
-                         "n": pa.array(cnt[nz])})
+        late = li.map_batches(late_keys, batch_format="pyarrow") \
+            .groupby("o_orderkey").aggregate(Count(alias_name="nl"),
+                                             Sum("pc_", alias_name="pcs"),
+                                             )
 
-    agg = late.map_batches(to_prio, batch_format="pyarrow") \
-        .groupby("prio_code").aggregate(Sum("n", alias_name="order_count"))
-    schema = pa.schema([("prio_code", pa.int64()),
-                        ("order_count", pa.int64())])
-    h = gather_capped(agg, 1_000_000, schema)
+        def to_prio(t: pa.Table) -> pa.Table:
+            # pc_ is constant per orderkey: sum/count recovers it
+            nl = t["nl"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pcs = t["pcs"].to_numpy(zero_copy_only=False).astype(np.int64)
+            code = pcs // np.maximum(nl, 1)
+            cnt = np.bincount(code, minlength=len(prios)).astype(np.int64)
+            nz = cnt > 0
+            return pa.table({"prio": pa.array(
+                prios[np.flatnonzero(nz)].astype(object), pa.string()),
+                "n": pa.array(cnt[nz], pa.int64())})
+
+        partials = late.map_batches(to_prio, batch_format="pyarrow")
+    else:
+        from ray_data_mplsh.stages.relational import inner_join
+
+        def lslim(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "lok": t["l_orderkey"].cast(pa.int64()),
+                "sd": t["l_shipdate"].cast(pa.int64())})
+
+        j = inner_join(li.map_batches(lslim, batch_format="pyarrow"),
+                       o_ds, left_on="lok", right_on="ok",
+                       hot_key_threshold=0)
+
+        def late_rows(t: pa.Table) -> pa.Table:
+            sd = t["sd"].to_numpy(zero_copy_only=False).astype(np.int64)
+            od2 = t["od"].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = sd > od2 + GRACE_US
+            lk = t["lok"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)[m]
+            pr = np.asarray(t["o_orderpriority"].to_pylist(),
+                            dtype=object)[m]
+            # per-batch distinct (orderkey, priority-of-orderkey)
+            uk, ui = np.unique(lk, return_index=True)
+            return pa.table({
+                "o_orderkey": pa.array(uk, pa.int64()),
+                "prio": pa.array(pr[ui], pa.string())})
+
+        late = j.map_batches(late_rows, batch_format="pyarrow") \
+            .groupby(["o_orderkey", "prio"]).aggregate(
+                Count(alias_name="nl"))
+
+        def to_prio2(t: pa.Table) -> pa.Table:
+            pr = np.asarray(t["prio"].to_pylist(), dtype=object)
+            u, inv = np.unique(pr.astype(str), return_inverse=True)
+            cnt = np.bincount(inv).astype(np.int64)
+            return pa.table({"prio": pa.array(u.astype(object),
+                                              pa.string()),
+                             "n": pa.array(cnt, pa.int64())})
+
+        partials = late.map_batches(to_prio2, batch_format="pyarrow")
+
+    agg = partials.groupby("prio").aggregate(
+        Sum("n", alias_name="order_count"))
+    h = gather_capped(agg, 1_000_000, pa.schema(
+        [("prio", pa.string()), ("order_count", pa.int64())]))
     assert h is not None, "q4 priority histogram overflowed the cap"
-    code = h["prio_code"].to_numpy(zero_copy_only=False).astype(np.int64)
     return pa.table({
-        "o_orderpriority": pa.array(prios[code].astype(object),
-                                    pa.string()),
+        "o_orderpriority": h["prio"],
         "order_count": pc.cast(h["order_count"], pa.int64())})
 
 
@@ -6171,13 +6225,6 @@ def q_tpch_q21(sf_dir: str, broadcast_max_rows: int = 4_000_000,
         [("sk", pa.int64()), ("numwait", pa.int64())]))
     assert wt is not None, "q21 per-supplier waits overflowed the cap"
 
-    sup_rows = [b for b in _read(sf_dir, "supplier",
-                                 ["s_suppkey", "s_name", "s_nationkey"])
-                .iter_batches(batch_size=65536, batch_format="pyarrow")]
-    st = pa.concat_tables(sup_rows) if sup_rows else pa.table(
-        {"s_suppkey": pa.array([], pa.int64()),
-         "s_name": pa.array([], pa.string()),
-         "s_nationkey": pa.array([], pa.int64())})
     nat_rows = [b for b in _read(sf_dir, "nation",
                                  ["n_nationkey", "n_name"])
                 .iter_batches(batch_size=4096, batch_format="pyarrow")]
@@ -6186,9 +6233,31 @@ def q_tpch_q21(sf_dir: str, broadcast_max_rows: int = 4_000_000,
          "n_name": pa.array([], pa.string())})
     nk = nt["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
     nn = np.asarray(nt["n_name"].to_pylist(), dtype=object)
-    want = nk[nn.astype(str) == nation]
-    snk = st["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-    st = st.filter(pa.array(np.isin(snk, want)))
+    want = np.sort(nk[nn.astype(str) == nation])
+    wref = ray.put(want)
+
+    def sfilt(t: pa.Table) -> pa.Table:
+        keys = cached_get(wref)
+        v = t["s_nationkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = pa.array(np.isin(v, keys))
+        return pa.table({
+            "s_suppkey": t["s_suppkey"].cast(pa.int64()).filter(m),
+            "s_name": t["s_name"].filter(m)})
+
+    s_ds = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_name", "s_nationkey"]) \
+        .map_batches(sfilt, batch_format="pyarrow")
+    st = gather_capped(s_ds, broadcast_max_rows, pa.schema(
+        [("s_suppkey", pa.int64()), ("s_name", pa.string())]))
+    if st is None:
+        # supplier dimension over the cap: attach via broadcast_join
+        # against the |suppliers-with-waits|-bounded winner table
+        sj = broadcast_join(s_ds, wt, left_on="s_suppkey", right_on="sk")
+        st = pa.concat_tables(
+            [b for b in sj.iter_batches(batch_size=65536,
+                                        batch_format="pyarrow")])
+        st = st.select(["s_suppkey", "s_name"])
     out = wt.join(st, keys=["sk"], right_keys=["s_suppkey"],
                   join_type="inner")
     # group by name (names are the output key), then the Q21 ordering

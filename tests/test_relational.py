@@ -374,11 +374,12 @@ def test_tpch_q7_q8_q9_q10_broadcast_overflow_fallback(ray_session):
     results are non-empty (sf0.001's filtered windows have no rows)."""
     import pandas as pd
 
-    from ray_data_mplsh.pipelines.queries import (q_tpch_q7, q_tpch_q8,
-                                                  q_tpch_q9, q_tpch_q10)
+    from ray_data_mplsh.pipelines.queries import (q_tpch_q4, q_tpch_q7,
+                                                  q_tpch_q8, q_tpch_q9,
+                                                  q_tpch_q10)
 
     sf = "/root/testdata/sf0.01"
-    for q in (q_tpch_q7, q_tpch_q8, q_tpch_q9, q_tpch_q10):
+    for q in (q_tpch_q4, q_tpch_q7, q_tpch_q8, q_tpch_q9, q_tpch_q10):
         want = q(sf).to_pandas()
         assert len(want) > 0
         cols = list(want.columns)
