@@ -4401,10 +4401,15 @@ def q_tpch_q15(sf_dir: str):
     rev = tot["rev_micro"].to_numpy(zero_copy_only=False)
     top = tot.filter(pa.array(rev == rev.max()))
 
-    supp_rows = [b for b in _read(sf_dir, "supplier",
-                                  ["s_suppkey", "s_name"])
-                 .iter_batches(batch_size=65536, batch_format="pyarrow")]
-    stbl = pa.concat_tables(supp_rows)
+    # attach names via broadcast_join against the tie set (usually one
+    # row) — the supplier table itself is never gathered driver-side
+    sj = broadcast_join(_read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+                        pa.table({"tk": top["s_suppkey"]}),
+                        left_on="s_suppkey", right_on="tk")
+    stbl = gather_capped(sj, 4_000_000, pa.schema(
+        [("s_suppkey", pa.int64()), ("s_name", pa.string())]))
+    assert stbl is not None, "q15 tie-set attach overflowed the cap"
+    stbl = stbl.select(["s_suppkey", "s_name"])
     out = top.join(stbl, keys=["s_suppkey"], right_keys=["s_suppkey"],
                    join_type="inner")
     res = pa.table({
@@ -6253,10 +6258,11 @@ def q_tpch_q21(sf_dir: str, broadcast_max_rows: int = 4_000_000,
     if st is None:
         # supplier dimension over the cap: attach via broadcast_join
         # against the |suppliers-with-waits|-bounded winner table
-        sj = broadcast_join(s_ds, wt, left_on="s_suppkey", right_on="sk")
-        st = pa.concat_tables(
-            [b for b in sj.iter_batches(batch_size=65536,
-                                        batch_format="pyarrow")])
+        sj = broadcast_join(s_ds, wt.select(["sk"]),
+                            left_on="s_suppkey", right_on="sk")
+        st = gather_capped(sj, 4_000_000, pa.schema(
+            [("s_suppkey", pa.int64()), ("s_name", pa.string())]))
+        assert st is not None, "q21 wait-supplier attach overflowed"
         st = st.select(["s_suppkey", "s_name"])
     out = wt.join(st, keys=["sk"], right_keys=["s_suppkey"],
                   join_type="inner")
@@ -6444,17 +6450,18 @@ def q_tpch_q2(sf_dir: str, broadcast_max_rows: int = 4_000_000,
             s_ds, pa.table({"sk": wt["sk"]}).combine_chunks()
             .group_by("sk").aggregate([]),
             left_on="s_suppkey", right_on="sk")
-        st = pa.concat_tables(
-            [b for b in sj.iter_batches(batch_size=65536,
-                                        batch_format="pyarrow")])
+        st = gather_capped(sj, 4_000_000, pa.schema(
+            [("s_suppkey", pa.int64()), ("s_nationkey", pa.int64()),
+             ("s_name", pa.string()), ("s_acctbal", pa.float64())]))
+        assert st is not None, "q2 winner supplier attach overflowed"
     if pt is None:
         pj = broadcast_join(
             p_ds, pa.table({"pkk": wt["pk"]}).combine_chunks()
             .group_by("pkk").aggregate([]),
             left_on="p_partkey", right_on="pkk")
-        pt = pa.concat_tables(
-            [b for b in pj.iter_batches(batch_size=65536,
-                                        batch_format="pyarrow")])
+        pt = gather_capped(pj, 4_000_000, pa.schema(
+            [("p_partkey", pa.int64()), ("p_brand", pa.string())]))
+        assert pt is not None, "q2 winner part attach overflowed"
         pt = pt.select(["p_partkey", "p_brand"])
 
     out = wt.join(st.select(["s_suppkey", "s_nationkey", "s_name",
@@ -6758,9 +6765,10 @@ def q_tpch_q20(sf_dir: str, broadcast_max_rows: int = 4_000_000,
             s_ds, pa.table({"sk": qt_["sk"]}).combine_chunks()
             .group_by("sk").aggregate([]),
             left_on="s_suppkey", right_on="sk")
-        st = pa.concat_tables(
-            [b for b in sj.iter_batches(batch_size=65536,
-                                        batch_format="pyarrow")])
+        st = gather_capped(sj, 4_000_000, pa.schema(
+            [("s_suppkey", pa.int64()), ("s_name", pa.string()),
+             ("s_acctbal", pa.float64())]))
+        assert st is not None, "q20 qualifier attach overflowed"
         st = st.select(["s_suppkey", "s_name", "s_acctbal"])
     out = qt_.join(st, keys=["sk"], right_keys=["s_suppkey"],
                    join_type="inner")
