@@ -352,6 +352,9 @@ def _substring_incremental(marked, cfg: MPLSHConfig, P: int,
     reused_pairs = tagged.filter(expr="reused == True") \
         .select_columns(["a", "b"])
     counters["n_substr_pairs"] = tagged.count()
+    counters["n_substr_pairs_reused"] = reused_pairs.count()
+    counters["n_substr_pairs_fresh"] = \
+        counters["n_substr_pairs"] - counters["n_substr_pairs_reused"]
 
     # 6. reused spans: base span rows semi-joined on the reused pairs
     def tag_req(t: pa.Table) -> pa.Table:

@@ -130,6 +130,10 @@ def test_incremental_substring_reuse(ray_session, small_fixture, tmp_path):
     assert inc.counters["substr_incremental"], \
         "base substring checkpoints present but reuse path not taken"
     assert "n_substr_revoked" in inc.counters
+    # the fixture's cross-shard dups must actually exercise BOTH pair
+    # branches: base spans reused verbatim and fresh pairs extracted
+    assert inc.counters["n_substr_pairs_reused"] > 0
+    assert inc.counters["n_substr_pairs_fresh"] > 0
     ref = run_dedup(joint, MPLSHConfig(), extract=True,
                     skip_substring=False)
 
