@@ -160,9 +160,61 @@ def _adoption_map_broadcast(new_tbl: pa.Table, base_reps_slim
     return k[so], v[so]
 
 
+def _delta_ids_nospans(marked, new_ids: np.ndarray,
+                       cap: int = 4_000_000) -> np.ndarray | None:
+    """Delta doc set when the substring pass is OFF: the new shard plus
+    every member of a cluster containing a new doc (cluster_id /
+    is_canonical can only change there). ``None`` when the member set
+    overflows the driver cap (pathological giant clusters)."""
+    import ray
+
+    from ray_data_mplsh.stages.shuffle import gather_capped
+
+    marked = marked.materialize()
+    nref = ray.put(np.sort(new_ids.astype(np.uint64)))
+
+    def new_clusters(t: pa.Table) -> pa.Table:
+        nid = cached_get(nref)
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        cid = t["cluster_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        return pa.table({"cluster_id":
+                         pa.array(np.unique(cid[isin_sorted(nid, did)]),
+                                  pa.uint64())})
+
+    cht = gather_capped(
+        marked.select_columns(["doc_id", "cluster_id"])
+        .map_batches(new_clusters, batch_format="pyarrow"),
+        cap, pa.schema([("cluster_id", pa.uint64())]))
+    if cht is None:
+        return None
+    chref = ray.put(np.unique(
+        cht["cluster_id"].to_numpy(zero_copy_only=False)
+        .astype(np.uint64)))
+
+    def members(t: pa.Table) -> pa.Table:
+        ch_ = cached_get(chref)
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        cid = t["cluster_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        return pa.table({"doc_id":
+                         pa.array(did[isin_sorted(ch_, cid)],
+                                  pa.uint64())})
+
+    cm = gather_capped(
+        marked.select_columns(["doc_id", "cluster_id"])
+        .map_batches(members, batch_format="pyarrow"),
+        cap, pa.schema([("doc_id", pa.uint64())]))
+    if cm is None:
+        return None
+    return np.unique(np.concatenate([
+        np.sort(new_ids.astype(np.uint64)),
+        cm["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)]))
+
+
 def _substring_incremental(marked, cfg: MPLSHConfig, P: int,
                            base_cfg: MPLSHConfig, new_ids: np.ndarray,
-                           counters: dict):
+                           counters: dict, delta: bool = False):
     """Substring pass with base-run reuse (the incremental S9).
 
     The winnow fingerprints and the per-pair span intervals are pure
@@ -326,35 +378,45 @@ def _substring_incremental(marked, cfg: MPLSHConfig, P: int,
         .map_batches(tag_pairs(1), batch_format="pyarrow"))
 
     def split(part: pa.Table) -> pa.Table:
+        """kind 0 = fresh joint pair, 1 = joint pair reusing base spans,
+        2 = VANISHED base pair (absent from the joint pairing — bucket
+        content changed; its base spans must not survive)."""
         a = part["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
         b = part["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
         side = part["side"].to_numpy(zero_copy_only=False)
         if not len(a):
             e = pa.array([], pa.uint64())
             return pa.table({"a": e, "b": e,
-                             "reused": pa.array([], pa.bool_())})
+                             "kind": pa.array([], pa.int8())})
         o = np.lexsort((side, b, a))
         sa, sb, ss = a[o], b[o], side[o]
         grp = np.concatenate(([True], (sa[1:] != sa[:-1]) |
                               (sb[1:] != sb[:-1])))
         gidx = np.cumsum(grp) - 1
-        has_base = np.zeros(int(gidx[-1]) + 1, bool)
+        ng = int(gidx[-1]) + 1
+        has_base = np.zeros(ng, bool)
         np.logical_or.at(has_base, gidx, ss == 1)
+        has_joint = np.zeros(ng, bool)
+        np.logical_or.at(has_joint, gidx, ss == 0)
         jm = ss == 0
+        vm = (ss == 1) & ~has_joint[gidx]   # base pairs with no joint twin
+        kind = np.where(has_base[gidx[jm]], np.int8(1), np.int8(0))
         return pa.table({
-            "a": pa.array(sa[jm], pa.uint64()),
-            "b": pa.array(sb[jm], pa.uint64()),
-            "reused": pa.array(has_base[gidx[jm]], pa.bool_())})
+            "a": pa.array(np.concatenate([sa[jm], sa[vm]]), pa.uint64()),
+            "b": pa.array(np.concatenate([sb[jm], sb[vm]]), pa.uint64()),
+            "kind": pa.array(np.concatenate(
+                [kind, np.full(int(vm.sum()), 2, np.int8)]), pa.int8())})
 
     tagged = partition_apply(u, "pk", split, pe).materialize()
-    fresh = tagged.filter(expr="reused == False") \
+    fresh = tagged.filter(expr="kind == 0").select_columns(["a", "b"])
+    reused_pairs = tagged.filter(expr="kind == 1") \
         .select_columns(["a", "b"])
-    reused_pairs = tagged.filter(expr="reused == True") \
-        .select_columns(["a", "b"])
-    counters["n_substr_pairs"] = tagged.count()
     counters["n_substr_pairs_reused"] = reused_pairs.count()
-    counters["n_substr_pairs_fresh"] = \
-        counters["n_substr_pairs"] - counters["n_substr_pairs_reused"]
+    counters["n_substr_pairs_fresh"] = fresh.count()
+    counters["n_substr_pairs"] = counters["n_substr_pairs_reused"] + \
+        counters["n_substr_pairs_fresh"]
+    counters["n_substr_pairs_vanished"] = \
+        tagged.count() - counters["n_substr_pairs"]
 
     # 6. reused spans: base span rows semi-joined on the reused pairs
     def tag_req(t: pa.Table) -> pa.Table:
@@ -416,16 +478,87 @@ def _substring_incremental(marked, cfg: MPLSHConfig, P: int,
         fresh_spans = wt.map_batches(_out._SpanExtractor(cfg.substr_len),
                                      batch_format="pyarrow",
                                      batch_size=512)
-    return _out._apply_spans(marked, reused_spans.union(fresh_spans), cfg)
+    spans = reused_spans.union(fresh_spans)
+
+    target = marked
+    if delta:
+        # DELTA output: only docs whose output row can differ from the
+        # base run's — new docs, members of clusters touching a new doc
+        # (cluster_id / canonical flips live there), and the span-bearing
+        # endpoint max(a, b) of every fresh or vanished pair (their span
+        # set changed). Everything else keeps its base dedup_out row
+        # verbatim, so a 100 TB archive is never rewritten for a daily
+        # shard. Falls back to the joint output when a driver-side set
+        # overflows its cap (pathological giant clusters).
+        def changed_members(t: pa.Table) -> pa.Table:
+            ch_ = cached_get(chref)
+            cid = t["cluster_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            did = t["doc_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            return pa.table({"doc_id":
+                             pa.array(did[isin_sorted(ch_, cid)],
+                                      pa.uint64())})
+
+        cm = gather_capped(
+            marked.select_columns(["doc_id", "cluster_id"])
+            .map_batches(changed_members, batch_format="pyarrow"),
+            CAP, pa.schema([("doc_id", pa.uint64())]))
+
+        def span_endpoints(t: pa.Table) -> pa.Table:
+            k = t["kind"].to_numpy(zero_copy_only=False)
+            m = k != 1
+            a = t["a"].to_numpy(zero_copy_only=False).astype(np.uint64)[m]
+            b = t["b"].to_numpy(zero_copy_only=False).astype(np.uint64)[m]
+            return pa.table({"doc_id":
+                             pa.array(np.maximum(a, b), pa.uint64())})
+
+        ep = gather_capped(
+            tagged.map_batches(span_endpoints, batch_format="pyarrow"),
+            CAP, pa.schema([("doc_id", pa.uint64())]))
+        if cm is None or ep is None:
+            counters["output_mode"] = "joint_overflow"
+        else:
+            dset = np.unique(np.concatenate([
+                np.sort(new_ids.astype(np.uint64)),
+                cm["doc_id"].to_numpy(zero_copy_only=False)
+                .astype(np.uint64),
+                ep["doc_id"].to_numpy(zero_copy_only=False)
+                .astype(np.uint64)]))
+            counters["n_delta_docs"] = int(len(dset))
+            counters["output_mode"] = "delta"
+            dref = ray.put(dset)
+
+            def keep_delta(t: pa.Table) -> pa.Table:
+                d_ = cached_get(dref)
+                did = t["doc_id"].to_numpy(zero_copy_only=False) \
+                    .astype(np.uint64)
+                return t.filter(pa.array(isin_sorted(d_, did)))
+
+            target = marked.map_batches(keep_delta,
+                                        batch_format="pyarrow")
+    return _out._apply_spans(target, spans, cfg)
 
 
 def run_dedup_incremental(new_pages, cfg: MPLSHConfig, *, base_run_id: str,
                           extract: bool = True, url_col: str = "url",
                           text_col: str = "text", lang_col: str = "lang",
-                          skip_substring: bool = False) -> DedupResult:
+                          skip_substring: bool = False,
+                          output: str = "joint") -> DedupResult:
     """Dedup ``new_pages`` against the checkpointed state of
     ``base_run_id`` (same ``cfg.ckpt_dir``, same semantic config — the
-    manifest digests are verified)."""
+    manifest digests are verified).
+
+    ``output``: ``"joint"`` (default) emits the whole joint corpus, the
+    same rows a from-scratch run would. ``"delta"`` emits ONLY the rows
+    that can differ from the base run's ``dedup_out`` — the new shard,
+    members of clusters a new doc touched, and docs whose duplicated-span
+    set changed — so the archive's output is never rewritten; every
+    doc_id absent from the delta keeps its base row verbatim
+    (pinned by tests/test_incremental.py). Delta mode requires the base
+    substring checkpoints when the substring pass is enabled (the
+    vanished-pair set is unknowable without them); it degrades to joint
+    output (``counters["output_mode"]``) rather than failing."""
     import ray
     import ray.data as rd
 
@@ -557,28 +690,55 @@ def run_dedup_incremental(new_pages, cfg: MPLSHConfig, *, base_run_id: str,
     lap("cc")
     marked = assign_and_mark(docs_all, labels, cfg)
     lap("mark")
+    if output not in ("joint", "delta"):
+        raise ValueError(f"output must be 'joint' or 'delta', got "
+                         f"{output!r}")
+    counters.setdefault("output_mode", "joint")
+    # the full NEW-shard id set (reps and exact dups alike: an adopted
+    # dup can shrink a base cluster's min id and so flip its canonical
+    # pick) — new-shard-bounded, the same driver bound the keep_new
+    # filter above already accepts
+    all_new_l = [b["doc_id"].to_numpy(zero_copy_only=False)
+                 .astype(np.uint64)
+                 for b in new_docs.select_columns(["doc_id"])
+                 .iter_batches(batch_size=65536, batch_format="pyarrow")]
+    all_new = np.sort(np.concatenate(all_new_l)) if all_new_l \
+        else np.empty(0, np.uint64)
+
     if skip_substring:
         def add_final(batch: pa.Table) -> pa.Table:
             ft = pc.if_else(batch["is_canonical"], batch["text"],
                             pa.scalar(None, pa.string()))
             return batch.append_column("final_text", ft)
-        out = marked.map_batches(add_final, batch_format="pyarrow")
+
+        target = marked
+        if output == "delta":
+            # no span effects without the substring pass: the delta is
+            # the new shard plus members of clusters it touched
+            dset = _delta_ids_nospans(marked, all_new)
+            if dset is None:
+                counters["output_mode"] = "joint_overflow"
+            else:
+                counters["output_mode"] = "delta"
+                counters["n_delta_docs"] = int(len(dset))
+                dref = ray.put(dset)
+
+                def keep_delta(t: pa.Table) -> pa.Table:
+                    d_ = cached_get(dref)
+                    did = t["doc_id"].to_numpy(zero_copy_only=False) \
+                        .astype(np.uint64)
+                    return t.filter(pa.array(isin_sorted(d_, did)))
+
+                target = marked.map_batches(keep_delta,
+                                            batch_format="pyarrow")
+        out = target.map_batches(add_final, batch_format="pyarrow")
     else:
-        # the full NEW-shard id set (reps and exact dups alike: an
-        # adopted dup can shrink a base cluster's min id and so flip its
-        # canonical pick) — new-shard-bounded, the same driver bound the
-        # keep_new filter above already accepts
-        all_new_l = [b["doc_id"].to_numpy(zero_copy_only=False)
-                     .astype(np.uint64)
-                     for b in new_docs.select_columns(["doc_id"])
-                     .iter_batches(batch_size=65536,
-                                   batch_format="pyarrow")]
-        all_new = np.sort(np.concatenate(all_new_l)) if all_new_l \
-            else np.empty(0, np.uint64)
         out = _substring_incremental(marked, cfg, P, base_cfg, all_new,
-                                     counters)
+                                     counters, delta=(output == "delta"))
         counters["substr_incremental"] = out is not None
         if out is None:     # no base substring checkpoints: joint pass
+            if output == "delta":
+                counters["output_mode"] = "joint_fallback"
             out = substring_stage(marked, cfg, P)
 
     lap("label_mark_substring_lazy")

@@ -151,3 +151,91 @@ def test_incremental_substring_reuse(ray_session, small_fixture, tmp_path):
     ref_part, ref_canon = _partition_and_canon(ref)
     assert inc_part == ref_part
     assert inc_canon == ref_canon
+
+
+def _ft(v):
+    import pandas as pd
+    return None if (v is None or (isinstance(v, float) and pd.isna(v))) \
+        else v
+
+
+def test_incremental_delta_output(ray_session, small_fixture, tmp_path):
+    """output='delta' emits exactly the rows that can differ from the
+    base run: every delta row matches the from-scratch joint run, every
+    joint doc ABSENT from the delta keeps its base dedup_out row
+    verbatim (is_canonical + final_text), and the whole new shard is in
+    the delta."""
+    s1, s2, joint = _shards(small_fixture)
+    cfg = MPLSHConfig(ckpt_dir=str(tmp_path), run_id="base")
+    base = run_dedup(s1, cfg, extract=True, skip_substring=False)
+    inc = run_dedup_incremental(s2, dataclasses.replace(cfg, run_id="i"),
+                                base_run_id="base", extract=True,
+                                output="delta")
+    assert inc.counters["output_mode"] == "delta"
+    ref = run_dedup(joint, MPLSHConfig(), extract=True,
+                    skip_substring=False)
+
+    delta = inc.dedup_out.to_pandas()
+    refd = ref.dedup_out.to_pandas().set_index("doc_id")
+    based = base.dedup_out.to_pandas().set_index("doc_id")
+    dset = set(delta["doc_id"].tolist())
+    assert 0 < len(dset) < len(refd), "delta must be a strict subset"
+
+    for _, r in delta.iterrows():
+        rr = refd.loc[r["doc_id"]]
+        assert bool(r["is_canonical"]) == bool(rr["is_canonical"])
+        assert _ft(r["final_text"]) == _ft(rr["final_text"])
+    for did, rr in refd.iterrows():
+        if did in dset:
+            continue
+        assert did in based.index, \
+            "non-delta doc must come from the base corpus"
+        br = based.loc[did]
+        assert bool(br["is_canonical"]) == bool(rr["is_canonical"])
+        assert _ft(br["final_text"]) == _ft(rr["final_text"])
+    # the whole new shard is in the delta
+    base_ids = set(based.index.tolist())
+    new_ids = [d for d in refd.index.tolist() if d not in base_ids]
+    assert all(d in dset for d in new_ids)
+
+
+def test_incremental_delta_output_skip_substring(ray_session,
+                                                 small_fixture, tmp_path):
+    """Delta mode with the substring pass off: the delta is the new
+    shard plus changed-cluster members; the same base-row-verbatim
+    contract holds."""
+    s1, s2, joint = _shards(small_fixture)
+    cfg = MPLSHConfig(ckpt_dir=str(tmp_path), run_id="base")
+    base = run_dedup(s1, cfg, extract=True, skip_substring=True)
+    inc = run_dedup_incremental(s2, dataclasses.replace(cfg, run_id="i"),
+                                base_run_id="base", extract=True,
+                                skip_substring=True, output="delta")
+    assert inc.counters["output_mode"] == "delta"
+    ref = run_dedup(joint, MPLSHConfig(), extract=True,
+                    skip_substring=True)
+
+    delta = inc.dedup_out.to_pandas()
+    refd = ref.dedup_out.to_pandas().set_index("doc_id")
+    based = base.dedup_out.to_pandas().set_index("doc_id")
+    dset = set(delta["doc_id"].tolist())
+    for _, r in delta.iterrows():
+        rr = refd.loc[r["doc_id"]]
+        assert bool(r["is_canonical"]) == bool(rr["is_canonical"])
+        assert _ft(r["final_text"]) == _ft(rr["final_text"])
+    for did, rr in refd.iterrows():
+        if did in dset:
+            continue
+        br = based.loc[did]
+        assert bool(br["is_canonical"]) == bool(rr["is_canonical"])
+        assert _ft(br["final_text"]) == _ft(rr["final_text"])
+
+
+def test_incremental_delta_rejects_bad_output(ray_session, small_fixture,
+                                              tmp_path):
+    s1, s2, _ = _shards(small_fixture)
+    cfg = MPLSHConfig(ckpt_dir=str(tmp_path), run_id="base")
+    run_dedup(s1, cfg, extract=True, skip_substring=True)
+    with pytest.raises(ValueError, match="output"):
+        run_dedup_incremental(s2, dataclasses.replace(cfg, run_id="i"),
+                              base_run_id="base", extract=True,
+                              output="everything")
