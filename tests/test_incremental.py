@@ -239,3 +239,33 @@ def test_incremental_delta_rejects_bad_output(ray_session, small_fixture,
         run_dedup_incremental(s2, dataclasses.replace(cfg, run_id="i"),
                               base_run_id="base", extract=True,
                               output="everything")
+
+
+def test_incremental_empty_new_shard(ray_session, small_fixture, tmp_path):
+    """Folding an EMPTY new shard (no new crawl today) must reproduce the
+    base output exactly — and in delta mode emit zero rows."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    s1, _, _ = _shards(small_fixture)
+    cfg = MPLSHConfig(ckpt_dir=str(tmp_path), run_id="base")
+    base = run_dedup(s1, cfg, extract=True, skip_substring=False)
+
+    empty = rd.from_arrow(pa.table({
+        "url": pa.array([], pa.string()),
+        "html": pa.array([], pa.binary()),
+        "lang": pa.array([], pa.string())}))
+    inc = run_dedup_incremental(
+        empty, dataclasses.replace(cfg, run_id="i"), base_run_id="base",
+        extract=True)
+    a = inc.dedup_out.to_pandas()
+    b = base.dedup_out.to_pandas()
+    fa = dict(zip(a["doc_id"].tolist(), map(_ft, a["final_text"])))
+    fb = dict(zip(b["doc_id"].tolist(), map(_ft, b["final_text"])))
+    assert fa == fb
+
+    incd = run_dedup_incremental(
+        empty, dataclasses.replace(cfg, run_id="i2"), base_run_id="base",
+        extract=True, output="delta")
+    assert incd.counters["output_mode"] == "delta"
+    assert incd.dedup_out.count() == 0
