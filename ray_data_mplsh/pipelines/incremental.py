@@ -52,7 +52,19 @@ from ray_data_mplsh.stages.shuffle import (
     partition_apply,
 )
 from ray_data_mplsh.stages.verify import verify_stage
-from ray_data_mplsh.state.checkpoint import _stage_dir, manifest_valid
+from ray_data_mplsh.state.checkpoint import (
+    _stage_dir, manifest_valid, write_stage,
+)
+
+
+def _save_ckpt(ds, save_cfg: MPLSHConfig, stage: str, t0: float):
+    """Persist a fold stage under the save_as run id (always overwrite —
+    the caller guarantees the target run id is fresh) and hand back the
+    checkpoint read so downstream consumers share the written bytes."""
+    import ray.data as rd
+
+    write_stage(ds, save_cfg, stage, time.monotonic() - t0)
+    return rd.read_parquet(_stage_dir(save_cfg, stage))
 
 
 def _adoption_map(new_reps_slim, base_reps_slim, num_partitions: int
@@ -214,7 +226,8 @@ def _delta_ids_nospans(marked, new_ids: np.ndarray,
 
 def _substring_incremental(marked, cfg: MPLSHConfig, P: int,
                            base_cfg: MPLSHConfig, new_ids: np.ndarray,
-                           counters: dict, delta: bool = False):
+                           counters: dict, delta: bool = False,
+                           save_cfg: MPLSHConfig | None = None):
     """Substring pass with base-run reuse (the incremental S9).
 
     The winnow fingerprints and the per-pair span intervals are pure
@@ -351,12 +364,20 @@ def _substring_incremental(marked, cfg: MPLSHConfig, P: int,
     else:
         fps_new = new_canon.map_batches(emitter, batch_format="pyarrow")
     fps = base_fps.union(fps_new)
+    ts = time.monotonic()
+    if save_cfg is not None:
+        # chainable fold: the joint fingerprint multiset IS what a
+        # from-scratch run checkpoints as substr_fps, so persisting it
+        # under the save_as run id lets the NEXT shard's fold reuse it
+        fps = _save_ckpt(fps, save_cfg, "substr_fps", ts)
 
     # 4. pairing over the joint fps (identical multiset -> identical pair
     # set; _pairs_of_runs is partitioning/order independent, pinned)
     pfn = _out._fp_pairs_fn(cfg.substr_bucket_cap)
     pairs = _out.dedup_pairs(partition_apply(fps, "fp", pfn, pe), pe,
                              local_max_rows=cfg.local_state_max_rows)
+    if save_cfg is not None:
+        pairs = _save_ckpt(pairs, save_cfg, "substr_pairs", ts)
 
     # 5. split joint pairs on base membership (pk routes; identity is the
     # exact (a, b) within the partition, so pk collisions are harmless)
@@ -479,6 +500,8 @@ def _substring_incremental(marked, cfg: MPLSHConfig, P: int,
                                      batch_format="pyarrow",
                                      batch_size=512)
     spans = reused_spans.union(fresh_spans)
+    if save_cfg is not None:
+        spans = _save_ckpt(spans, save_cfg, "substr_spans", ts)
 
     target = marked
     if delta:
@@ -544,7 +567,8 @@ def run_dedup_incremental(new_pages, cfg: MPLSHConfig, *, base_run_id: str,
                           extract: bool = True, url_col: str = "url",
                           text_col: str = "text", lang_col: str = "lang",
                           skip_substring: bool = False,
-                          output: str = "joint") -> DedupResult:
+                          output: str = "joint",
+                          save_as: str | None = None) -> DedupResult:
     """Dedup ``new_pages`` against the checkpointed state of
     ``base_run_id`` (same ``cfg.ckpt_dir``, same semantic config — the
     manifest digests are verified).
@@ -558,12 +582,41 @@ def run_dedup_incremental(new_pages, cfg: MPLSHConfig, *, base_run_id: str,
     (pinned by tests/test_incremental.py). Delta mode requires the base
     substring checkpoints when the substring pass is enabled (the
     vanished-pair set is unknowable without them); it degrades to joint
-    output (``counters["output_mode"]``) rather than failing."""
+    output (``counters["output_mode"]``) rather than failing.
+
+    ``save_as``: persist the fold's JOINT state (docs, sigs, verified,
+    and — when the substring pass runs — substr_fps / substr_pairs /
+    substr_spans) under ``<ckpt_dir>/<save_as>/`` with the standard
+    stage names and schemas, so a LATER shard can fold onto this fold
+    (``base_run_id=save_as``) exactly as it would onto a from-scratch
+    run: day-1 -> day-2 -> day-3 chains without ever re-signing the
+    archive. The write is a joint-state compaction (O(corpus) parquet,
+    the same price the base run paid for its own checkpoints); pair
+    delta-mode daily folds against one saved state and ``save_as``
+    compactions at whatever cadence the archive's churn warrants. The
+    target run id must be FRESH — an existing ``<ckpt_dir>/<save_as>``
+    directory is refused rather than silently reused, because a stale
+    manifest with a matching config digest would alias a different
+    corpus's state."""
     import ray
     import ray.data as rd
 
     if not cfg.ckpt_dir:
         raise ValueError("incremental dedup requires cfg.ckpt_dir")
+    save_cfg = None
+    if save_as is not None:
+        if save_as == base_run_id:
+            raise ValueError(
+                "save_as must differ from base_run_id: overwriting the "
+                "base state while lazily reading it is undefined")
+        import os
+        sdir = os.path.join(cfg.ckpt_dir, save_as)
+        if os.path.isdir(sdir) and os.listdir(sdir):
+            raise ValueError(
+                f"save_as run id '{save_as}' already exists under "
+                f"{cfg.ckpt_dir!r}; pick a fresh id (stale state with a "
+                f"matching digest would alias a different corpus)")
+        save_cfg = dataclasses.replace(cfg, run_id=save_as)
     base_cfg = dataclasses.replace(cfg, run_id=base_run_id)
     for st in ("docs", "sigs", "verified"):
         if not manifest_valid(base_cfg, st):
@@ -680,6 +733,17 @@ def run_dedup_incremental(new_pages, cfg: MPLSHConfig, *, base_run_id: str,
 
     # S7-S9 over the joint corpus
     docs_all = base_docs.union(new_docs)
+    if save_cfg is not None:
+        # chainable fold: persist the joint docs/sigs/verified under the
+        # save_as run id (standard stage names/schemas — the next fold's
+        # manifest checks and readers can't tell it from a from-scratch
+        # run). sigs/verified are materialized already; docs executes the
+        # union once and the output path below reads the written bytes.
+        docs_all = _save_ckpt(docs_all, save_cfg, "docs", t0)
+        _save_ckpt(sigs, save_cfg, "sigs", t0)
+        _save_ckpt(verified, save_cfg, "verified", t0)
+        counters["saved_as"] = save_as
+        lap("save_state")
     if counters["n_verified"] == 0:
         labels = rd.from_arrow(pa.Table.from_arrays(
             [pa.array([], pa.uint64()), pa.array([], pa.uint64())],
@@ -734,12 +798,16 @@ def run_dedup_incremental(new_pages, cfg: MPLSHConfig, *, base_run_id: str,
         out = target.map_batches(add_final, batch_format="pyarrow")
     else:
         out = _substring_incremental(marked, cfg, P, base_cfg, all_new,
-                                     counters, delta=(output == "delta"))
+                                     counters, delta=(output == "delta"),
+                                     save_cfg=save_cfg)
         counters["substr_incremental"] = out is not None
         if out is None:     # no base substring checkpoints: joint pass
             if output == "delta":
                 counters["output_mode"] = "joint_fallback"
-            out = substring_stage(marked, cfg, P)
+            # with save_as the joint pass checkpoints its fps/pairs/spans
+            # under the save_as run id, keeping the saved state complete
+            # for the next fold in the chain
+            out = substring_stage(marked, save_cfg or cfg, P)
 
     lap("label_mark_substring_lazy")
     counters["wall_s"] = time.monotonic() - t0

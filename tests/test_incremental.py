@@ -269,3 +269,89 @@ def test_incremental_empty_new_shard(ray_session, small_fixture, tmp_path):
         extract=True, output="delta")
     assert incd.counters["output_mode"] == "delta"
     assert incd.dedup_out.count() == 0
+
+
+def _shards3(small_fixture):
+    import ray.data as rd
+
+    from ray_data_mplsh.stages.shuffle import from_arrow_blocks
+
+    pages = pq.read_table(f"{small_fixture}/pages.parquet")
+    n = pages.num_rows
+    c1, c2 = n // 3, (2 * n) // 3
+    s1 = from_arrow_blocks(pages.slice(0, c1), target_rows=32)
+    s2 = from_arrow_blocks(pages.slice(c1, c2 - c1), target_rows=32)
+    s3 = from_arrow_blocks(pages.slice(c2), target_rows=32)
+    joint = rd.read_parquet(f"{small_fixture}/pages.parquet")
+    return s1, s2, s3, joint
+
+
+def test_incremental_chained_folds(ray_session, small_fixture, tmp_path):
+    """Chainable folds (save_as): day-1 base run, day-2 fold saved as
+    'fold1', day-3 fold onto 'fold1' — the chained result must match a
+    from-scratch run over all three shards byte for byte (final_text per
+    doc, canonical picks, cluster partition), the saved state must look
+    exactly like a from-scratch checkpoint to the next fold (substring
+    REUSE path taken at day 3), and the archive is never re-signed
+    (n_new_sigs bounded by each day's shard)."""
+    s1, s2, s3, joint = _shards3(small_fixture)
+    cfg = MPLSHConfig(ckpt_dir=str(tmp_path), run_id="base")
+    run_dedup(s1, cfg, extract=True, skip_substring=False)
+
+    f1 = run_dedup_incremental(
+        s2, dataclasses.replace(cfg, run_id="i1"), base_run_id="base",
+        extract=True, skip_substring=False, save_as="fold1")
+    assert f1.counters["saved_as"] == "fold1"
+    assert f1.counters["substr_incremental"]
+
+    f2 = run_dedup_incremental(
+        s3, dataclasses.replace(cfg, run_id="i2"), base_run_id="fold1",
+        extract=True, skip_substring=False)
+    # day 3 folds onto the SAVED fold state through the substring reuse
+    # path — fold1's substr_fps/pairs/spans were accepted as a base
+    assert f2.counters["substr_incremental"]
+    assert f2.counters["base_resumed"]
+
+    ref = run_dedup(joint, MPLSHConfig(), extract=True,
+                    skip_substring=False)
+
+    inc_out = f2.dedup_out.to_pandas()
+    ref_out = ref.dedup_out.to_pandas()
+    assert len(inc_out) == len(ref_out)
+    for col in ("is_canonical", "final_text"):
+        a = dict(zip(inc_out["doc_id"].tolist(),
+                     map(_ft, inc_out[col]))) if col == "final_text" \
+            else dict(zip(inc_out["doc_id"].tolist(), inc_out[col]))
+        b = dict(zip(ref_out["doc_id"].tolist(),
+                     map(_ft, ref_out[col]))) if col == "final_text" \
+            else dict(zip(ref_out["doc_id"].tolist(), ref_out[col]))
+        assert a == b, col
+    inc_part, inc_canon = _partition_and_canon(f2)
+    ref_part, ref_canon = _partition_and_canon(ref)
+    assert inc_part == ref_part
+    assert inc_canon == ref_canon
+    # each day signed only its own shard, never the archive
+    n_joint = len(ref_out)
+    assert f1.counters["n_new_sigs"] < n_joint
+    assert f2.counters["n_new_sigs"] < n_joint
+    assert f2.counters["n_new_sigs"] <= s3.count()
+
+
+def test_incremental_save_as_guards(ray_session, small_fixture, tmp_path):
+    """save_as refuses the base run id and any non-fresh target id."""
+    s1, s2, _ = _shards(small_fixture)
+    cfg = MPLSHConfig(ckpt_dir=str(tmp_path), run_id="base")
+    run_dedup(s1, cfg, extract=True, skip_substring=True)
+    with pytest.raises(ValueError, match="differ from base_run_id"):
+        run_dedup_incremental(s2, dataclasses.replace(cfg, run_id="i"),
+                              base_run_id="base", extract=True,
+                              save_as="base")
+    # a non-empty target directory (e.g. a previous fold's state) is
+    # refused rather than silently reused
+    stale = tmp_path / "fold0" / "docs"
+    stale.mkdir(parents=True)
+    (stale / "_SUCCESS").write_text("{}")
+    with pytest.raises(ValueError, match="already exists"):
+        run_dedup_incremental(s2, dataclasses.replace(cfg, run_id="i"),
+                              base_run_id="base", extract=True,
+                              save_as="fold0")
