@@ -355,3 +355,42 @@ def test_incremental_save_as_guards(ray_session, small_fixture, tmp_path):
         run_dedup_incremental(s2, dataclasses.replace(cfg, run_id="i"),
                               base_run_id="base", extract=True,
                               save_as="fold0")
+
+
+def test_incremental_chained_delta_overlay(ray_session, small_fixture,
+                                           tmp_path):
+    """The full daily-crawl loop: every fold runs output='delta' AND
+    save_as (delta rows for the consumer, joint state for tomorrow's
+    fold). Overlaying base output <- fold1 delta <- fold2 delta must
+    reproduce the from-scratch joint output row for row — the archive's
+    rows are never rewritten, yet the overlay is always exact."""
+    s1, s2, s3, joint = _shards3(small_fixture)
+    cfg = MPLSHConfig(ckpt_dir=str(tmp_path), run_id="base")
+    base = run_dedup(s1, cfg, extract=True, skip_substring=False)
+
+    f1 = run_dedup_incremental(
+        s2, dataclasses.replace(cfg, run_id="i1"), base_run_id="base",
+        extract=True, output="delta", save_as="fold1")
+    assert f1.counters["output_mode"] == "delta"
+    f2 = run_dedup_incremental(
+        s3, dataclasses.replace(cfg, run_id="i2"), base_run_id="fold1",
+        extract=True, output="delta")
+    assert f2.counters["output_mode"] == "delta"
+    assert f2.counters["substr_incremental"]
+
+    ref = run_dedup(joint, MPLSHConfig(), extract=True,
+                    skip_substring=False)
+
+    cols = ("is_canonical", "final_text")
+    overlay: dict = {}
+    for df in (base.dedup_out.to_pandas(), f1.dedup_out.to_pandas(),
+               f2.dedup_out.to_pandas()):
+        for _, r in df.iterrows():
+            overlay[r["doc_id"]] = tuple(
+                bool(r[c]) if c == "is_canonical" else _ft(r[c])
+                for c in cols)
+    ref_out = ref.dedup_out.to_pandas()
+    expect = {r["doc_id"]: tuple(
+        bool(r[c]) if c == "is_canonical" else _ft(r[c]) for c in cols)
+        for _, r in ref_out.iterrows()}
+    assert overlay == expect
