@@ -45,8 +45,15 @@ prefix of it), rows-only entries last:
     q_prefix_dup_groups* (exact-prefix dup blocking groups),
     q_mixture_sample* (per-source deterministic mixture downsampling),
     q_gopher_quality* (Gopher-rule quality gate, integer-decided
-    ratios), q_dedup_tiers* (tier-dedup attribution: exact/normalized/
-    prefix/unique via one nested-group exchange), q_dedup_tier_report*
+    ratios), q_pii_scrub* (PII redaction: email/phone/IPv4 RE2 scrub
+    with per-doc counts over deterministically derived PII text),
+    q_chunk_tokens* (fixed-window token chunking with stride overlap —
+    the LM context-window prep op, row-expanding map),
+    q_contam_overlap* (fuzzy decontamination: fraction of a doc's
+    distinct 8-grams occurring in the derived benchmark set, broadcast
+    gram index), q_dedup_tiers* (tier-dedup attribution: exact/
+    normalized/prefix/unique via one nested-group exchange),
+    q_dedup_tier_report*
     (THE theme report — full tier attribution incl. the 'near' tier
     from the production LSH chain, oracled by the widest SQL replay in
     the registry: signatures + banding + pairing + verify + recursive

@@ -3730,11 +3730,15 @@ def q_tpch_q5(sf_dir: str, broadcast_max_rows: int = 4_000_000):
 
     def finish(t: pa.Table) -> pa.Table:
         nk = t["nkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        i = np.searchsorted(nkeys, nk)
-        rev = pc.cast(t["rev_micro"], pa.int64())
+        i = np.clip(np.searchsorted(nkeys, nk), 0,
+                    max(len(nkeys) - 1, 0))
+        hit = nkeys[i] == nk if len(nkeys) else np.zeros(len(nk), bool)
+        rev = pc.cast(t["rev_micro"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)[hit]
         return pa.table({
-            "n_name": pa.array(nnames[i], pa.string()),
-            "revenue": pc.divide(pc.cast(rev, pa.float64()), 10000.0)})
+            "n_name": pa.array(nnames[i][hit], pa.string()),
+            "revenue": pa.array(rev.astype(np.float64) / 10000.0,
+                                pa.float64())})
 
     return agg.map_batches(finish, batch_format="pyarrow") \
         .sort("revenue", descending=True)
@@ -6785,6 +6789,197 @@ def q_tpch_q20(sf_dir: str, broadcast_max_rows: int = 4_000_000,
         "s_acctbal": pa.array(sb[first], pa.float64())})
 
 
+# --- PII redaction (webtext scrub pre-pass) --------------------------------
+
+_PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE_RE = r"\+\d{1,3}-\d{3}-\d{4}"
+_PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def q_pii_scrub(sf_dir: str):
+    """PII redaction over webtext (the CCNet/Dolma-style scrub pre-pass):
+    emails, international-format phone numbers and IPv4 literals replaced
+    by typed placeholders, with per-doc redaction counts. The documents
+    fixture contains no PII, so PII-bearing text is DERIVED
+    deterministically from (doc_id, source) by the same expression in
+    both engines (the q_canonical_urls technique) and then scrubbed
+    GENERICALLY — the SQL replays the scrub with regexp_replace on the
+    same derived text, never hand-computed expected strings, so any
+    kernel/pattern change breaks the match. Counts are taken on the
+    pre-scrub text; replacements apply email -> phone -> ip in both
+    engines (later patterns see earlier placeholders identically).
+    Stateless per-batch Arrow RE2 kernels (replace_substring_regex /
+    count_substring_regex); zero shuffle — scales as a pure map."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def scrub(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = pd.Series(did).astype(str)
+        src = pd.Series(np.asarray(t["source"].to_pylist(), dtype=object))
+        text = pd.Series(np.asarray(t["text"].to_pylist(), dtype=object))
+        t2 = (text + " contact user" + ids + "@" + src + ".com call "
+              + "+1-555-" + pd.Series(did % 10000).astype(str).str.zfill(4)
+              + " from 10.0." + pd.Series(did % 256).astype(str) + "."
+              + pd.Series((did // 256) % 256).astype(str))
+        t2a = pa.array(t2.to_numpy(dtype=object), pa.string())
+        n_email = pc.count_substring_regex(t2a, pattern=_PII_EMAIL_RE)
+        n_phone = pc.count_substring_regex(t2a, pattern=_PII_PHONE_RE)
+        n_ip = pc.count_substring_regex(t2a, pattern=_PII_IP_RE)
+        clean = pc.replace_substring_regex(
+            t2a, pattern=_PII_EMAIL_RE, replacement="<EMAIL>")
+        clean = pc.replace_substring_regex(
+            clean, pattern=_PII_PHONE_RE, replacement="<PHONE>")
+        clean = pc.replace_substring_regex(
+            clean, pattern=_PII_IP_RE, replacement="<IP>")
+        return pa.table({
+            "doc_id": pa.array(did, pa.int64()),
+            "clean_text": clean,
+            "n_emails": pc.cast(n_email, pa.int64()),
+            "n_phones": pc.cast(n_phone, pa.int64()),
+            "n_ips": pc.cast(n_ip, pa.int64())})
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+# --- fixed-window token chunking (LM context-window prep) -------------------
+
+def q_chunk_tokens(sf_dir: str, window: int = 32, stride: int = 24):
+    """Fixed-size token chunking with overlap (the LM context-window prep
+    op): each doc splits into windows of ``window`` whitespace tokens
+    starting every ``stride`` tokens (starts 0, S, 2S, ... while
+    start < n_tokens), emitting (doc_id, chunk_idx, n_tokens,
+    chunk_text). Row-expanding stateless map (~n/stride chunks per doc),
+    no shuffle — Ray's block splitting absorbs the expansion exactly as
+    it does for the band emitter. Vectorized: flat (row, word) arrays ->
+    one repeat/cumsum flat-gather of every chunk's tokens -> a single
+    pandas groupby-join (one C-level join per CHUNK, never per-token
+    Python). The SQL twin slices the same 1-based word array."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    W, S = int(window), int(stride)
+
+    def chunk(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "chunk_idx": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "chunk_text": pa.array([], pa.string())})
+        if not len(ids):
+            return empty
+        row, words = _split_words(b["text"])
+        n_tok = np.bincount(row, minlength=len(ids)).astype(np.int64)
+        # chunk starts per row: 0, S, 2S, ... < n  (n >= 1 always:
+        # ''.split(' ') == [''])
+        n_chunks = -(-n_tok // S)
+        crow = np.repeat(np.arange(len(ids), dtype=np.int64), n_chunks)
+        if not len(crow):
+            return empty
+        cidx = np.arange(len(crow), dtype=np.int64) - np.repeat(
+            np.cumsum(n_chunks) - n_chunks, n_chunks)
+        starts = cidx * S
+        lens = np.minimum(starts + W, n_tok[crow]) - starts
+        base = np.concatenate(([0], np.cumsum(n_tok)))[:-1]
+        tot = int(lens.sum())
+        chunk_of_tok = np.repeat(np.arange(len(crow), dtype=np.int64),
+                                 lens)
+        tok_idx = (np.arange(tot, dtype=np.int64)
+                   - np.repeat(np.cumsum(lens) - lens, lens)
+                   + (base[crow] + starts)[chunk_of_tok])
+        joined = pd.Series(words[tok_idx], dtype=object) \
+            .groupby(chunk_of_tok).agg(" ".join)
+        texts = np.full(len(crow), "", dtype=object)
+        texts[joined.index.to_numpy()] = joined.to_numpy(dtype=object)
+        return pa.table({
+            "doc_id": pa.array(ids[crow], pa.int64()),
+            "chunk_idx": pa.array(cidx, pa.int64()),
+            "n_tokens": pa.array(lens, pa.int64()),
+            "chunk_text": pa.array(texts, pa.string())})
+
+    return ds.map_batches(chunk, batch_format="pyarrow")
+
+
+# --- fuzzy decontamination: benchmark n-gram overlap score ------------------
+
+def q_contam_overlap(sf_dir: str):
+    """Fuzzy decontamination score (the standard benchmark 13-gram-overlap
+    contamination metric, shrunk to 8-grams for the fixture's doc
+    lengths): the benchmark set is every doc with doc_id % 37 == 0
+    (derived — no external data, the q_decontaminate convention); a
+    doc's score is the fraction of its DISTINCT 8-grams occurring in any
+    benchmark doc. Plan: benchmark grams are |corpus|/37-proportional
+    and distinct-hash-reduced per batch BEFORE the driver gather, then
+    broadcast once via ray.put (benchmark sets are small by nature —
+    same scale rationale as q_decontaminate's snippet index); every doc
+    then scores batch-locally with a searchsorted membership probe —
+    zero row-level exchanges. Distinctness and membership are by 64-bit
+    gram hash (the q_crossdoc_ngrams collision regime: ~1e-7 at 1e6
+    grams). Docs under 8 tokens emit no row in both engines."""
+    import ray
+
+    N, MOD = 8, 37
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _doc_grams(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        """batch -> (doc_id int64, distinct gram hash uint64) flat pairs
+        (per-doc distinct is global distinct: docs never span batches)."""
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        row, words = _split_words(b["text"])
+        if len(row) >= N:
+            starts = np.flatnonzero(row[:len(row) - N + 1] == row[N - 1:])
+        else:
+            starts = np.empty(0, np.int64)
+        gs = pd.Series(words[starts], dtype=object)
+        for i in range(1, N):
+            gs = gs + " " + pd.Series(words[starts + i], dtype=object)
+        gh = hash_str_array(pa.array(gs.to_numpy(dtype=object),
+                                     pa.string())).astype(np.uint64)
+        d = ids[row[starts]]
+        key = np.stack([d.astype(np.uint64), gh]) if len(d) else \
+            np.empty((2, 0), np.uint64)
+        _, ui = np.unique(key, axis=1, return_index=True)
+        return d[ui], gh[ui]
+
+    def bench_grams(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = pa.array(ids % MOD == 0)
+        d, gh = _doc_grams(b.filter(mask))
+        return pa.table({"gh": pa.array(np.unique(gh), pa.uint64())})
+
+    parts = [pa.table(t)["gh"].to_numpy(zero_copy_only=False)
+             for t in ds.map_batches(bench_grams, batch_format="pyarrow")
+             .iter_batches(batch_size=65536, batch_format="pyarrow")]
+    bench = np.unique(np.concatenate(parts)) if parts else \
+        np.empty(0, np.uint64)
+    ref = ray.put(bench)
+
+    def score(b: pa.Table) -> pa.Table:
+        bset = cached_get(ref)
+        d, gh = _doc_grams(b)
+        if not len(d):
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "n_grams": pa.array([], pa.int64()),
+                "n_contaminated": pa.array([], pa.int64()),
+                "contam_frac": pa.array([], pa.float64())})
+        pos = np.searchsorted(bset, gh)
+        hit = (pos < len(bset)) & (bset[np.minimum(
+            pos, max(len(bset) - 1, 0))] == gh) if len(bset) else \
+            np.zeros(len(gh), bool)
+        uids, inv = np.unique(d, return_inverse=True)
+        n_grams = np.bincount(inv).astype(np.int64)
+        n_hit = np.bincount(inv, weights=hit.astype(np.float64)) \
+            .astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(uids, pa.int64()),
+            "n_grams": pa.array(n_grams, pa.int64()),
+            "n_contaminated": pa.array(n_hit, pa.int64()),
+            "contam_frac": pa.array(
+                n_hit.astype(np.float64) / n_grams.astype(np.float64),
+                pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_lang_counts": q_lang_counts,
@@ -6911,6 +7106,9 @@ QUERIES = {
     "q_tpch_q21": q_tpch_q21,
     "q_pack_sequences": q_pack_sequences,
     "q_remove_dup_ngrams": q_remove_dup_ngrams,
+    "q_pii_scrub": q_pii_scrub,
+    "q_chunk_tokens": q_chunk_tokens,
+    "q_contam_overlap": q_contam_overlap,
 }
 
 # --- SQL replay fragments for hash-bearing oracles -------------------------
@@ -8079,6 +8277,57 @@ ORACLE_SQL["q_url_dedup"] = (
 
 # generated oracle: the full multi-probe-LSH replay (hyperplane literals)
 ORACLE_SQL["q_knn_lsh"] = _knn_lsh_sql()
+
+# PII scrub: derive the same PII-bearing text, replay the same RE2
+# patterns with regexp_replace/regexp_extract_all (counts on the
+# pre-scrub text; replacements email -> phone -> ip, as in the engine)
+ORACLE_SQL["q_pii_scrub"] = (
+    "WITH t2 AS (SELECT doc_id, text || ' contact user' || "
+    "CAST(doc_id AS VARCHAR) || '@' || source || '.com call +1-555-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.0.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.' || "
+    "CAST((doc_id // 256) % 256 AS VARCHAR) AS text2 FROM documents) "
+    "SELECT doc_id, "
+    f"regexp_replace(regexp_replace(regexp_replace(text2, "
+    f"'{_PII_EMAIL_RE}', '<EMAIL>', 'g'), "
+    f"'{_PII_PHONE_RE}', '<PHONE>', 'g'), "
+    f"'{_PII_IP_RE}', '<IP>', 'g') AS clean_text, "
+    f"CAST(len(regexp_extract_all(text2, '{_PII_EMAIL_RE}')) AS BIGINT) "
+    "AS n_emails, "
+    f"CAST(len(regexp_extract_all(text2, '{_PII_PHONE_RE}')) AS BIGINT) "
+    "AS n_phones, "
+    f"CAST(len(regexp_extract_all(text2, '{_PII_IP_RE}')) AS BIGINT) "
+    "AS n_ips FROM t2")
+
+# token chunking: same starts (0, S, 2S, ... < n) over the same 1-based
+# word array; DuckDB list slices clamp at the end like the engine's min()
+ORACLE_SQL["q_chunk_tokens"] = (
+    "WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws "
+    "FROM documents), "
+    "c AS (SELECT doc_id, ws, unnest(range(0, len(ws), 24)) AS start "
+    "FROM d) "
+    "SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_idx, "
+    "CAST(least(start + 32, len(ws)) - start AS BIGINT) AS n_tokens, "
+    "array_to_string(ws[start + 1 : start + 32], ' ') AS chunk_text "
+    "FROM c")
+
+# contamination overlap: distinct 8-grams per doc as STRINGS (the engine
+# uses 64-bit hashes; equal sets absent collisions — the q_crossdoc
+# regime), benchmark = docs with doc_id % 37 == 0
+ORACLE_SQL["q_contam_overlap"] = (
+    "WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws "
+    "FROM documents), "
+    "g AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 6), "
+    "p -> array_to_string(ws[p : p + 7], ' '))) AS gram "
+    "FROM d WHERE len(ws) >= 8), "
+    "dg AS (SELECT DISTINCT doc_id, gram FROM g), "
+    "b AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 37 = 0) "
+    "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, "
+    "CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_contaminated, "
+    "CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) "
+    "/ COUNT(*) AS contam_frac "
+    "FROM dg LEFT JOIN b USING (gram) GROUP BY doc_id")
 
 # The driver signs correctness rows for only a prefix of this registry
 # (50 entries per round), so oracle-bearing queries are ordered FIRST:

@@ -52,7 +52,8 @@ CHECK = ["q_word_stats", "q_doc_freq", "q_allpair_jaccard",
          "q_tpch_q19", "q_tpch_q22", "q_tpch_q7", "q_gopher_quality",
          "q_dedup_tiers", "q_tpch_q8", "q_tpch_q16", "q_tpch_q9",
          "q_dedup_tier_report", "q_knn_lsh", "q_tpch_q12", "q_tpch_q21",
-         "q_tpch_q2", "q_tpch_q11", "q_tpch_q20"]
+         "q_tpch_q2", "q_tpch_q11", "q_tpch_q20", "q_pii_scrub",
+         "q_chunk_tokens", "q_contam_overlap"]
 
 
 @pytest.fixture(scope="module")
