@@ -1,0 +1,81 @@
+"""Adversarial-corpus fuzz for the round-5 text ops (q_pii_scrub,
+q_chunk_tokens, q_contam_overlap): the sf documents fixture is
+lowercase single-spaced ASCII, so these pins would otherwise never see
+the regimes where split / regex / join parity could diverge — multiple
+consecutive spaces (empty tokens), empty text, punctuation and
+digit-heavy tokens, '@'-bearing words adjacent to the derived PII,
+dotted quads already in the text, non-ASCII codepoints, and exact-
+duplicate texts across benchmark and non-benchmark doc ids. Each query
+is pinned bit-exact against its DuckDB oracle on the same parquet file
+(driver-compare semantics: sorted columns, sorted rows, exact values,
+matching dtypes)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from ray_data_mplsh.pipelines.queries import ORACLE_SQL, QUERIES
+
+FUZZED = ["q_pii_scrub", "q_chunk_tokens", "q_contam_overlap"]
+
+_WORDS = ["the", "ab3", "x", "foo.bar", "semi;colon", "café",
+          "10.0.0.7", "a@b.co", "+1-555-0001", "trail.", "(paren)",
+          "123", "loooooooooooongword", "über"]
+
+
+def _write_corpus(d: str, seed: int) -> None:
+    rng = np.random.default_rng(seed)
+    texts: list[str] = []
+    n = 120
+    for i in range(n):
+        k = int(rng.integers(0, 90))
+        toks = [
+            _WORDS[int(j)] for j in rng.integers(0, len(_WORDS), k)]
+        t = " ".join(toks)
+        style = int(rng.integers(0, 6))
+        if style == 0:
+            t = ""                                # empty text
+        elif style == 1:
+            t = "  " + t                          # leading double space
+        elif style == 2:
+            t = t.replace(" ", "  ", 3)           # internal empty tokens
+        elif style == 3:
+            t = t + " "                           # trailing space
+        texts.append(t)
+    # planted exact duplicates spanning the benchmark boundary
+    # (doc_id % 37): docs 36 and 37 share text, as do 0 and 1
+    texts[37] = texts[36]
+    texts[1] = texts[0] = "shared gram " * 6 + "tail"
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * n),
+        "source": pa.array([f"s{i % 4}.Ex" for i in range(n)]),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
+        f"{d}/documents.parquet")
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+@pytest.mark.parametrize("name", FUZZED)
+def test_textops_fuzz_oracle(ray_session, tmp_path, name, seed):
+    d = str(tmp_path)
+    _write_corpus(d, seed)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{d}/documents.parquet'")
+    got = QUERIES[name](d)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    want = con.sql(ORACLE_SQL[name]).df()
+    con.close()
+    cols = sorted(want.columns)
+    assert sorted(got.columns) == cols, name
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    assert list(a.dtypes) == list(b.dtypes), name
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    assert len(a), f"{name}: fuzz corpus produced no rows"
