@@ -11,6 +11,10 @@ SURVEY.md Appendix B).
 The registry lists every oracle-bearing query FIRST (the driver signs a
 prefix of it), rows-only entries last:
   dedup family: q_exact_dedup*, q_dedup_documents, q_minhash_pairs,
+    q_incremental_fold* (driver-signed incremental dedup: base run +
+    checkpointed fold of a new shard, joint clusters re-keyed to
+    min-original-id labels, oracled by the reps-collapsed LSH chain
+    replay + recursive CC),
     q_simhash_pairs* (full SQL signature replay: poly word hashes +
     SplitMix64 CTEs + bit votes + bit_count(xor) pairing),
     q_ngram_jaccard* (candidates over original-id exact-text reps,

@@ -6980,6 +6980,87 @@ def q_contam_overlap(sf_dir: str):
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+# --- incremental fold under a driver signature ------------------------------
+
+def q_incremental_fold(sf_dir: str):
+    """Driver-signed INCREMENTAL dedup (the daily-crawl fold surface,
+    pipelines/incremental.py): split the documents table into a base
+    corpus (doc_id % 5 != 4) and a new shard (doc_id % 5 == 4), run the
+    base dedup WITH checkpoints, fold the shard in via
+    ``run_dedup_incremental`` (base signatures re-read, only the shard
+    is signed), and emit each doc's JOINT cluster keyed by ORIGINAL ids:
+    cluster_rep = min original doc_id over the doc's cluster (exact-dup
+    groups merged with verified near components). Fold partition ==
+    from-scratch joint partition is the pinned contract
+    (tests/test_incremental.py), and the from-scratch partition is
+    SQL-replayable at the q_lsh_clusters config over the DISTINCT-TEXT
+    reps — so the fold path gets a hash-exact oracle even though the
+    engine's internal url-hash ids are not replayable (they are re-keyed
+    to min-original-id labels in one cluster-keyed exchange).
+    Precondition (documented like the ASCII/collision regimes): the
+    oracle star-pairs over-cap buckets around the min ORIGINAL rep id
+    while the engine uses its min internal hash id — identical candidate
+    structure whenever no bucket exceeds bucket_cap (true at every sf)."""
+    import dataclasses
+    import tempfile
+
+    import ray.data as rd
+
+    from ray_data_mplsh.pipelines.dedup import run_dedup
+    from ray_data_mplsh.pipelines.incremental import run_dedup_incremental
+
+    cfg = MPLSHConfig(num_perm=_MINHASH_SIGS_K, bands=4, rows_per_band=4,
+                      probes=4, word_hash="poly", min_chars=0,
+                      ckpt_dir=tempfile.mkdtemp(prefix="q_inc_fold_",
+                                                dir="/tmp"),
+                      run_id="base")
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    if docs.count() == 0:   # zero-row corpus: empty datasets lose their
+        # schema through the multi-stage pipeline; emit the typed result
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "cluster_rep": pa.array([], pa.int64())}))
+
+    def part_fn(shard: bool):
+        def f(t: pa.Table) -> pa.Table:
+            did = t["doc_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            m = (did % 5 == 4) if shard else (did % 5 != 4)
+            return t.filter(pa.array(m))
+        return f
+
+    run_dedup(docs.map_batches(part_fn(False), batch_format="pyarrow"),
+              cfg, extract=False, url_col="doc_id", text_col="text",
+              skip_substring=True)
+    res = run_dedup_incremental(
+        docs.map_batches(part_fn(True), batch_format="pyarrow"),
+        dataclasses.replace(cfg, run_id="fold"), base_run_id="base",
+        extract=False, url_col="doc_id", text_col="text",
+        skip_substring=True)
+
+    P = default_partitions(cfg.num_partitions)
+
+    def rekey(part: pa.Table) -> pa.Table:
+        cid = part["cluster_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        orig = pc.cast(part["url"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        if not len(cid):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "cluster_rep": pa.array([], pa.int64())})
+        order, starts = group_runs(cid)
+        oo = orig[order]
+        mins = np.minimum.reduceat(oo, starts[:-1])
+        return pa.table({
+            "doc_id": pa.array(oo, pa.int64()),
+            "cluster_rep": pa.array(np.repeat(mins, np.diff(starts)),
+                                    pa.int64())})
+
+    return partition_apply(
+        res.dedup_out.select_columns(["url", "cluster_id"]),
+        "cluster_id", rekey, P)
+
+
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_lang_counts": q_lang_counts,
@@ -7109,6 +7190,7 @@ QUERIES = {
     "q_pii_scrub": q_pii_scrub,
     "q_chunk_tokens": q_chunk_tokens,
     "q_contam_overlap": q_contam_overlap,
+    "q_incremental_fold": q_incremental_fold,
 }
 
 # --- SQL replay fragments for hash-bearing oracles -------------------------
@@ -7309,6 +7391,34 @@ _LSH_CLUSTERS_SQL = (
     "SELECT CAST(u AS BIGINT) AS doc_id, "
     "CAST(MIN(lbl) AS BIGINT) AS cluster_id FROM walk GROUP BY u")
 
+# incremental-fold replay (q_incremental_fold): the SAME chain run over
+# the DISTINCT-TEXT reps (rep = min doc_id per text — matching the
+# exact-dedup pre-pass the production pipeline runs before minhashing),
+# recursive CC over the rep edge set, then every document joins its
+# text-rep's component: cluster_rep = the component's min rep id = the
+# min ORIGINAL doc_id in the cluster (reps are per-text minima).
+# Singleton reps label themselves. The source swap relies on the shingle
+# CTE chain reading `documents` exactly once (asserted below).
+assert _LSH_PAIRS_CTES.count("FROM documents)") == 1
+_INC_FOLD_SQL = (
+    "WITH RECURSIVE reps AS (SELECT MIN(doc_id) AS doc_id, text "
+    "FROM documents GROUP BY text), "
+    + _LSH_PAIRS_CTES[len("WITH "):].replace("FROM documents)",
+                                             "FROM reps)", 1) + ", "
+    f"vp AS (SELECT a, b FROM vs "
+    f"WHERE jaccard >= {MPLSHConfig().verify_theta}), "
+    "ed AS (SELECT a AS u, b AS v FROM vp "
+    "UNION ALL SELECT b AS u, a AS v FROM vp), "
+    "walk(u, lbl) AS ("
+    "SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM ed) "
+    "UNION "
+    "SELECT ed.u, w.lbl FROM ed JOIN walk w ON w.u = ed.v), "
+    "cl AS (SELECT u AS doc_id, MIN(lbl) AS cluster_id FROM walk "
+    "GROUP BY u) "
+    "SELECT d.doc_id, CAST(COALESCE(cl.cluster_id, r.doc_id) AS BIGINT) "
+    "AS cluster_rep FROM documents d JOIN reps r USING (text) "
+    "LEFT JOIN cl ON r.doc_id = cl.doc_id")
+
 # full tier-dedup attribution (q_dedup_tier_report): the LSH cluster
 # replay above + the three nested string-tier window partitions, CASE'd
 # in the flagship's tier order (exact -> normalized -> near -> prefix).
@@ -7408,6 +7518,7 @@ ORACLE_SQL = {
     "q_lsh_verified_pairs": _LSH_PAIRS_SQL,
     "q_lsh_clusters": _LSH_CLUSTERS_SQL,
     "q_dedup_tier_report": _TIER_REPORT_SQL,
+    "q_incremental_fold": _INC_FOLD_SQL,
     "q_substring_candidates": _SUBSTR_PAIRS_SQL,
     "q_fingerprints": _WINNOW_SQL,
     "q_exact_dedup":
