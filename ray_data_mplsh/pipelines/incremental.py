@@ -67,6 +67,51 @@ def _save_ckpt(ds, save_cfg: MPLSHConfig, stage: str, t0: float):
     return rd.read_parquet(_stage_dir(save_cfg, stage))
 
 
+def _stage_rows(base_cfg: MPLSHConfig, stage: str) -> int:
+    import json
+    import os
+
+    with open(os.path.join(_stage_dir(base_cfg, stage), "_SUCCESS")) as f:
+        return int(json.load(f)["row_count"])
+
+
+def _base_stage_schema(stage: str, cfg: MPLSHConfig) -> pa.schema:
+    """Declared checkpoint schemas (SURVEY.md §1.2) for the typed-empty
+    fallback below."""
+    from ray_data_mplsh.stages.docs import DOCS_SCHEMA
+
+    if stage == "docs":
+        return pa.schema(list(DOCS_SCHEMA)
+                         + [pa.field("text_hash", pa.uint64()),
+                            pa.field("rep_id", pa.uint64())])
+    if stage == "sigs":
+        return pa.schema([("doc_id", pa.uint64()),
+                          ("sig", pa.list_(pa.uint64(), cfg.num_perm)),
+                          ("n_shingles", pa.int64())])
+    assert stage == "verified", stage
+    return pa.schema([("a", pa.uint64()), ("b", pa.uint64()),
+                      ("jaccard", pa.float64())])
+
+
+def _base_stage_ds(base_cfg: MPLSHConfig, cfg: MPLSHConfig, stage: str,
+                   columns: list | None = None):
+    """``read_parquet`` of a base checkpoint with a TYPED empty fallback:
+    Ray writes schemaless parquet for an empty Dataset, so a zero-row
+    base stage (the first-crawl-ever fold: everything lands in the new
+    shard) can't be re-read by schema inference — rebuild it from the
+    declared stage schema instead."""
+    import ray.data as rd
+
+    if _stage_rows(base_cfg, stage) == 0:
+        t = _base_stage_schema(stage, cfg).empty_table()
+        if columns:
+            t = t.select(columns)
+        return rd.from_arrow(t)
+    d = _stage_dir(base_cfg, stage)
+    return rd.read_parquet(d, columns=columns) if columns \
+        else rd.read_parquet(d)
+
+
 def _adoption_map(new_reps_slim, base_reps_slim, num_partitions: int
                   ) -> tuple[np.ndarray, np.ndarray]:
     """(new_rep_id -> base_rep_id) for text hashes present in BOTH shards:
@@ -264,6 +309,11 @@ def _substring_incremental(marked, cfg: MPLSHConfig, P: int,
     for st in ("substr_fps", "substr_pairs", "substr_spans"):
         if not manifest_valid(base_cfg, st):
             return None
+    if _stage_rows(base_cfg, "substr_fps") == 0:
+        # empty base (first-crawl fold): the zero-row checkpoints are
+        # schemaless on disk; the joint recompute fallback is correct
+        # and costs only the new shard's own fingerprint scan
+        return None
     spans_dir = _stage_dir(base_cfg, "substr_spans")
     base_spans = rd.read_parquet(spans_dir)
     sschema = base_spans.schema()
@@ -629,9 +679,9 @@ def run_dedup_incremental(new_pages, cfg: MPLSHConfig, *, base_run_id: str,
                       "base_resumed": True}
     t0 = time.monotonic()
 
-    base_docs = rd.read_parquet(_stage_dir(base_cfg, "docs"))
-    base_sigs = rd.read_parquet(_stage_dir(base_cfg, "sigs"))
-    base_verified = rd.read_parquet(_stage_dir(base_cfg, "verified"))
+    base_docs = _base_stage_ds(base_cfg, cfg, "docs")
+    base_sigs = _base_stage_ds(base_cfg, cfg, "sigs")
+    base_verified = _base_stage_ds(base_cfg, cfg, "verified")
 
     def lap(name: str, _t=[t0]) -> None:
         now = time.monotonic()
@@ -653,8 +703,8 @@ def run_dedup_incremental(new_pages, cfg: MPLSHConfig, *, base_run_id: str,
     # needs 3 int columns, so don't drag the base TEXT through the scan
     # (the full-width base_docs read above is reserved for the final
     # output union, where text is genuinely needed)
-    base_reps_slim = rd.read_parquet(
-        _stage_dir(base_cfg, "docs"),
+    base_reps_slim = _base_stage_ds(
+        base_cfg, cfg, "docs",
         columns=["doc_id", "rep_id", "text_hash"]) \
         .map_batches(_only_reps, batch_format="pyarrow") \
         .select_columns(["doc_id", "text_hash"])

@@ -271,6 +271,38 @@ def test_incremental_empty_new_shard(ray_session, small_fixture, tmp_path):
     assert incd.dedup_out.count() == 0
 
 
+def test_incremental_empty_base(ray_session, small_fixture, tmp_path):
+    """Folding onto an EMPTY base (the first-crawl-ever case) must equal
+    a from-scratch run over the shard alone. An empty Dataset checkpoints
+    as schemaless parquet, so this pins the typed-empty fallback in
+    _base_stage_ds and the substring-reuse zero-row bailout."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    _, s2, _ = _shards(small_fixture)
+    cfg = MPLSHConfig(ckpt_dir=str(tmp_path), run_id="base")
+    empty = rd.from_arrow(pa.table({
+        "url": pa.array([], pa.string()),
+        "html": pa.array([], pa.binary()),
+        "lang": pa.array([], pa.string())}))
+    run_dedup(empty, cfg, extract=True, skip_substring=False)
+
+    inc = run_dedup_incremental(
+        s2, dataclasses.replace(cfg, run_id="i"), base_run_id="base",
+        extract=True)
+    ref = run_dedup(s2, MPLSHConfig(), extract=True)
+
+    inc_part, inc_canon = _partition_and_canon(inc)
+    ref_part, ref_canon = _partition_and_canon(ref)
+    assert inc_part == ref_part
+    assert inc_canon == ref_canon
+    a = inc.dedup_out.to_pandas()
+    b = ref.dedup_out.to_pandas()
+    fa = dict(zip(a["doc_id"].tolist(), map(_ft, a["final_text"])))
+    fb = dict(zip(b["doc_id"].tolist(), map(_ft, b["final_text"])))
+    assert fa == fb
+
+
 def _shards3(small_fixture):
     import ray.data as rd
 
