@@ -14,7 +14,9 @@ prefix of it), rows-only entries last:
     q_incremental_fold* (driver-signed incremental dedup: base run +
     checkpointed fold of a new shard, joint clusters re-keyed to
     min-original-id labels, oracled by the reps-collapsed LSH chain
-    replay + recursive CC),
+    replay + recursive CC), q_fold_provenance* (daily-crawl triage over
+    the fold: per shard doc, exact-dup-of-archive / dup-of-archive /
+    dup-within-shard via symmetric window counts on the same replay),
     q_simhash_pairs* (full SQL signature replay: poly word hashes +
     SplitMix64 CTEs + bit votes + bit_count(xor) pairing),
     q_ngram_jaccard* (candidates over original-id exact-text reps,

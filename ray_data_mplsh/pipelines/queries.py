@@ -6982,6 +6982,104 @@ def q_contam_overlap(sf_dir: str):
 
 # --- incremental fold under a driver signature ------------------------------
 
+def _run_fold(sf_dir: str):
+    """Shared base-run + shard-fold at the SQL-replayable config (see
+    q_incremental_fold): split documents by doc_id % 5 (base != 4,
+    shard == 4), base dedup with checkpoints in a fresh /tmp dir, fold
+    the shard. Returns the fold's DedupResult (None for a zero-row
+    corpus: empty datasets lose their schema through the pipeline)."""
+    import dataclasses
+    import tempfile
+
+    from ray_data_mplsh.pipelines.dedup import run_dedup
+    from ray_data_mplsh.pipelines.incremental import run_dedup_incremental
+
+    cfg = MPLSHConfig(num_perm=_MINHASH_SIGS_K, bands=4, rows_per_band=4,
+                      probes=4, word_hash="poly", min_chars=0,
+                      ckpt_dir=tempfile.mkdtemp(prefix="q_inc_fold_",
+                                                dir="/tmp"),
+                      run_id="base")
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    if docs.count() == 0:
+        return None
+
+    def part_fn(shard: bool):
+        def f(t: pa.Table) -> pa.Table:
+            did = t["doc_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            m = (did % 5 == 4) if shard else (did % 5 != 4)
+            return t.filter(pa.array(m))
+        return f
+
+    run_dedup(docs.map_batches(part_fn(False), batch_format="pyarrow"),
+              cfg, extract=False, url_col="doc_id", text_col="text",
+              skip_substring=True)
+    return run_dedup_incremental(
+        docs.map_batches(part_fn(True), batch_format="pyarrow"),
+        dataclasses.replace(cfg, run_id="fold"), base_run_id="base",
+        extract=False, url_col="doc_id", text_col="text",
+        skip_substring=True)
+
+
+def q_fold_provenance(sf_dir: str):
+    """Daily-crawl triage report over the incremental fold (the theme's
+    incremental axis): for every SHARD doc, three symmetric facts of the
+    joint clustering — exact_dup_of_archive (a base doc shares its exact
+    text), dup_of_archive (its joint cluster contains any base doc:
+    today's page duplicates the archive, exactly or nearly),
+    dup_within_shard (its cluster contains another shard doc: today's
+    crawl self-duplicates). Symmetric counts only — no rep/canonical
+    convention — so the oracle is three window sums over the same
+    reps-collapsed chain replay as q_incremental_fold. Engine: one
+    cluster-keyed exchange; exact flags group by rep_id INSIDE the
+    cluster partition (text groups are subsets of clusters)."""
+    res = _run_fold(sf_dir)
+    if res is None:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "exact_dup_of_archive": pa.array([], pa.bool_()),
+            "dup_of_archive": pa.array([], pa.bool_()),
+            "dup_within_shard": pa.array([], pa.bool_())}))
+
+    P = default_partitions(0)
+
+    def flags(part: pa.Table) -> pa.Table:
+        cid = part["cluster_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        rep = part["rep_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        orig = pc.cast(part["url"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        if not len(cid):
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "exact_dup_of_archive": pa.array([], pa.bool_()),
+                "dup_of_archive": pa.array([], pa.bool_()),
+                "dup_within_shard": pa.array([], pa.bool_())})
+        is_base = orig % 5 != 4
+        order, starts = group_runs(cid)
+        ob, oo, orp = is_base[order], orig[order], rep[order]
+        sizes = np.diff(starts)
+        grp = np.repeat(np.arange(len(sizes)), sizes)
+        n_base_cl = np.bincount(grp, weights=ob)[grp] > 0
+        n_shard_cl = np.bincount(grp, weights=~ob)[grp] > 1
+        # exact flags: same-text groups inside the cluster partition
+        rcodes = pd.factorize(orp, sort=False)[0]
+        n_base_txt = np.bincount(rcodes, weights=ob)[rcodes] > 0
+        keep = ~ob
+        return pa.table({
+            "doc_id": pa.array(oo[keep], pa.int64()),
+            "exact_dup_of_archive": pa.array(n_base_txt[keep]),
+            "dup_of_archive": pa.array(n_base_cl[keep]),
+            "dup_within_shard": pa.array(n_shard_cl[keep])})
+
+    return partition_apply(
+        res.dedup_out.select_columns(["url", "rep_id", "cluster_id"]),
+        "cluster_id", flags, P)
+
+
 def q_incremental_fold(sf_dir: str):
     """Driver-signed INCREMENTAL dedup (the daily-crawl fold surface,
     pipelines/incremental.py): split the documents table into a base
@@ -7001,44 +7099,15 @@ def q_incremental_fold(sf_dir: str):
     oracle star-pairs over-cap buckets around the min ORIGINAL rep id
     while the engine uses its min internal hash id — identical candidate
     structure whenever no bucket exceeds bucket_cap (true at every sf)."""
-    import dataclasses
-    import tempfile
+    res = _run_fold(sf_dir)
+    if res is None:   # zero-row corpus: emit the typed result
+        import ray.data as rd
 
-    import ray.data as rd
-
-    from ray_data_mplsh.pipelines.dedup import run_dedup
-    from ray_data_mplsh.pipelines.incremental import run_dedup_incremental
-
-    cfg = MPLSHConfig(num_perm=_MINHASH_SIGS_K, bands=4, rows_per_band=4,
-                      probes=4, word_hash="poly", min_chars=0,
-                      ckpt_dir=tempfile.mkdtemp(prefix="q_inc_fold_",
-                                                dir="/tmp"),
-                      run_id="base")
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    if docs.count() == 0:   # zero-row corpus: empty datasets lose their
-        # schema through the multi-stage pipeline; emit the typed result
         return rd.from_arrow(pa.table({
             "doc_id": pa.array([], pa.int64()),
             "cluster_rep": pa.array([], pa.int64())}))
 
-    def part_fn(shard: bool):
-        def f(t: pa.Table) -> pa.Table:
-            did = t["doc_id"].to_numpy(zero_copy_only=False) \
-                .astype(np.int64)
-            m = (did % 5 == 4) if shard else (did % 5 != 4)
-            return t.filter(pa.array(m))
-        return f
-
-    run_dedup(docs.map_batches(part_fn(False), batch_format="pyarrow"),
-              cfg, extract=False, url_col="doc_id", text_col="text",
-              skip_substring=True)
-    res = run_dedup_incremental(
-        docs.map_batches(part_fn(True), batch_format="pyarrow"),
-        dataclasses.replace(cfg, run_id="fold"), base_run_id="base",
-        extract=False, url_col="doc_id", text_col="text",
-        skip_substring=True)
-
-    P = default_partitions(cfg.num_partitions)
+    P = default_partitions(0)
 
     def rekey(part: pa.Table) -> pa.Table:
         cid = part["cluster_id"].to_numpy(zero_copy_only=False) \
@@ -7191,6 +7260,7 @@ QUERIES = {
     "q_chunk_tokens": q_chunk_tokens,
     "q_contam_overlap": q_contam_overlap,
     "q_incremental_fold": q_incremental_fold,
+    "q_fold_provenance": q_fold_provenance,
 }
 
 # --- SQL replay fragments for hash-bearing oracles -------------------------
@@ -7419,6 +7489,26 @@ _INC_FOLD_SQL = (
     "AS cluster_rep FROM documents d JOIN reps r USING (text) "
     "LEFT JOIN cl ON r.doc_id = cl.doc_id")
 
+# fold provenance (q_fold_provenance): same reps-collapsed chain, then
+# three symmetric window counts over the expanded per-doc view — base
+# docs sharing the text, base docs in the joint cluster, shard docs in
+# the joint cluster — filtered to shard rows OUTSIDE the windows.
+_FOLD_PROV_SQL = (
+    _INC_FOLD_SQL[:_INC_FOLD_SQL.rindex("SELECT d.doc_id")]
+    + ", lab AS (SELECT d.doc_id, d.text, (d.doc_id % 5 != 4) AS is_base, "
+    "COALESCE(cl.cluster_id, r.doc_id) AS cid "
+    "FROM documents d JOIN reps r USING (text) "
+    "LEFT JOIN cl ON r.doc_id = cl.doc_id), "
+    "w AS (SELECT doc_id, is_base, "
+    "SUM(CASE WHEN is_base THEN 1 ELSE 0 END) "
+    "OVER (PARTITION BY text) > 0 AS exact_dup_of_archive, "
+    "SUM(CASE WHEN is_base THEN 1 ELSE 0 END) "
+    "OVER (PARTITION BY cid) > 0 AS dup_of_archive, "
+    "SUM(CASE WHEN is_base THEN 0 ELSE 1 END) "
+    "OVER (PARTITION BY cid) > 1 AS dup_within_shard FROM lab) "
+    "SELECT doc_id, exact_dup_of_archive, dup_of_archive, "
+    "dup_within_shard FROM w WHERE NOT is_base")
+
 # full tier-dedup attribution (q_dedup_tier_report): the LSH cluster
 # replay above + the three nested string-tier window partitions, CASE'd
 # in the flagship's tier order (exact -> normalized -> near -> prefix).
@@ -7519,6 +7609,7 @@ ORACLE_SQL = {
     "q_lsh_clusters": _LSH_CLUSTERS_SQL,
     "q_dedup_tier_report": _TIER_REPORT_SQL,
     "q_incremental_fold": _INC_FOLD_SQL,
+    "q_fold_provenance": _FOLD_PROV_SQL,
     "q_substring_candidates": _SUBSTR_PAIRS_SQL,
     "q_fingerprints": _WINNOW_SQL,
     "q_exact_dedup":
