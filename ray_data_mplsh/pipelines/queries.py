@@ -6982,12 +6982,20 @@ def q_contam_overlap(sf_dir: str):
 
 # --- incremental fold under a driver signature ------------------------------
 
+_FOLD_CACHE: dict = {}
+
+
 def _run_fold(sf_dir: str):
     """Shared base-run + shard-fold at the SQL-replayable config (see
     q_incremental_fold): split documents by doc_id % 5 (base != 4,
     shard == 4), base dedup with checkpoints in a fresh /tmp dir, fold
     the shard. Returns the fold's DedupResult (None for a zero-row
-    corpus: empty datasets lose their schema through the pipeline)."""
+    corpus: empty datasets lose their schema through the pipeline).
+    Memoized per sf_dir — the fold is deterministic and its Datasets
+    are lazy checkpoint readers, so q_incremental_fold and
+    q_fold_provenance share one base+fold per process."""
+    if sf_dir in _FOLD_CACHE:
+        return _FOLD_CACHE[sf_dir]
     import dataclasses
     import tempfile
 
@@ -7001,6 +7009,7 @@ def _run_fold(sf_dir: str):
                       run_id="base")
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     if docs.count() == 0:
+        _FOLD_CACHE[sf_dir] = None
         return None
 
     def part_fn(shard: bool):
@@ -7014,11 +7023,13 @@ def _run_fold(sf_dir: str):
     run_dedup(docs.map_batches(part_fn(False), batch_format="pyarrow"),
               cfg, extract=False, url_col="doc_id", text_col="text",
               skip_substring=True)
-    return run_dedup_incremental(
+    res = run_dedup_incremental(
         docs.map_batches(part_fn(True), batch_format="pyarrow"),
         dataclasses.replace(cfg, run_id="fold"), base_run_id="base",
         extract=False, url_col="doc_id", text_col="text",
         skip_substring=True)
+    _FOLD_CACHE[sf_dir] = res
+    return res
 
 
 def q_fold_provenance(sf_dir: str):
