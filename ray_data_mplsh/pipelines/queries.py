@@ -6945,11 +6945,14 @@ def q_contam_overlap(sf_dir: str):
         d, gh = _doc_grams(b.filter(mask))
         return pa.table({"gh": pa.array(np.unique(gh), pa.uint64())})
 
-    parts = [pa.table(t)["gh"].to_numpy(zero_copy_only=False)
-             for t in ds.map_batches(bench_grams, batch_format="pyarrow")
-             .iter_batches(batch_size=65536, batch_format="pyarrow")]
-    bench = np.unique(np.concatenate(parts)) if parts else \
-        np.empty(0, np.uint64)
+    bt = gather_capped(ds.map_batches(bench_grams, batch_format="pyarrow"),
+                       8_000_000, pa.schema([("gh", pa.uint64())]))
+    # bounded by |distinct benchmark grams| (corpus/37-proportional,
+    # distinct-reduced per batch); a larger eval suite should flip this
+    # to a gram-keyed exchange like q_crossdoc_ngrams' over-cap path
+    assert bt is not None, "contam benchmark gram set overflowed the cap"
+    bench = np.unique(bt["gh"].to_numpy(zero_copy_only=False)
+                      .astype(np.uint64))
     ref = ray.put(bench)
 
     def score(b: pa.Table) -> pa.Table:
