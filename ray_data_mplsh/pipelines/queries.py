@@ -579,6 +579,192 @@ def q_lang_id(sf_dir: str):
     return ds.map_batches(predict, batch_format="pyarrow")
 
 
+def _tri_windows(nt) -> tuple[np.ndarray, np.ndarray]:
+    """(int64 trigram keys over every 3-byte window, int64 windows-per-doc)
+    of a normalized [a-z0-9 ] string column — zero-copy over the Arrow
+    byte buffer (ASCII after normalization, so byte windows == char
+    windows; key = b0*65536 + b1*256 + b2, the base-256 code of
+    ``substr(n, i, 3)``)."""
+    from ray_data_mplsh.functions.hashing import utf8_flat
+
+    offs, data = utf8_flat(nt)
+    lens = np.diff(offs)
+    m = np.maximum(lens - 2, 0).astype(np.int64)
+    total = int(m.sum())
+    if total == 0:
+        return np.empty(0, np.int64), m
+    mc = np.concatenate(([np.int64(0)], np.cumsum(m)))
+    idx = (np.arange(total, dtype=np.int64)
+           - np.repeat(mc[:-1], m) + np.repeat(offs[:-1], m))
+    d = data.astype(np.int64)
+    keys = d[idx] * 65536 + d[idx + 1] * 256 + d[idx + 2]
+    return keys, m
+
+
+_LM_SCHEMA_COLS = ("doc_id", "n_tri", "sum_cnt", "n_distinct")
+
+
+def q_lm_score(sf_dir: str):
+    """CCNet-style LM quality scoring (the Wenzek et al. 2020 shape —
+    the model-based quality gate between heuristic filters and dedup):
+    train a character-trigram language model on the corpus, score every
+    doc against it, and bucket docs into head/middle/tail terciles by
+    mean trigram probability. Normalization is the q_normalized_dedup
+    twin (lower + strip non-[a-zA-Z0-9 ]).
+
+    Exact-parity design: the hashed row carries INTEGER sufficient
+    statistics (window count, summed model counts, distinct trigrams);
+    the tercile orders docs by the double ratio sum_cnt/n_tri (IEEE
+    division is correctly rounded, so numpy and DuckDB produce the
+    identical double) DESC with doc_id tie-break, replaying DuckDB's
+    NTILE fill rule. Log-space perplexity itself is a client-side map
+    over the emitted rationals — libm log is not bit-portable across
+    engines, so it stays out of the hashed row.
+
+    Scale shape: the train pass is batch-local np.unique partials into a
+    37^3-bounded groupby then a broadcast (the model is <= 50,653 rows by
+    construction — the alphabet after normalization); the score pass is a
+    zero-shuffle broadcast-probe map; the global tercile needs only the
+    value-count CDF of the ratio (the q_global_rank_len pattern) plus the
+    doc ids of the <= 2 boundary-ratio tie groups. The CDF/tie gathers
+    are capped; a corpus whose distinct-ratio count outgrows the cap
+    flips to a range-partitioned rank exchange (asserted loudly, not
+    silently truncated). Docs with fewer than 3 normalized chars have no
+    trigram instances and are excluded (the SQL inner join drops them)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm_col(t: pa.Table):
+        return pc.utf8_lower(pc.replace_substring_regex(
+            t["text"], pattern="[^a-zA-Z0-9 ]", replacement=""))
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        keys, _ = _tri_windows(norm_col(t))
+        u, c = np.unique(keys, return_counts=True)
+        return pa.table({"tri": pa.array(u, pa.int64()),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    empty = pa.table({c: pa.array([], pa.int64())
+                      for c in (*_LM_SCHEMA_COLS, "bucket")})
+    agg = ds.map_batches(count_partial, batch_format="pyarrow") \
+        .groupby("tri").aggregate(Sum("cnt", alias_name="cnt"))
+    mt = gather_capped(agg, 60_000, pa.schema([("tri", pa.int64()),
+                                               ("cnt", pa.int64())]))
+    assert mt is not None, "trigram vocab exceeded 37^3 — impossible"
+    if mt.num_rows == 0:
+        return empty
+    tri_v = mt["tri"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cnt_v = mt["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.argsort(tri_v)
+    model = ray.put((tri_v[o], cnt_v[o]))
+
+    def score(t: pa.Table) -> pa.Table:
+        tv, cv = cached_get(model)
+        keys, m = _tri_windows(norm_col(t))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = len(ids)
+        sum_cnt = np.zeros(nd, np.int64)
+        n_dist = np.zeros(nd, np.int64)
+        if len(keys):
+            c = cv[np.searchsorted(tv, keys)]
+            mc = np.concatenate(([np.int64(0)], np.cumsum(m)))
+            nz = np.flatnonzero(m)
+            # reduceat over the non-empty segment starts: zero-length
+            # segments are excluded, so consecutive starts delimit
+            # exactly one doc's windows
+            sum_cnt[nz] = np.add.reduceat(c, mc[nz])
+            seg = np.repeat(np.arange(nd, dtype=np.int64), m)
+            order = np.lexsort((keys, seg))
+            sk, ss = keys[order], seg[order]
+            first = np.concatenate(
+                ([True], (ss[1:] != ss[:-1]) | (sk[1:] != sk[:-1])))
+            n_dist = np.bincount(ss[first], minlength=nd).astype(np.int64)
+        keep = m > 0
+        r = sum_cnt[keep] / m[keep]          # IEEE-exact double division
+        return pa.table({
+            "doc_id": pa.array(ids[keep]),
+            "n_tri": pa.array(m[keep]),
+            "sum_cnt": pa.array(sum_cnt[keep]),
+            "n_distinct": pa.array(n_dist[keep]),
+            "r": pa.array(r, pa.float64())})
+
+    # doc-level stats (5 fixed-width cols/doc) materialize once so the
+    # CDF, the tie gather and the final bucket map don't re-run the text
+    # scan — at 100 TB this is the per-doc metadata table, not the corpus
+    stats = ds.map_batches(score, batch_format="pyarrow").materialize()
+
+    def rvc(t: pa.Table) -> pa.Table:
+        rb = t["r"].to_numpy(zero_copy_only=False).view(np.uint64)
+        u, c = np.unique(rb, return_counts=True)
+        return pa.table({"rb": pa.array(u, pa.uint64()),
+                         "c": pa.array(c.astype(np.int64))})
+
+    rag = stats.map_batches(rvc, batch_format="pyarrow") \
+        .groupby("rb").aggregate(Sum("c", alias_name="c"))
+    ct = gather_capped(rag, 4_000_000,
+                       pa.schema([("rb", pa.uint64()), ("c", pa.int64())]))
+    assert ct is not None, \
+        "lm_score ratio CDF outgrew the driver cap — flip to a " \
+        "range-partitioned rank exchange"
+    if ct.num_rows == 0:
+        return empty
+    rv = ct["rb"].to_numpy(zero_copy_only=False).astype(np.uint64) \
+        .view(np.float64)
+    cc = ct["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.argsort(-rv)                      # DESC; values are distinct
+    rv, cc = rv[o], cc[o]
+    below = np.concatenate(([0], np.cumsum(cc)))[:-1]
+    n = int(cc.sum())
+    base, rem = divmod(n, 3)
+    cut1 = base + (1 if rem > 0 else 0)
+    cut2 = cut1 + base + (1 if rem > 1 else 0)
+    straddle = []                            # ratio values split by a cut
+    for cut in (cut1, cut2):
+        j = int(np.searchsorted(below, cut, side="right")) - 1
+        if 0 <= j < len(rv) and below[j] < cut < below[j] + cc[j]:
+            straddle.append(rv[j])
+    tie_ids: dict[int, np.ndarray] = {}
+    if straddle:
+        sbits = np.unique(np.asarray(straddle, np.float64).view(np.uint64))
+
+        def tie_filter(t: pa.Table) -> pa.Table:
+            mk = np.isin(t["r"].to_numpy(zero_copy_only=False)
+                         .view(np.uint64), sbits)
+            return t.select(["doc_id", "r"]).filter(pa.array(mk))
+
+        bt = gather_capped(
+            stats.map_batches(tie_filter, batch_format="pyarrow"),
+            2_000_000, pa.schema([("doc_id", pa.int64()),
+                                  ("r", pa.float64())]))
+        assert bt is not None, \
+            "lm_score tercile-boundary tie group outgrew the driver cap"
+        bids = bt["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bbits = bt["r"].to_numpy(zero_copy_only=False).view(np.uint64)
+        for xb in sbits:
+            tie_ids[int(xb)] = np.sort(bids[bbits == xb])
+    rva = rv[::-1].copy()                    # ascending for searchsorted
+    bel_a = below[::-1].copy()
+    bref = ray.put((rva, bel_a, cut1, cut2, tie_ids))
+
+    def bucket(t: pa.Table) -> pa.Table:
+        rva_, bel_, c1, c2, ties = cached_get(bref)
+        rr = t["r"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rank = bel_[np.searchsorted(rva_, rr)].copy()
+        for xb, gids in ties.items():
+            mk = rr.view(np.uint64) == np.uint64(xb)
+            if mk.any():    # rank within the tie group is by doc_id ASC
+                rank[mk] += np.searchsorted(gids, ids[mk])
+        tile = (1 + (rank >= c1).astype(np.int64)
+                + (rank >= c2).astype(np.int64))
+        return pa.table({**{c: t[c] for c in _LM_SCHEMA_COLS},
+                         "bucket": pa.array(tile)})
+
+    return stats.map_batches(bucket, batch_format="pyarrow")
+
+
 # --- dedup family variants -------------------------------------------------
 
 def q_simhash_pairs(sf_dir: str):
@@ -7164,6 +7350,7 @@ QUERIES = {
     "q_knn_ivf": q_knn_ivf,
     "q_embedding_near_dup": q_embedding_near_dup,
     "q_lang_id": q_lang_id,
+    "q_lm_score": q_lm_score,
     "q_simhash_pairs": q_simhash_pairs,
     "q_minhash_sigs": q_minhash_sigs,
     "q_band_keys": q_band_keys,
@@ -8484,6 +8671,26 @@ ORACLE_SQL = {
             f"THEN '{lg}'" for lg in sorted(_LANG_MARKERS))
         + " END AS pred_lang FROM documents",
 }
+
+# CCNet-style trigram-LM scoring: the oracle retrains the model and
+# rescores every doc from scratch in SQL (trigram unnest -> count ->
+# self-join), then replays the tercile with the same double ratio
+# ordering + doc_id tie-break the engine uses (see q_lm_score)
+ORACLE_SQL["q_lm_score"] = (
+    "WITH nt AS (SELECT doc_id, "
+    "lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n "
+    "FROM documents), "
+    "tri AS (SELECT doc_id, substr(n, CAST(i AS INT), 3) AS t "
+    "FROM nt, LATERAL (SELECT unnest(generate_series(1, length(n) - 2)) "
+    "AS i) g), "
+    "model AS (SELECT t, count(*) AS c FROM tri GROUP BY t), "
+    "doc AS (SELECT tri.doc_id, count(*) AS n_tri, "
+    "CAST(sum(model.c) AS BIGINT) AS sum_cnt, "
+    "count(DISTINCT tri.t) AS n_distinct "
+    "FROM tri JOIN model ON tri.t = model.t GROUP BY tri.doc_id) "
+    "SELECT doc_id, n_tri, sum_cnt, n_distinct, "
+    "CAST(ntile(3) OVER (ORDER BY CAST(sum_cnt AS DOUBLE)/n_tri DESC, "
+    "doc_id) AS BIGINT) AS bucket FROM doc")
 
 # composed oracle: canonical-url dedup replays the q_canonical_urls CTE
 ORACLE_SQL["q_url_dedup"] = (

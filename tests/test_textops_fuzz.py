@@ -21,7 +21,8 @@ import pytest
 
 from ray_data_mplsh.pipelines.queries import ORACLE_SQL, QUERIES
 
-FUZZED = ["q_pii_scrub", "q_chunk_tokens", "q_contam_overlap"]
+FUZZED = ["q_pii_scrub", "q_chunk_tokens", "q_contam_overlap",
+          "q_lm_score"]
 
 _WORDS = ["the", "ab3", "x", "foo.bar", "semi;colon", "café",
           "10.0.0.7", "a@b.co", "+1-555-0001", "trail.", "(paren)",
@@ -79,3 +80,36 @@ def test_textops_fuzz_oracle(ray_session, tmp_path, name, seed):
     assert list(a.dtypes) == list(b.dtypes), name
     pd.testing.assert_frame_equal(a, b, check_exact=True)
     assert len(a), f"{name}: fuzz corpus produced no rows"
+
+
+@pytest.mark.parametrize("n_tied,n_free", [(30, 6), (40, 0), (1, 0)])
+def test_lm_score_tercile_boundary_ties(ray_session, tmp_path,
+                                        n_tied, n_free):
+    """The tercile cuts land INSIDE a group of equal-ratio docs (the
+    tie_ids branch): a block of identical texts shares one sum_cnt/n_tri
+    double, so NTILE's doc_id tie-break decides which side of each cut a
+    member falls on. The tied block is the most-probable text (repeated
+    trigrams -> highest mean count), so its rank interval starts at 0 and
+    straddles both cuts; (40, 0) makes ONE group the whole corpus and
+    (1, 0) pins the n=1 NTILE fill rule."""
+    d = str(tmp_path)
+    n = n_tied + n_free
+    texts = ["aaa bbb aaa bbb"] * n_tied + \
+        [f"zq{i}x w{i}j kk{i % 3}" for i in range(n_free)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "text": pa.array(texts, pa.string())}), f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{d}/documents.parquet'")
+    got = QUERIES["q_lm_score"](d).to_pandas()
+    want = con.sql(ORACLE_SQL["q_lm_score"]).df()
+    con.close()
+    cols = sorted(want.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    assert list(a.dtypes) == list(b.dtypes)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    if n_tied >= 30:    # the tied block must actually span all 3 tiles
+        tied = a[a.doc_id < n_tied]
+        assert set(tied.bucket) == {1, 2, 3}
