@@ -2131,6 +2131,227 @@ def q_remove_dup_ngrams(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "text"]), n=_XNG_N)
 
 
+def _split_paras(b: pa.Table):
+    """(doc ids, flat paragraph StringArray, para->row int64, 0-based
+    idx-in-doc int64, per-doc para counts int64) of the newline split.
+    An empty-text doc has exactly ONE empty paragraph — DuckDB's
+    ``string_split('', chr(10))`` is ``['']``, same as Arrow's split —
+    which competes globally with every other empty paragraph."""
+    ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if b.num_rows == 0:
+        z = np.empty(0, np.int64)
+        return ids, pa.array([], pa.string()), z, z, z
+    lst = pc.split_pattern(b["text"], pattern="\n").combine_chunks()
+    offs = lst.offsets.to_numpy().astype(np.int64)
+    offs = offs - offs[0]
+    counts = np.diff(offs)
+    row = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
+    idx = np.arange(int(counts.sum()), dtype=np.int64) \
+        - np.repeat(offs[:-1], counts)
+    return ids, lst.flatten(), row, idx, counts
+
+
+def paragraph_dedup(ds, broadcast_max_paras: int = 4_000_000):
+    """MassiveText-style cross-doc PARAGRAPH dedup (Rae et al. 2021,
+    §A.2.3 — exact duplicate paragraphs removed corpus-wide): docs are
+    split on newline, a paragraph INSTANCE survives iff it is the
+    globally FIRST occurrence of that exact paragraph text in
+    (doc_id, position) order, and survivors are re-joined with newline
+    into ``text`` alongside ``n_kept``/``n_removed`` counts.
+    Deterministic and order-free (the winner is a global lexicographic
+    MIN, not first-seen), so a SQL ROW_NUMBER window replays it
+    bit-exactly. Every doc has >= 1 paragraph (an empty text is one
+    empty paragraph, see [[_split_paras]]), so every doc emits a row.
+
+    Two physical plans (the remove_dup_ngrams pattern):
+
+    * broadcast (default): one para-hash exchange of per-doc-distinct
+      ``(para, doc, min_idx, n_inst)`` rows resolves duplicated paras +
+      winners exactly (grouping is on the paragraph STRING — the hash
+      only routes); the winner table, bounded by |dup paragraphs| and
+      tiny next to the corpus, is gathered once and the rewrite pass is
+      map-side only (pd.Index probe, ListArray + binary_join rebuild).
+    * exchange fallback (winner set overflowed ``broadcast_max_paras``):
+      every instance rides the para-hash exchange, partitions emit the
+      non-winner (doc, idx) cover rows, and a doc-keyed padded union
+      meets them with their documents for the same vectorized rebuild.
+      Path equivalence is force-tested with the cap at 0.
+
+    100 TB note: paragraph strings cross the winner exchange once
+    (distinct-per-doc, so bounded by corpus bytes); the 128-bit
+    hash-pair routing of crossdoc_ngrams' hash_only mode applies
+    identically if a 2^-128 collision budget is acceptable."""
+    import ray
+
+    from ray_data_mplsh.functions.hashing import hash_str_array
+    from ray_data_mplsh.stages.shuffle import (cached_get,
+                                               default_partitions,
+                                               partition_apply)
+
+    P = default_partitions()
+
+    def para_rows(b: pa.Table, distinct: bool) -> pa.Table:
+        ids, vals, row, idx, _ = _split_paras(b)
+        g = np.asarray(vals.to_pylist(), dtype=object)
+        df = pd.DataFrame({"doc_id": ids[row], "para": g, "idx": idx})
+        if distinct:  # a doc never spans batches -> globally per-doc
+            agg = df.groupby(["doc_id", "para"], sort=False)["idx"] \
+                .agg(["min", "size"]).reset_index()
+            df = pd.DataFrame({"doc_id": agg["doc_id"], "para": agg["para"],
+                               "min_idx": agg["min"],
+                               "n_inst": agg["size"]})
+        cols = {"doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+                "para": pa.array(df["para"].to_numpy(dtype=object),
+                                 pa.string())}
+        for c in df.columns:
+            if c not in ("doc_id", "para"):
+                cols[c] = pa.array(df[c].to_numpy(np.int64))
+        cols["para_h"] = pa.array(hash_str_array(cols["para"]), pa.uint64())
+        return pa.table(cols)
+
+    def dup_winner(part: pa.Table) -> pa.Table:
+        """Exact per-paragraph instance total + lexicographic-min
+        (doc, idx) winner within the hash partition (rows are per-doc
+        aggregates, so min doc's min_idx IS the global winner)."""
+        g = part["para"].to_pandas().to_numpy(dtype=object)
+        d = part["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mi = part["min_idx"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ni = part["n_inst"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        codes, uniq = pd.factorize(g, sort=False)
+        tot = np.zeros(len(uniq), np.int64)
+        np.add.at(tot, codes, ni)
+        o = np.lexsort((mi, d, codes))
+        first = np.concatenate(([True], codes[o][1:] != codes[o][:-1])) \
+            if len(o) else np.zeros(0, bool)
+        sel = o[first]
+        keep = tot[codes[sel]] >= 2
+        sel = sel[keep]
+        return pa.table({
+            "para": pa.array(uniq[codes[sel]], pa.string()),
+            "win_doc": pa.array(d[sel], pa.int64()),
+            "win_idx": pa.array(mi[sel], pa.int64())})
+
+    dup = partition_apply(
+        ds.map_batches(lambda b: para_rows(b, True),
+                       batch_format="pyarrow"),
+        "para_h", dup_winner, P)
+    dup_schema = pa.schema([("para", pa.string()), ("win_doc", pa.int64()),
+                            ("win_idx", pa.int64())])
+    dup_tbl = gather_capped(dup, broadcast_max_paras, dup_schema)
+
+    def rebuild_block(ids, vals, row, idx, counts, bad_mask):
+        """Drop the bad paragraph instances and re-join per doc."""
+        kept = ~bad_mask
+        n_kept = np.bincount(row[kept], minlength=len(ids)) \
+            .astype(np.int64)
+        offs = pa.array(np.concatenate(
+            ([0], np.cumsum(n_kept))).astype(np.int64), pa.int64())
+        nl = pa.LargeListArray.from_arrays(
+            offs, vals.filter(pa.array(kept)).cast(pa.large_string()))
+        txt = pc.binary_join(
+            nl, pa.scalar("\n", pa.large_string())).cast(pa.string())
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": txt,
+            "n_kept": pa.array(n_kept, pa.int64()),
+            "n_removed": pa.array(counts - n_kept, pa.int64())})
+
+    if dup_tbl is not None:
+        ref = ray.put((
+            pd.Index(np.asarray(dup_tbl["para"].to_pylist(), dtype=object)),
+            dup_tbl["win_doc"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            dup_tbl["win_idx"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)))
+
+        def scrub(b: pa.Table) -> pa.Table:
+            ids, vals, row, idx, counts = _split_paras(b)
+            paras, wd, wi = cached_get(ref)
+            if len(paras) and len(row):
+                hit = paras.get_indexer(
+                    np.asarray(vals.to_pylist(), dtype=object))
+                is_dup = hit >= 0
+                bad = is_dup.copy()
+                bad[is_dup] = (wd[hit[is_dup]] != ids[row[is_dup]]) \
+                    | (wi[hit[is_dup]] != idx[is_dup])
+            else:
+                bad = np.zeros(len(row), bool)
+            return rebuild_block(ids, vals, row, idx, counts, bad)
+
+        return ds.map_batches(scrub, batch_format="pyarrow")
+
+    # --- exchange fallback: winner set is not broadcastable ------------
+    allpos = ds.map_batches(lambda b: para_rows(b, False),
+                            batch_format="pyarrow")
+
+    def cover_rows(part: pa.Table) -> pa.Table:
+        g = part["para"].to_pandas().to_numpy(dtype=object)
+        d = part["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = part["idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes, uniq = pd.factorize(g, sort=False)
+        tot = np.bincount(codes, minlength=len(uniq))
+        o = np.lexsort((s, d, codes))
+        first = np.concatenate(([True], codes[o][1:] != codes[o][:-1])) \
+            if len(o) else np.zeros(0, bool)
+        wpos = np.zeros(len(uniq), np.int64)
+        wpos[codes[o[first]]] = o[first]
+        bad = (tot[codes] >= 2) & (np.arange(len(codes)) != wpos[codes])
+        return pa.table({"doc_id": pa.array(d[bad], pa.int64()),
+                         "idx": pa.array(s[bad], pa.int64())})
+
+    cov = partition_apply(allpos, "para_h", cover_rows, P)
+
+    _SD = "__para_side"
+
+    def pad_doc(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"].cast(pa.int64()), "text": b["text"],
+            "idx": pa.nulls(b.num_rows, pa.int64()),
+            _SD: pa.array(np.zeros(b.num_rows, np.int8), pa.int8())})
+
+    def pad_cov(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "text": pa.nulls(b.num_rows, pa.string()),
+            "idx": b["idx"],
+            _SD: pa.array(np.ones(b.num_rows, np.int8), pa.int8())})
+
+    both = ds.map_batches(pad_doc, batch_format="pyarrow").union(
+        cov.map_batches(pad_cov, batch_format="pyarrow"))
+
+    def rebuild(part: pa.Table) -> pa.Table:
+        side = part[_SD].to_numpy(zero_copy_only=False)
+        d = part["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        di = np.flatnonzero(side == 0)
+        doc_tbl = pa.table({"doc_id": pa.array(d[di], pa.int64()),
+                            "text": part["text"].take(pa.array(di))})
+        ids, vals, row, idx, counts = _split_paras(doc_tbl)
+        bad = np.zeros(len(row), bool)
+        ci = np.flatnonzero(side == 1)
+        if len(ci) and len(ids):
+            cd = d[ci]
+            cs = part["idx"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)[ci]
+            o = np.argsort(ids)
+            li = o[np.searchsorted(ids[o], cd)]
+            offs = np.concatenate(([0], np.cumsum(counts)))
+            bad[offs[li] + cs] = True
+        return rebuild_block(ids, vals, row, idx, counts, bad)
+
+    return partition_apply(both, "doc_id", rebuild, P)
+
+
+def q_paragraph_dedup(sf_dir: str):
+    """Cross-doc paragraph dedup over the documents table (see
+    paragraph_dedup; on the newline-free driver corpus every doc is one
+    paragraph, so this degenerates to exact-text first-wins dedup with
+    reassembly — the multi-paragraph semantics are pinned by the fuzz
+    corpus in tests/test_textops_fuzz.py)."""
+    return paragraph_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 # --- data-mixture sampling and prefix blocking ------------------------------
 
 def q_mixture_sample(sf_dir: str):
@@ -7457,6 +7678,7 @@ QUERIES = {
     "q_tpch_q21": q_tpch_q21,
     "q_pack_sequences": q_pack_sequences,
     "q_remove_dup_ngrams": q_remove_dup_ngrams,
+    "q_paragraph_dedup": q_paragraph_dedup,
     "q_pii_scrub": q_pii_scrub,
     "q_chunk_tokens": q_chunk_tokens,
     "q_contam_overlap": q_contam_overlap,
@@ -8691,6 +8913,23 @@ ORACLE_SQL["q_lm_score"] = (
     "SELECT doc_id, n_tri, sum_cnt, n_distinct, "
     "CAST(ntile(3) OVER (ORDER BY CAST(sum_cnt AS DOUBLE)/n_tri DESC, "
     "doc_id) AS BIGINT) AS bucket FROM doc")
+
+# MassiveText paragraph dedup: unnest the newline split with ordinals,
+# rank every instance globally per paragraph text (ROW_NUMBER over
+# (doc_id, idx) = the engine's lexicographic-min winner), re-join the
+# rn=1 survivors in position order (see paragraph_dedup)
+ORACLE_SQL["q_paragraph_dedup"] = (
+    "WITH s AS (SELECT doc_id, string_split(text, chr(10)) AS ps "
+    "FROM documents), "
+    "p AS (SELECT doc_id, unnest(ps) AS para, "
+    "generate_subscripts(ps, 1) AS idx FROM s), "
+    "w AS (SELECT doc_id, para, idx, row_number() OVER "
+    "(PARTITION BY para ORDER BY doc_id, idx) AS rn FROM p) "
+    "SELECT doc_id, coalesce(string_agg(CASE WHEN rn = 1 THEN para END, "
+    "chr(10) ORDER BY idx), '') AS text, "
+    "count(*) FILTER (WHERE rn = 1) AS n_kept, "
+    "count(*) FILTER (WHERE rn > 1) AS n_removed "
+    "FROM w GROUP BY doc_id")
 
 # composed oracle: canonical-url dedup replays the q_canonical_urls CTE
 ORACLE_SQL["q_url_dedup"] = (

@@ -22,7 +22,7 @@ import pytest
 from ray_data_mplsh.pipelines.queries import ORACLE_SQL, QUERIES
 
 FUZZED = ["q_pii_scrub", "q_chunk_tokens", "q_contam_overlap",
-          "q_lm_score"]
+          "q_lm_score", "q_paragraph_dedup"]
 
 _WORDS = ["the", "ab3", "x", "foo.bar", "semi;colon", "café",
           "10.0.0.7", "a@b.co", "+1-555-0001", "trail.", "(paren)",
@@ -113,3 +113,59 @@ def test_lm_score_tercile_boundary_ties(ray_session, tmp_path,
     if n_tied >= 30:    # the tied block must actually span all 3 tiles
         tied = a[a.doc_id < n_tied]
         assert set(tied.bucket) == {1, 2, 3}
+
+
+def _write_para_corpus(d: str, seed: int) -> None:
+    """Newline-rich corpus for paragraph dedup: multi-paragraph docs
+    with cross-doc and WITHIN-doc repeated paragraphs, empty paragraphs
+    (consecutive/trailing newlines), newline-only docs, empty docs, and
+    docs whose every paragraph is owned elsewhere."""
+    rng = np.random.default_rng(seed)
+    paras = [f"para {i} body" for i in range(9)] + ["", "shared tail"]
+    texts: list[str] = []
+    for i in range(80):
+        k = int(rng.integers(1, 7))
+        ps = [paras[int(j)] for j in rng.integers(0, len(paras), k)]
+        t = "\n".join(ps)
+        style = int(rng.integers(0, 6))
+        if style == 0:
+            t = ""                               # zero paragraphs
+        elif style == 1:
+            t = "\n"                             # two empty paragraphs
+        elif style == 2:
+            t = t + "\n"                         # trailing empty para
+        elif style == 3:
+            t = ps[0] + "\n" + ps[0]             # within-doc repeat
+        texts.append(t)
+    texts[50] = texts[40]                        # whole-doc duplicate
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(80), pa.int64()),
+        "text": pa.array(texts, pa.string())}), f"{d}/documents.parquet")
+
+
+@pytest.mark.parametrize("cap", [4_000_000, 0])
+@pytest.mark.parametrize("seed", [5, 19])
+def test_paragraph_dedup_multipara(ray_session, tmp_path, cap, seed):
+    """Multi-paragraph parity on both physical plans: cap=0 forces the
+    exchange fallback (cover rows + doc-keyed padded union), the default
+    cap takes the broadcast probe; both must replay the SQL window
+    bit-exactly on a corpus with every newline edge."""
+    from ray_data_mplsh.pipelines.queries import paragraph_dedup, _read
+
+    d = str(tmp_path)
+    _write_para_corpus(d, seed)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{d}/documents.parquet'")
+    got = paragraph_dedup(_read(d, "documents", ["doc_id", "text"]),
+                          broadcast_max_paras=cap).to_pandas()
+    want = con.sql(ORACLE_SQL["q_paragraph_dedup"]).df()
+    con.close()
+    cols = sorted(want.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    assert list(a.dtypes) == list(b.dtypes)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    assert (a.n_removed > 0).any(), "corpus planted no removals"
+    assert len(a) == 80, "every doc has >= 1 paragraph, so every doc " \
+        "emits a row (empty text = one empty paragraph)"
