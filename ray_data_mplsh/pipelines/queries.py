@@ -409,6 +409,151 @@ def q_allpair_containment(sf_dir: str):
     return pairs.map_batches(score, batch_format="pyarrow")
 
 
+_PPJ_T = 0.5
+_PPJ_MAX_BUCKET = 100_000
+
+
+def q_ppjoin_pairs(sf_dir: str):
+    """Prefix-filtered EXACT set-similarity self-join over the WHOLE
+    corpus (Chaudhuri et al. 2006 / Xiao et al. 2008 "PPJoin" minus the
+    positional filter): every doc pair with shingle-set Jaccard >=
+    _PPJ_T, with zero false negatives by construction — the exact
+    complement to the LSH candidate path (q_lsh_verified_pairs), for
+    when the dedup bar demands provable completeness. Shares the MPLSH
+    shingle contract (k=5 words, per-doc distinct), so the DuckDB
+    equijoin oracle replays it bit-exactly.
+
+    The prefix-filter theorem: order every set by GLOBAL token frequency
+    ascending (rarest first; ties by token), take each set's first
+    ``n - ceil(T*n) + 1`` tokens; any pair with J >= T must (a) share a
+    prefix token and (b) satisfy min(na,nb) >= T*max(na,nb). Candidates
+    are generated only inside prefix-token buckets, then verified
+    exactly — rare tokens make tiny buckets, so candidate count tracks
+    the true near-dup mass, not n^2.
+
+    Scale shape — four slim keyed exchanges, text never rides any:
+    (1) shingle-keyed: attach df exactly (all rows of a shingle
+    co-locate; no separate groupby pass); (2) doc-keyed: per-doc
+    (df, sh) sort -> prefix emit; (3) shingle-keyed over PREFIX rows
+    only: per-bucket all-pairs with the size filter, batch-local
+    distinct; (4) pair-keyed: global distinct. Verification reuses
+    exact_jaccard_pairs (broadcast sets below cfg.broadcast_max_docs,
+    pair-keyed exchange above). A prefix bucket larger than
+    _PPJ_MAX_BUCKET raises loudly (quadratic guard) rather than
+    silently salting — a corpus where the RAREST tokens of >100k docs
+    coincide needs a threshold retune, not a quiet blow-up."""
+    from ray_data_mplsh.pipelines.ngram import (_list_parts, _sets_stage,
+                                                exact_jaccard_pairs)
+    from ray_data_mplsh.stages.shuffle import (default_partitions, mix64,
+                                               partition_apply)
+
+    cfg = MPLSHConfig()
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    sets = _sets_stage(docs, cfg)
+    P = default_partitions()
+
+    def flat_rows(b: pa.Table) -> pa.Table:
+        offs, vals = _list_parts(b["shingles"])
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        lens = np.diff(offs)
+        row = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+        return pa.table({"sh": pa.array(vals, pa.uint64()),
+                         "doc": pa.array(ids[row], pa.uint64()),
+                         "n": pa.array(lens[row].astype(np.int64))})
+
+    flat = sets.map_batches(flat_rows, batch_format="pyarrow")
+
+    def attach_df(part: pa.Table) -> pa.Table:
+        sh = part["sh"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        u, inv = np.unique(sh, return_inverse=True)
+        df = np.bincount(inv).astype(np.int64)
+        return part.append_column("df", pa.array(df[inv], pa.int64()))
+
+    wdf = partition_apply(flat, "sh", attach_df, P)
+
+    def prefixes(part: pa.Table) -> pa.Table:
+        d = part["doc"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        sh = part["sh"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        nn = part["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dfv = part["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((sh, dfv, d))
+        ds_, shs, ns = d[o], sh[o], nn[o]
+        first = np.concatenate(([True], ds_[1:] != ds_[:-1])) \
+            if len(ds_) else np.zeros(0, bool)
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.concatenate([starts, [len(ds_)]]))
+        pos = np.arange(len(ds_), dtype=np.int64) \
+            - np.repeat(starts, sizes)
+        plen = ns - np.ceil(_PPJ_T * ns).astype(np.int64) + 1
+        keep = pos < plen
+        return pa.table({"sh": pa.array(shs[keep], pa.uint64()),
+                         "doc": pa.array(ds_[keep], pa.uint64()),
+                         "n": pa.array(ns[keep], pa.int64())})
+
+    pref = partition_apply(wdf, "doc", prefixes, P)
+
+    def bucket_pairs(part: pa.Table) -> pa.Table:
+        sh = part["sh"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        d = part["doc"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        nn = part["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((d, sh))
+        shs, ds_, ns = sh[o], d[o], nn[o]
+        first = np.concatenate(([True], shs[1:] != shs[:-1])) \
+            if len(shs) else np.zeros(0, bool)
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.concatenate([starts, [len(shs)]]))
+        if len(sizes) and sizes.max() > _PPJ_MAX_BUCKET:
+            raise RuntimeError(
+                f"ppjoin prefix bucket of {int(sizes.max())} docs "
+                f"exceeds _PPJ_MAX_BUCKET — retune _PPJ_T or salt")
+        # per bucket all (i < j) pairs: each element pairs with its
+        # `loc` predecessors in the bucket
+        loc = np.arange(len(shs), dtype=np.int64) \
+            - np.repeat(starts, sizes)
+        tot = int(loc.sum())
+        if tot == 0:
+            return pa.table({"a": pa.array([], pa.uint64()),
+                             "b": pa.array([], pa.uint64()),
+                             "pk": pa.array([], pa.uint64())})
+        right = np.repeat(np.arange(len(shs), dtype=np.int64), loc)
+        within = np.arange(tot, dtype=np.int64) \
+            - np.repeat(np.concatenate(([0], np.cumsum(loc)))[:-1], loc)
+        left = right - np.repeat(loc, loc) + within
+        ra, rb = ds_[left], ds_[right]
+        a = np.minimum(ra, rb)
+        b = np.maximum(ra, rb)
+        na, nb = ns[left], ns[right]
+        keep = np.minimum(na, nb) >= _PPJ_T * np.maximum(na, nb)
+        a, b = a[keep], b[keep]
+        pair = np.stack([a, b], axis=1)
+        pair = np.unique(pair, axis=0) if len(pair) else pair
+        a, b = (pair[:, 0], pair[:, 1]) if len(pair) \
+            else (np.empty(0, np.uint64), np.empty(0, np.uint64))
+        pk = mix64(a) ^ mix64(b ^ np.uint64(0x9E3779B97F4A7C15))
+        return pa.table({"a": pa.array(a, pa.uint64()),
+                         "b": pa.array(b, pa.uint64()),
+                         "pk": pa.array(pk, pa.uint64())})
+
+    cand = partition_apply(pref, "sh", bucket_pairs, P)
+
+    def pair_distinct(part: pa.Table) -> pa.Table:
+        a = part["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = part["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        if len(a):
+            pair = np.unique(np.stack([a, b], axis=1), axis=0)
+            a, b = pair[:, 0], pair[:, 1]
+        return pa.table({"a": pa.array(a, pa.uint64()),
+                         "b": pa.array(b, pa.uint64())})
+
+    pairs = partition_apply(cand, "pk", pair_distinct, P)
+    res = exact_jaccard_pairs(pairs, docs, cfg, min_jaccard=_PPJ_T)
+    return res.map_batches(
+        lambda t: pa.table({"a": pc.cast(t["a"], pa.int64()),
+                            "b": pc.cast(t["b"], pa.int64()),
+                            "jaccard": t["jaccard"]}),
+        batch_format="pyarrow")
+
+
 # --- similarity search over embeddings (SURVEY.md: reference's k-NN core) --
 
 _KNN_NQ = 8      # queries = embeddings with vec_id < _KNN_NQ
@@ -7565,6 +7710,7 @@ QUERIES = {
     "q_word_stats": q_word_stats,
     "q_doc_freq": q_doc_freq,
     "q_allpair_jaccard": q_allpair_jaccard,
+    "q_ppjoin_pairs": q_ppjoin_pairs,
     "q_allpair_containment": q_allpair_containment,
     "q_knn_bruteforce": q_knn_bruteforce,
     "q_knn_lsh": q_knn_lsh,
@@ -8913,6 +9059,25 @@ ORACLE_SQL["q_lm_score"] = (
     "SELECT doc_id, n_tri, sum_cnt, n_distinct, "
     "CAST(ntile(3) OVER (ORDER BY CAST(sum_cnt AS DOUBLE)/n_tri DESC, "
     "doc_id) AS BIGINT) AS bucket FROM doc")
+
+# PPJoin exact set-similarity self-join: the oracle avoids the n^2
+# cross join by equijoining the unnested shingle sets (only pairs
+# sharing >= 1 shingle can pass any positive threshold), counting the
+# intersection, and filtering on the same integer-ratio double the
+# engine's verify kernel computes (see q_ppjoin_pairs)
+ORACLE_SQL["q_ppjoin_pairs"] = (
+    "WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws "
+    "FROM documents), "
+    "sh AS (SELECT doc_id, list_distinct(list_transform("
+    "range(1, len(ws) - 3), i -> array_to_string(ws[i:i+4], ' '))) AS s "
+    "FROM d WHERE len(ws) >= 5), "
+    "t AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh), "
+    "i AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS ix, "
+    "any_value(a.n) AS na, any_value(b.n) AS nb "
+    "FROM t a JOIN t b ON a.g = b.g AND a.doc_id < b.doc_id "
+    "GROUP BY 1, 2) "
+    "SELECT a, b, CAST(ix AS DOUBLE) / (na + nb - ix) AS jaccard "
+    f"FROM i WHERE CAST(ix AS DOUBLE) / (na + nb - ix) >= {_PPJ_T}")
 
 # MassiveText paragraph dedup: unnest the newline split with ordinals,
 # rank every instance globally per paragraph text (ROW_NUMBER over

@@ -89,3 +89,50 @@ def test_min_jaccard_filter(ray_session, small_fixture):
     docs, pairs, _ = _docs_and_pairs(ray_session, small_fixture)
     out = exact_jaccard_pairs(pairs, docs, cfg, min_jaccard=0.5).to_pandas()
     assert (out["jaccard"] >= 0.5).all()
+
+
+def test_ppjoin_planted_families_complete(ray_session, tmp_path):
+    """PPJoin completeness on a corpus built to stress the prefix
+    filter: near-dup FAMILIES (one base text, members differing by a
+    few appended words so pairwise Jaccard straddles the threshold),
+    plus random background docs and sub-5-word docs (no shingles).
+    The DuckDB equijoin oracle is exact brute force, so any pair the
+    prefix filter drops (false negative) or any candidate the verify
+    stage mis-scores shows up as a frame mismatch. Every planted
+    within-family pair with J >= T must be present."""
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ray_data_mplsh.pipelines.queries import (ORACLE_SQL, QUERIES,
+                                                  _PPJ_T)
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(400)]
+    texts = []
+    for f in range(6):                       # 6 families x 5 members
+        base = [vocab[int(j)] for j in rng.integers(0, 400, 40)]
+        for m in range(5):
+            extra = [vocab[int(j)] for j in rng.integers(0, 400, 2 * m)]
+            texts.append(" ".join(base + extra))
+    for _ in range(60):                      # background noise
+        k = int(rng.integers(0, 30))
+        texts.append(" ".join(vocab[int(j)]
+                              for j in rng.integers(0, 400, k)))
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}), f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{d}/documents.parquet'")
+    got = QUERIES["q_ppjoin_pairs"](d).to_pandas()
+    want = con.sql(ORACLE_SQL["q_ppjoin_pairs"]).df()
+    con.close()
+    cols = sorted(want.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    assert list(a.dtypes) == list(b.dtypes)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    assert len(a) >= 6, "families must produce threshold pairs"
+    assert (a["jaccard"] >= _PPJ_T).all()

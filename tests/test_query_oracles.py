@@ -54,7 +54,8 @@ CHECK = ["q_word_stats", "q_doc_freq", "q_allpair_jaccard",
          "q_dedup_tier_report", "q_knn_lsh", "q_tpch_q12", "q_tpch_q21",
          "q_tpch_q2", "q_tpch_q11", "q_tpch_q20", "q_pii_scrub",
          "q_chunk_tokens", "q_contam_overlap", "q_incremental_fold",
-         "q_fold_provenance", "q_lm_score", "q_paragraph_dedup"]
+         "q_fold_provenance", "q_lm_score", "q_paragraph_dedup",
+         "q_ppjoin_pairs"]
 
 
 @pytest.fixture(scope="module")
