@@ -820,12 +820,14 @@ def q_lm_score(sf_dir: str):
             # segments are excluded, so consecutive starts delimit
             # exactly one doc's windows
             sum_cnt[nz] = np.add.reduceat(c, mc[nz])
+            # distinct trigrams per doc: keys fit in 24 bits (3 bytes),
+            # so (doc, key) packs into one int64 — a single np.sort
+            # replaces the 2-key lexsort (~2x on the corpus-sized pass)
             seg = np.repeat(np.arange(nd, dtype=np.int64), m)
-            order = np.lexsort((keys, seg))
-            sk, ss = keys[order], seg[order]
-            first = np.concatenate(
-                ([True], (ss[1:] != ss[:-1]) | (sk[1:] != sk[:-1])))
-            n_dist = np.bincount(ss[first], minlength=nd).astype(np.int64)
+            packed = np.sort((seg << 24) | keys)
+            first = np.concatenate(([True], packed[1:] != packed[:-1]))
+            n_dist = np.bincount(packed[first] >> 24,
+                                 minlength=nd).astype(np.int64)
         keep = m > 0
         r = sum_cnt[keep] / m[keep]          # IEEE-exact double division
         return pa.table({
