@@ -912,6 +912,85 @@ def q_lm_score(sf_dir: str):
     return stats.map_batches(bucket, batch_format="pyarrow")
 
 
+_DSIR_TARGET = ("src0", "src1")
+
+
+def q_dsir_weights(sf_dir: str):
+    """DSIR-flavored importance scoring (Xie et al. 2023, "Data
+    Selection via Importance Resampling" — the domain-matching signal a
+    mixture pipeline computes before resampling raw webtext toward a
+    target domain): per doc, integer sufficient statistics of its word
+    features under a TARGET unigram model (docs from _DSIR_TARGET
+    sources) and the RAW corpus model, plus the IEEE-exact ratio
+    ``w = sum_tgt / sum_raw``. Counts are instance counts (DSIR uses
+    term frequencies, not document frequencies); the true DSIR weight
+    is a log-product over these same models — libm log is not
+    bit-portable across engines, so the hashed row carries the integer
+    sums and the correctly-rounded double ratio, and any monotone
+    client-side transform is exact on top of them.
+
+    Scale shape: two |vocab|-bounded word groupbys (batch-local count
+    partials first, the q_doc_freq combiner) broadcast once each; the
+    scoring pass is a zero-shuffle map probing both models with one
+    pd.Index lookup. The vocab gathers are capped and assert loudly —
+    open-vocab webtext at 100 TB flips to DSIR's own fix (hash the
+    feature space into 2^17 buckets before counting; same plan, bounded
+    by construction) rather than silently truncating."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def word_partials(t: pa.Table) -> pa.Table:
+        _, words = _split_words(t["text"])
+        codes, uniq = pd.factorize(words, sort=False)
+        return pa.table({
+            "w": pa.array(uniq, pa.string()),
+            "c": pa.array(np.bincount(codes, minlength=len(uniq))
+                          .astype(np.int64))})
+
+    def model(ds) -> tuple:
+        agg = ds.map_batches(word_partials, batch_format="pyarrow") \
+            .groupby("w").aggregate(Sum("c", alias_name="c"))
+        mt = gather_capped(agg, 4_000_000,
+                           pa.schema([("w", pa.string()),
+                                      ("c", pa.int64())]))
+        assert mt is not None, \
+            "dsir vocab outgrew the driver cap — hash the feature " \
+            "space into buckets (the DSIR scale mode)"
+        return (pd.Index(np.asarray(mt["w"].to_pylist(), dtype=object)),
+                mt["c"].to_numpy(zero_copy_only=False).astype(np.int64))
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    tgt_docs = docs.map_batches(
+        lambda t: t.filter(pc.is_in(
+            t["source"], value_set=pa.array(list(_DSIR_TARGET)))),
+        batch_format="pyarrow")
+    ref = ray.put((model(tgt_docs), model(docs)))
+
+    def score(t: pa.Table) -> pa.Table:
+        (ti, tc), (ri, rc) = cached_get(ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        row, words = _split_words(t["text"])
+        th = ti.get_indexer(words)
+        rh = ri.get_indexer(words)
+        # int64 np.add.at, not bincount(weights=): the sums must stay
+        # integer-exact past float64's 2^53 at corpus scale
+        sum_tgt = np.zeros(len(ids), np.int64)
+        if len(tc):  # empty target model (no target-source docs) -> 0
+            np.add.at(sum_tgt, row,
+                      np.where(th >= 0, tc[np.maximum(th, 0)], 0))
+        sum_raw = np.zeros(len(ids), np.int64)
+        np.add.at(sum_raw, row, rc[rh])  # raw model covers every word
+        n_tok = np.bincount(row, minlength=len(ids)).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_tok": pa.array(n_tok),
+            "sum_tgt": pa.array(sum_tgt),
+            "sum_raw": pa.array(sum_raw),
+            "w": pa.array(sum_tgt / np.maximum(sum_raw, 1), pa.float64())})
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
 # --- dedup family variants -------------------------------------------------
 
 def q_simhash_pairs(sf_dir: str):
@@ -7720,6 +7799,7 @@ QUERIES = {
     "q_embedding_near_dup": q_embedding_near_dup,
     "q_lang_id": q_lang_id,
     "q_lm_score": q_lm_score,
+    "q_dsir_weights": q_dsir_weights,
     "q_simhash_pairs": q_simhash_pairs,
     "q_minhash_sigs": q_minhash_sigs,
     "q_band_keys": q_band_keys,
@@ -9061,6 +9141,25 @@ ORACLE_SQL["q_lm_score"] = (
     "SELECT doc_id, n_tri, sum_cnt, n_distinct, "
     "CAST(ntile(3) OVER (ORDER BY CAST(sum_cnt AS DOUBLE)/n_tri DESC, "
     "doc_id) AS BIGINT) AS bucket FROM doc")
+
+# DSIR importance stats: both unigram models retrained in SQL (word
+# instance counts over target docs / all docs), every doc scored by
+# LEFT-joining its tokens to the target model and inner-joining to the
+# raw one, with the same integer sums + double ratio (see q_dsir_weights)
+ORACLE_SQL["q_dsir_weights"] = (
+    "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+    "FROM documents), "
+    "tgt AS (SELECT w, count(*) AS c FROM tok WHERE doc_id IN "
+    "(SELECT doc_id FROM documents WHERE source IN "
+    f"{_DSIR_TARGET!r}) GROUP BY w), "
+    "raw AS (SELECT w, count(*) AS c FROM tok GROUP BY w), "
+    "d AS (SELECT tok.doc_id, count(*) AS n_tok, "
+    "CAST(sum(coalesce(tgt.c, 0)) AS BIGINT) AS sum_tgt, "
+    "CAST(sum(raw.c) AS BIGINT) AS sum_raw "
+    "FROM tok LEFT JOIN tgt ON tok.w = tgt.w "
+    "JOIN raw ON tok.w = raw.w GROUP BY tok.doc_id) "
+    "SELECT doc_id, n_tok, sum_tgt, sum_raw, "
+    "CAST(sum_tgt AS DOUBLE) / sum_raw AS w FROM d")
 
 # PPJoin exact set-similarity self-join: the oracle avoids the n^2
 # cross join by equijoining the unnested shingle sets (only pairs
