@@ -929,57 +929,58 @@ def q_dsir_weights(sf_dir: str):
     sums and the correctly-rounded double ratio, and any monotone
     client-side transform is exact on top of them.
 
-    Scale shape: two |vocab|-bounded word groupbys (batch-local count
-    partials first, the q_doc_freq combiner) broadcast once each; the
-    scoring pass is a zero-shuffle map probing both models with one
-    pd.Index lookup. The vocab gathers are capped and assert loudly —
+    Scale shape: ONE corpus scan trains BOTH models (per-batch
+    (word, raw_cnt, tgt_cnt) partials — the q_doc_freq combiner with a
+    target-row mask — into one |vocab|-bounded groupby broadcast once);
+    the scoring pass is a zero-shuffle map probing the joint model with
+    one pd.Index lookup. The vocab gather is capped and asserts loudly —
     open-vocab webtext at 100 TB flips to DSIR's own fix (hash the
     feature space into 2^17 buckets before counting; same plan, bounded
     by construction) rather than silently truncating."""
     import ray
     from ray.data.aggregate import Sum
 
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
     def word_partials(t: pa.Table) -> pa.Table:
-        _, words = _split_words(t["text"])
+        row, words = _split_words(t["text"])
         codes, uniq = pd.factorize(words, sort=False)
+        is_tgt = pc.is_in(t["source"],
+                          value_set=pa.array(list(_DSIR_TARGET))) \
+            .to_numpy(zero_copy_only=False)
+        c_raw = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        c_tgt = np.bincount(codes[is_tgt[row]],
+                            minlength=len(uniq)).astype(np.int64)
         return pa.table({
             "w": pa.array(uniq, pa.string()),
-            "c": pa.array(np.bincount(codes, minlength=len(uniq))
-                          .astype(np.int64))})
+            "c_raw": pa.array(c_raw), "c_tgt": pa.array(c_tgt)})
 
-    def model(ds) -> tuple:
-        agg = ds.map_batches(word_partials, batch_format="pyarrow") \
-            .groupby("w").aggregate(Sum("c", alias_name="c"))
-        mt = gather_capped(agg, 4_000_000,
-                           pa.schema([("w", pa.string()),
-                                      ("c", pa.int64())]))
-        assert mt is not None, \
-            "dsir vocab outgrew the driver cap — hash the feature " \
-            "space into buckets (the DSIR scale mode)"
-        return (pd.Index(np.asarray(mt["w"].to_pylist(), dtype=object)),
-                mt["c"].to_numpy(zero_copy_only=False).astype(np.int64))
-
-    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
-    tgt_docs = docs.map_batches(
-        lambda t: t.filter(pc.is_in(
-            t["source"], value_set=pa.array(list(_DSIR_TARGET)))),
-        batch_format="pyarrow")
-    ref = ray.put((model(tgt_docs), model(docs)))
+    agg = docs.map_batches(word_partials, batch_format="pyarrow") \
+        .groupby("w").aggregate(Sum("c_raw", alias_name="c_raw"),
+                                Sum("c_tgt", alias_name="c_tgt"))
+    mt = gather_capped(agg, 4_000_000,
+                       pa.schema([("w", pa.string()),
+                                  ("c_raw", pa.int64()),
+                                  ("c_tgt", pa.int64())]))
+    assert mt is not None, \
+        "dsir vocab outgrew the driver cap — hash the feature " \
+        "space into buckets (the DSIR scale mode)"
+    ref = ray.put((
+        pd.Index(np.asarray(mt["w"].to_pylist(), dtype=object)),
+        mt["c_raw"].to_numpy(zero_copy_only=False).astype(np.int64),
+        mt["c_tgt"].to_numpy(zero_copy_only=False).astype(np.int64)))
 
     def score(t: pa.Table) -> pa.Table:
-        (ti, tc), (ri, rc) = cached_get(ref)
+        ri, rc, tc = cached_get(ref)
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         row, words = _split_words(t["text"])
-        th = ti.get_indexer(words)
-        rh = ri.get_indexer(words)
+        rh = ri.get_indexer(words)  # joint model covers every word
         # int64 np.add.at, not bincount(weights=): the sums must stay
         # integer-exact past float64's 2^53 at corpus scale
         sum_tgt = np.zeros(len(ids), np.int64)
-        if len(tc):  # empty target model (no target-source docs) -> 0
-            np.add.at(sum_tgt, row,
-                      np.where(th >= 0, tc[np.maximum(th, 0)], 0))
         sum_raw = np.zeros(len(ids), np.int64)
-        np.add.at(sum_raw, row, rc[rh])  # raw model covers every word
+        np.add.at(sum_tgt, row, tc[rh])
+        np.add.at(sum_raw, row, rc[rh])
         n_tok = np.bincount(row, minlength=len(ids)).astype(np.int64)
         return pa.table({
             "doc_id": pa.array(ids),
