@@ -2602,6 +2602,72 @@ def q_mixture_sample(sf_dir: str):
     return ds.map_batches(pick, batch_format="pyarrow")
 
 
+_TBM_BUDGET = 512   # bites at every sf (smallest per-source total ~1.4k)
+
+
+def q_token_budget_mixture(sf_dir: str):
+    """Token-BUDGET mixture sampling (the LLaMA/Pile-style data-recipe
+    step: each source contributes ~_TBM_BUDGET tokens to the epoch, not
+    a fixed doc rate): a doc is kept iff ``u * T_s < B << 32`` where u
+    is the LOW word of doc_id * 2654435761 (the Weyl sequence — the
+    equidistributed-in-[0,2^32) value a THRESHOLD test needs; the
+    q_sample HIGH word is ~0.618*id, fine for ``% m`` decisions but
+    never exceeding 0.618*max_id, and the low word's low-bit id
+    structure is irrelevant here because a threshold compare is decided
+    by the top bits), T_s the source's total whitespace-token count and
+    B the budget — expected kept tokens per source == min(B, T_s),
+    exact-deterministic, and sources under budget keep everything
+    (u < 2^32 makes the inequality vacuous). The product overflows
+    int64 at corpus scale, so the engine precomputes per-source
+    ``thr = (B*2^32 - 1) // T_s`` with Python bigints (u*T < C  <=>
+    u <= (C-1)//T) and ships a |sources|-bounded threshold map; the
+    oracle replays the raw product in HUGEINT. One token-count scan with batch-local source partials
+    -> |sources| groupby -> broadcast -> stateless keep map. n_tok
+    rides along so downstream packing needs no re-scan."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def tok_rows(t: pa.Table) -> pa.Table:
+        row, _ = _split_words(t["text"])
+        n_tok = np.bincount(row, minlength=t.num_rows).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"], "source": t["source"],
+                         "n_tok": pa.array(n_tok)})
+
+    toks = ds.map_batches(tok_rows, batch_format="pyarrow").materialize()
+
+    def src_partial(t: pa.Table) -> pa.Table:
+        g = t["source"].to_pandas().to_numpy(dtype=object)
+        codes, uniq = pd.factorize(g, sort=False)
+        s = np.zeros(len(uniq), np.int64)
+        np.add.at(s, codes, t["n_tok"].to_numpy(zero_copy_only=False))
+        return pa.table({"source": pa.array(uniq, pa.string()),
+                         "ts": pa.array(s)})
+
+    agg = toks.map_batches(src_partial, batch_format="pyarrow") \
+        .groupby("source").aggregate(Sum("ts", alias_name="ts"))
+    st = gather_capped(agg, 1_000_000,
+                       pa.schema([("source", pa.string()),
+                                  ("ts", pa.int64())]))
+    assert st is not None, "source dimension outgrew the driver cap"
+    C = (_TBM_BUDGET << 32) - 1
+    thr = np.array([C // max(int(t), 1)
+                    for t in st["ts"].to_pylist()], np.uint64)
+    ref = ray.put((pd.Index(np.asarray(st["source"].to_pylist(),
+                                       dtype=object)), thr))
+
+    def keep(t: pa.Table) -> pa.Table:
+        si, sthr = cached_get(ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64) & np.uint64(0xFFFFFFFF)
+        u = (ids * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+        ix = si.get_indexer(t["source"].to_pandas().to_numpy(dtype=object))
+        return t.filter(pa.array(u <= sthr[ix]))
+
+    return toks.map_batches(keep, batch_format="pyarrow")
+
+
 def q_prefix_dup_groups(sf_dir: str):
     """Exact-prefix dup blocking (op 23 variant): groups of docs sharing
     the same 40-char text prefix, with group size and representative
@@ -7836,6 +7902,7 @@ QUERIES = {
     "q_cumulative_daily": q_cumulative_daily,
     "q_crossdoc_ngrams": q_crossdoc_ngrams,
     "q_mixture_sample": q_mixture_sample,
+    "q_token_budget_mixture": q_token_budget_mixture,
     "q_prefix_dup_groups": q_prefix_dup_groups,
     "q_rollup_lang_source": q_rollup_lang_source,
     "q_distinct_users": q_distinct_users,
@@ -9142,6 +9209,21 @@ ORACLE_SQL["q_lm_score"] = (
     "SELECT doc_id, n_tri, sum_cnt, n_distinct, "
     "CAST(ntile(3) OVER (ORDER BY CAST(sum_cnt AS DOUBLE)/n_tri DESC, "
     "doc_id) AS BIGINT) AS bucket FROM doc")
+
+# token-budget mixture: the oracle recomputes per-source token totals
+# and replays the keep inequality h * ts < B * 2^32 directly in HUGEINT
+# (the engine compares h against a per-source bigint threshold instead —
+# see q_token_budget_mixture)
+ORACLE_SQL["q_token_budget_mixture"] = (
+    "WITH tk AS (SELECT doc_id, source, "
+    "len(string_split(text, ' ')) AS n_tok FROM documents), "
+    "s AS (SELECT source, CAST(sum(n_tok) AS HUGEINT) AS ts "
+    "FROM tk GROUP BY source) "
+    "SELECT tk.doc_id, tk.source, tk.n_tok "
+    "FROM tk JOIN s ON tk.source = s.source "
+    "WHERE ((tk.doc_id % 4294967296) * 2654435761::HUGEINT "
+    "% 4294967296) * s.ts "
+    f"< {_TBM_BUDGET} * 4294967296::HUGEINT")
 
 # DSIR importance stats: both unigram models retrained in SQL (word
 # instance counts over target docs / all docs), every doc scored by
