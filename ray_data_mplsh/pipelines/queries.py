@@ -413,7 +413,7 @@ _PPJ_T = 0.5
 _PPJ_MAX_BUCKET = 100_000
 
 
-def q_ppjoin_pairs(sf_dir: str):
+def ppjoin_pairs(docs, *, broadcast_max_vocab: int = 4_000_000):
     """Prefix-filtered EXACT set-similarity self-join over the WHOLE
     corpus (Chaudhuri et al. 2006 / Xiao et al. 2008 "PPJoin" minus the
     positional filter): every doc pair with shingle-set Jaccard >=
@@ -431,66 +431,131 @@ def q_ppjoin_pairs(sf_dir: str):
     exactly — rare tokens make tiny buckets, so candidate count tracks
     the true near-dup mass, not n^2.
 
-    Scale shape — four slim keyed exchanges, text never rides any:
-    (1) shingle-keyed: attach df exactly (all rows of a shingle
-    co-locate; no separate groupby pass); (2) doc-keyed: per-doc
-    (df, sh) sort -> prefix emit; (3) shingle-keyed over PREFIX rows
-    only: per-bucket all-pairs with the size filter, batch-local
-    distinct; (4) pair-keyed: global distinct. Verification reuses
-    exact_jaccard_pairs (broadcast sets below cfg.broadcast_max_docs,
-    pair-keyed exchange above). A prefix bucket larger than
+    Two physical plans for the df/prefix phase:
+
+    * broadcast (vocab fits ``broadcast_max_vocab``): the df table is a
+      combiner-reduced |vocab| groupby gathered once; prefixes are then
+      emitted STRAIGHT from the per-doc sets stage with a searchsorted
+      df lookup — zero corpus-wide exchanges before the (already
+      prefix-sized) candidate stage.
+    * keyed-exchange fallback (open vocab): (1) shingle-keyed exchange
+      attaches df exactly (all rows of a shingle co-locate), (2)
+      doc-keyed exchange re-groups for the per-doc prefix sort. Path
+      equivalence is force-tested with the cap at 0.
+
+    Then (3) shingle-keyed exchange over PREFIX rows only: per-bucket
+    all-pairs with the size filter, batch-local distinct; (4)
+    pair-keyed global distinct; exact verify via exact_jaccard_pairs
+    (broadcast sets below cfg.broadcast_max_docs, pair-keyed exchange
+    above). Text never rides any exchange. A prefix bucket larger than
     _PPJ_MAX_BUCKET raises loudly (quadratic guard) rather than
     silently salting — a corpus where the RAREST tokens of >100k docs
     coincide needs a threshold retune, not a quiet blow-up."""
+    import ray
+    from ray.data.aggregate import Sum
+
     from ray_data_mplsh.pipelines.ngram import (_list_parts, _sets_stage,
                                                 exact_jaccard_pairs)
     from ray_data_mplsh.stages.shuffle import (default_partitions, mix64,
                                                partition_apply)
 
     cfg = MPLSHConfig()
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
     sets = _sets_stage(docs, cfg)
     P = default_partitions()
 
-    def flat_rows(b: pa.Table) -> pa.Table:
-        offs, vals = _list_parts(b["shingles"])
-        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        lens = np.diff(offs)
+    def _prefix_rows(ids, vals, lens, dfv):
+        """Prefix rows from per-doc set rows + per-instance df values
+        (instances doc-contiguous in `vals`): sort instances by
+        (doc, df, sh); the first ``n - ceil(T*n) + 1`` of each doc's
+        block are its prefix."""
         row = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
-        return pa.table({"sh": pa.array(vals, pa.uint64()),
-                         "doc": pa.array(ids[row], pa.uint64()),
-                         "n": pa.array(lens[row].astype(np.int64))})
+        ns = lens[row]
+        o = np.lexsort((vals, dfv, row))
+        starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        sr, sv, sn = row[o], vals[o], ns[o]
+        pos = np.arange(len(sr), dtype=np.int64) - starts[sr]
+        kp = pos < (sn - np.ceil(_PPJ_T * sn).astype(np.int64) + 1)
+        return pa.table({"sh": pa.array(sv[kp], pa.uint64()),
+                         "doc": pa.array(ids[sr[kp]], pa.uint64()),
+                         "n": pa.array(sn[kp], pa.int64())})
 
-    flat = sets.map_batches(flat_rows, batch_format="pyarrow")
+    def df_partial(b: pa.Table) -> pa.Table:
+        _, vals = _list_parts(b["shingles"])
+        u, c = np.unique(vals, return_counts=True)  # per-doc distinct
+        # int64 VIEW for the groupby key: Ray's aggregate mangles
+        # uint64 keys above 2^63 (order is irrelevant to a hash key)
+        return pa.table({"sh": pa.array(u.view(np.int64), pa.int64()),
+                         "c": pa.array(c.astype(np.int64))})
 
-    def attach_df(part: pa.Table) -> pa.Table:
-        sh = part["sh"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        u, inv = np.unique(sh, return_inverse=True)
-        df = np.bincount(inv).astype(np.int64)
-        return part.append_column("df", pa.array(df[inv], pa.int64()))
+    agg = sets.map_batches(df_partial, batch_format="pyarrow") \
+        .groupby("sh").aggregate(Sum("c", alias_name="c"))
+    dft = gather_capped(agg, broadcast_max_vocab,
+                        pa.schema([("sh", pa.int64()),
+                                   ("c", pa.int64())]))
 
-    wdf = partition_apply(flat, "sh", attach_df, P)
+    if dft is not None:
+        sh_s = dft["sh"].to_numpy(zero_copy_only=False).astype(np.int64) \
+            .view(np.uint64)
+        df_s = dft["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(sh_s)
+        ref = ray.put((sh_s[o], df_s[o]))
 
-    def prefixes(part: pa.Table) -> pa.Table:
-        d = part["doc"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        sh = part["sh"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        nn = part["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-        dfv = part["df"].to_numpy(zero_copy_only=False).astype(np.int64)
-        o = np.lexsort((sh, dfv, d))
-        ds_, shs, ns = d[o], sh[o], nn[o]
-        first = np.concatenate(([True], ds_[1:] != ds_[:-1])) \
-            if len(ds_) else np.zeros(0, bool)
-        starts = np.flatnonzero(first)
-        sizes = np.diff(np.concatenate([starts, [len(ds_)]]))
-        pos = np.arange(len(ds_), dtype=np.int64) \
-            - np.repeat(starts, sizes)
-        plen = ns - np.ceil(_PPJ_T * ns).astype(np.int64) + 1
-        keep = pos < plen
-        return pa.table({"sh": pa.array(shs[keep], pa.uint64()),
-                         "doc": pa.array(ds_[keep], pa.uint64()),
-                         "n": pa.array(ns[keep], pa.int64())})
+        def prefix_map(b: pa.Table) -> pa.Table:
+            svoc, sdf = cached_get(ref)
+            offs, vals = _list_parts(b["shingles"])
+            ids = b["doc_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            lens = np.diff(offs)
+            dfv = sdf[np.searchsorted(svoc, vals)] if len(vals) \
+                else np.empty(0, np.int64)
+            return _prefix_rows(ids, vals, lens, dfv)
 
-    pref = partition_apply(wdf, "doc", prefixes, P)
+        pref = sets.map_batches(prefix_map, batch_format="pyarrow")
+    else:
+        def flat_rows(b: pa.Table) -> pa.Table:
+            offs, vals = _list_parts(b["shingles"])
+            ids = b["doc_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            lens = np.diff(offs)
+            row = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+            return pa.table({"sh": pa.array(vals, pa.uint64()),
+                             "doc": pa.array(ids[row], pa.uint64()),
+                             "n": pa.array(lens[row].astype(np.int64))})
+
+        def attach_df(part: pa.Table) -> pa.Table:
+            sh = part["sh"].to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            u, inv = np.unique(sh, return_inverse=True)
+            df = np.bincount(inv).astype(np.int64)
+            return part.append_column("df", pa.array(df[inv], pa.int64()))
+
+        wdf = partition_apply(sets.map_batches(flat_rows,
+                                               batch_format="pyarrow"),
+                              "sh", attach_df, P)
+
+        def prefixes(part: pa.Table) -> pa.Table:
+            d = part["doc"].to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            sh = part["sh"].to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            nn = part["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+            dfv = part["df"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            o = np.lexsort((sh, dfv, d))
+            ds_, shs, ns = d[o], sh[o], nn[o]
+            first = np.concatenate(([True], ds_[1:] != ds_[:-1])) \
+                if len(ds_) else np.zeros(0, bool)
+            starts = np.flatnonzero(first)
+            sizes = np.diff(np.concatenate([starts, [len(ds_)]]))
+            pos = np.arange(len(ds_), dtype=np.int64) \
+                - np.repeat(starts, sizes)
+            plen = ns - np.ceil(_PPJ_T * ns).astype(np.int64) + 1
+            keep = pos < plen
+            return pa.table({"sh": pa.array(shs[keep], pa.uint64()),
+                             "doc": pa.array(ds_[keep], pa.uint64()),
+                             "n": pa.array(ns[keep], pa.int64())})
+
+        pref = partition_apply(wdf, "doc", prefixes, P)
 
     def bucket_pairs(part: pa.Table) -> pa.Table:
         sh = part["sh"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -551,6 +616,36 @@ def q_ppjoin_pairs(sf_dir: str):
         lambda t: pa.table({"a": pc.cast(t["a"], pa.int64()),
                             "b": pc.cast(t["b"], pa.int64()),
                             "jaccard": t["jaccard"]}),
+        batch_format="pyarrow")
+
+
+def q_ppjoin_pairs(sf_dir: str):
+    """Exact set-similarity self-join over the documents table (see
+    ppjoin_pairs)."""
+    return ppjoin_pairs(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_ppjoin_clusters(sf_dir: str):
+    """Exact-COMPLETE near-dup clusters: connected components over the
+    [[q_ppjoin_pairs]] edge set, labeled with the component's min
+    doc_id. Unlike q_lsh_clusters (whose pair set has probabilistic
+    candidate recall), this cluster map is provably complete at _PPJ_T —
+    the prefix filter has zero false negatives and verification is
+    exact, so a missing edge or split cluster is impossible by
+    construction. Composition: the production CC stage (hybrid driver
+    kernel below cfg.local_state_max_rows, star contraction above)
+    runs unchanged downstream of the ppjoin plan; singletons (docs with
+    no qualifying pair) are absent, matching the oracle's edge-incident
+    walk."""
+    from ray_data_mplsh.stages.cc import connected_components
+    from ray_data_mplsh.stages.shuffle import default_partitions
+
+    labels = connected_components(q_ppjoin_pairs(sf_dir), MPLSHConfig(),
+                                  default_partitions())
+    return labels.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "cluster_id": pc.cast(t["cluster_id"], pa.int64())}),
         batch_format="pyarrow")
 
 
@@ -7859,6 +7954,7 @@ QUERIES = {
     "q_doc_freq": q_doc_freq,
     "q_allpair_jaccard": q_allpair_jaccard,
     "q_ppjoin_pairs": q_ppjoin_pairs,
+    "q_ppjoin_clusters": q_ppjoin_clusters,
     "q_allpair_containment": q_allpair_containment,
     "q_knn_bruteforce": q_knn_bruteforce,
     "q_knn_lsh": q_knn_lsh,
@@ -9249,7 +9345,7 @@ ORACLE_SQL["q_dsir_weights"] = (
 # sharing >= 1 shingle can pass any positive threshold), counting the
 # intersection, and filtering on the same integer-ratio double the
 # engine's verify kernel computes (see q_ppjoin_pairs)
-ORACLE_SQL["q_ppjoin_pairs"] = (
+_PPJ_PAIRS_CTES = (
     "WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws "
     "FROM documents), "
     "sh AS (SELECT doc_id, list_distinct(list_transform("
@@ -9259,9 +9355,26 @@ ORACLE_SQL["q_ppjoin_pairs"] = (
     "i AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS ix, "
     "any_value(a.n) AS na, any_value(b.n) AS nb "
     "FROM t a JOIN t b ON a.g = b.g AND a.doc_id < b.doc_id "
-    "GROUP BY 1, 2) "
-    "SELECT a, b, CAST(ix AS DOUBLE) / (na + nb - ix) AS jaccard "
+    "GROUP BY 1, 2)")
+ORACLE_SQL["q_ppjoin_pairs"] = (
+    _PPJ_PAIRS_CTES +
+    " SELECT a, b, CAST(ix AS DOUBLE) / (na + nb - ix) AS jaccard "
     f"FROM i WHERE CAST(ix AS DOUBLE) / (na + nb - ix) >= {_PPJ_T}")
+
+# exact-complete clusters: recursive label propagation (the
+# q_lsh_clusters walk) over the ppjoin pair set
+ORACLE_SQL["q_ppjoin_clusters"] = (
+    "WITH RECURSIVE " + _PPJ_PAIRS_CTES[len("WITH "):] + ", "
+    "vp AS (SELECT a, b FROM i "
+    f"WHERE CAST(ix AS DOUBLE) / (na + nb - ix) >= {_PPJ_T}), "
+    "ed AS (SELECT a AS u, b AS v FROM vp "
+    "UNION ALL SELECT b AS u, a AS v FROM vp), "
+    "walk(u, lbl) AS ("
+    "SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM ed) "
+    "UNION "
+    "SELECT ed.u, w.lbl FROM ed JOIN walk w ON w.u = ed.v) "
+    "SELECT CAST(u AS BIGINT) AS doc_id, "
+    "CAST(MIN(lbl) AS BIGINT) AS cluster_id FROM walk GROUP BY u")
 
 # MassiveText paragraph dedup: unnest the newline split with ordinals,
 # rank every instance globally per paragraph text (ROW_NUMBER over

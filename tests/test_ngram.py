@@ -91,7 +91,9 @@ def test_min_jaccard_filter(ray_session, small_fixture):
     assert (out["jaccard"] >= 0.5).all()
 
 
-def test_ppjoin_planted_families_complete(ray_session, tmp_path):
+@pytest.mark.parametrize("vocab_cap", [4_000_000, 0])
+def test_ppjoin_planted_families_complete(ray_session, tmp_path,
+                                          vocab_cap):
     """PPJoin completeness on a corpus built to stress the prefix
     filter: near-dup FAMILIES (one base text, members differing by a
     few appended words so pairwise Jaccard straddles the threshold),
@@ -99,13 +101,14 @@ def test_ppjoin_planted_families_complete(ray_session, tmp_path):
     The DuckDB equijoin oracle is exact brute force, so any pair the
     prefix filter drops (false negative) or any candidate the verify
     stage mis-scores shows up as a frame mismatch. Every planted
-    within-family pair with J >= T must be present."""
+    within-family pair with J >= T must be present. vocab_cap=0 forces
+    the keyed-exchange df/prefix fallback (path equivalence)."""
     import duckdb
     import pandas as pd
     import pyarrow.parquet as pq
 
-    from ray_data_mplsh.pipelines.queries import (ORACLE_SQL, QUERIES,
-                                                  _PPJ_T)
+    from ray_data_mplsh.pipelines.queries import (ORACLE_SQL, _PPJ_T,
+                                                  _read, ppjoin_pairs)
 
     rng = np.random.default_rng(17)
     vocab = [f"w{i}" for i in range(400)]
@@ -126,7 +129,9 @@ def test_ppjoin_planted_families_complete(ray_session, tmp_path):
     con = duckdb.connect()
     con.sql(f"CREATE VIEW documents AS SELECT * FROM "
             f"'{d}/documents.parquet'")
-    got = QUERIES["q_ppjoin_pairs"](d).to_pandas()
+    got = ppjoin_pairs(
+        _read(d, "documents", ["doc_id", "text"]),
+        broadcast_max_vocab=vocab_cap).to_pandas()
     want = con.sql(ORACLE_SQL["q_ppjoin_pairs"]).df()
     con.close()
     cols = sorted(want.columns)

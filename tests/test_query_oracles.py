@@ -55,7 +55,8 @@ CHECK = ["q_word_stats", "q_doc_freq", "q_allpair_jaccard",
          "q_tpch_q2", "q_tpch_q11", "q_tpch_q20", "q_pii_scrub",
          "q_chunk_tokens", "q_contam_overlap", "q_incremental_fold",
          "q_fold_provenance", "q_lm_score", "q_paragraph_dedup",
-         "q_ppjoin_pairs", "q_dsir_weights", "q_token_budget_mixture"]
+         "q_ppjoin_pairs", "q_dsir_weights", "q_token_budget_mixture",
+         "q_ppjoin_clusters"]
 
 
 @pytest.fixture(scope="module")
