@@ -262,15 +262,19 @@ def _jaccard_shuffle(pairs, sets_tbl, min_jaccard: float,
 
 def exact_jaccard_pairs(pairs, docs, cfg: MPLSHConfig, *,
                         min_jaccard: float = 0.0, num_partitions: int = 0,
-                        force_shuffle: bool = False):
+                        force_shuffle: bool = False, sets_tbl=None):
     """(a, b) candidate pairs + docs (doc_id, text) -> (a, b, jaccard) with
     the exact shingle-set Jaccard, keeping pairs >= min_jaccard. No doc
     cap: above ``cfg.broadcast_max_docs`` (or with ``force_shuffle``) the
-    sets ride the pair-keyed exchange instead of a broadcast."""
+    sets ride the pair-keyed exchange instead of a broadcast. A caller
+    that already materialized the per-doc sets (ppjoin's df/prefix
+    phase) passes them via ``sets_tbl`` to skip the second shingle
+    pass over the corpus."""
     from ray_data_mplsh.stages.shuffle import default_partitions
 
     P = default_partitions(num_partitions)
-    sets_tbl = _sets_stage(docs, cfg).materialize()
+    if sets_tbl is None:
+        sets_tbl = _sets_stage(docs, cfg).materialize()
     n_docs = sets_tbl.count()
     if force_shuffle or n_docs > cfg.broadcast_max_docs:
         return _jaccard_shuffle(pairs, sets_tbl, min_jaccard, P)

@@ -460,7 +460,9 @@ def ppjoin_pairs(docs, *, broadcast_max_vocab: int = 4_000_000):
                                                partition_apply)
 
     cfg = MPLSHConfig()
-    sets = _sets_stage(docs, cfg)
+    # materialized once, shared by the df/prefix phase AND the verify
+    # stage (skips a second shingle pass over the corpus)
+    sets = _sets_stage(docs, cfg).materialize()
     P = default_partitions()
 
     def _prefix_rows(ids, vals, lens, dfv):
@@ -611,7 +613,8 @@ def ppjoin_pairs(docs, *, broadcast_max_vocab: int = 4_000_000):
                          "b": pa.array(b, pa.uint64())})
 
     pairs = partition_apply(cand, "pk", pair_distinct, P)
-    res = exact_jaccard_pairs(pairs, docs, cfg, min_jaccard=_PPJ_T)
+    res = exact_jaccard_pairs(pairs, docs, cfg, min_jaccard=_PPJ_T,
+                              sets_tbl=sets)
     return res.map_batches(
         lambda t: pa.table({"a": pc.cast(t["a"], pa.int64()),
                             "b": pc.cast(t["b"], pa.int64()),
