@@ -790,6 +790,33 @@ def q_embedding_near_dup(sf_dir: str):
     return t.select(["a", "b"])
 
 
+def q_embedding_dedup_clusters(sf_dir: str):
+    """Semantic-dedup cluster map (the SemDeDup shape, Abbas et al.
+    2023, with exact cosine in place of k-means partitioning at
+    driver-checkable scale): connected components over the
+    [[q_embedding_near_dup]] edge set, each edge-incident vector
+    labeled with its component's min vec_id. Reuses the production CC
+    stage; the pair set is the exact broadcast threshold-join below
+    ``exact_max_vecs`` (bit-checkable) and the LSH-bucketed path above
+    (recall-gated in tests), so the cluster map inherits the same
+    small-exact / large-approximate contract."""
+    import ray.data
+
+    from ray_data_mplsh.stages.cc import connected_components
+    from ray_data_mplsh.stages.shuffle import default_partitions
+
+    pairs = q_embedding_near_dup(sf_dir)
+    if isinstance(pairs, pa.Table):
+        pairs = ray.data.from_arrow(pairs)
+    labels = connected_components(pairs, MPLSHConfig(),
+                                  default_partitions())
+    return labels.map_batches(
+        lambda t: pa.table({
+            "vec_id": pc.cast(t["doc_id"], pa.int64()),
+            "cluster_id": pc.cast(t["cluster_id"], pa.int64())}),
+        batch_format="pyarrow")
+
+
 # --- language ID (n-gram/marker heuristic with exact SQL parity) -----------
 
 _LANG_MARKERS = {
@@ -7963,6 +7990,7 @@ QUERIES = {
     "q_knn_lsh": q_knn_lsh,
     "q_knn_ivf": q_knn_ivf,
     "q_embedding_near_dup": q_embedding_near_dup,
+    "q_embedding_dedup_clusters": q_embedding_dedup_clusters,
     "q_lang_id": q_lang_id,
     "q_lm_score": q_lm_score,
     "q_dsir_weights": q_dsir_weights,
@@ -9363,6 +9391,22 @@ ORACLE_SQL["q_ppjoin_pairs"] = (
     _PPJ_PAIRS_CTES +
     " SELECT a, b, CAST(ix AS DOUBLE) / (na + nb - ix) AS jaccard "
     f"FROM i WHERE CAST(ix AS DOUBLE) / (na + nb - ix) >= {_PPJ_T}")
+
+# semantic-dedup clusters: the same recursive walk over the exact
+# cosine threshold-join pair set
+ORACLE_SQL["q_embedding_dedup_clusters"] = (
+    "WITH RECURSIVE p AS (SELECT a.vec_id AS a, b.vec_id AS b "
+    "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+    "AND list_cosine_similarity(a.embedding, b.embedding) "
+    f">= {_ENDUP_THRESHOLD}), "
+    "ed AS (SELECT a AS u, b AS v FROM p "
+    "UNION ALL SELECT b AS u, a AS v FROM p), "
+    "walk(u, lbl) AS ("
+    "SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM ed) "
+    "UNION "
+    "SELECT ed.u, w.lbl FROM ed JOIN walk w ON w.u = ed.v) "
+    "SELECT CAST(u AS BIGINT) AS vec_id, "
+    "CAST(MIN(lbl) AS BIGINT) AS cluster_id FROM walk GROUP BY u")
 
 # exact-complete clusters: recursive label propagation (the
 # q_lsh_clusters walk) over the ppjoin pair set
