@@ -413,7 +413,17 @@ _PPJ_T = 0.5
 _PPJ_MAX_BUCKET = 100_000
 
 
-def ppjoin_pairs(docs, *, broadcast_max_vocab: int = 4_000_000):
+def _ppj_alpha(t: float, n: np.ndarray) -> np.ndarray:
+    """Safe per-set overlap bound for the prefix length: one BELOW the
+    textbook ceil(t*n) so that sub-ulp double rounding at thresholds
+    like 0.65 (whose double is above the rational) can never shorten a
+    prefix past a pair the exact verify would keep — the prefix grows
+    by at most one token, the verify stays the decider."""
+    return np.maximum(np.ceil(t * n).astype(np.int64) - 1, 1)
+
+
+def ppjoin_pairs(docs, *, t: float = _PPJ_T,
+                 broadcast_max_vocab: int = 4_000_000):
     """Prefix-filtered EXACT set-similarity self-join over the WHOLE
     corpus (Chaudhuri et al. 2006 / Xiao et al. 2008 "PPJoin" minus the
     positional filter): every doc pair with shingle-set Jaccard >=
@@ -476,7 +486,7 @@ def ppjoin_pairs(docs, *, broadcast_max_vocab: int = 4_000_000):
         starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
         sr, sv, sn = row[o], vals[o], ns[o]
         pos = np.arange(len(sr), dtype=np.int64) - starts[sr]
-        kp = pos < (sn - np.ceil(_PPJ_T * sn).astype(np.int64) + 1)
+        kp = pos < (sn - _ppj_alpha(t, sn) + 1)
         return pa.table({"sh": pa.array(sv[kp], pa.uint64()),
                          "doc": pa.array(ids[sr[kp]], pa.uint64()),
                          "n": pa.array(sn[kp], pa.int64())})
@@ -551,7 +561,7 @@ def ppjoin_pairs(docs, *, broadcast_max_vocab: int = 4_000_000):
             sizes = np.diff(np.concatenate([starts, [len(ds_)]]))
             pos = np.arange(len(ds_), dtype=np.int64) \
                 - np.repeat(starts, sizes)
-            plen = ns - np.ceil(_PPJ_T * ns).astype(np.int64) + 1
+            plen = ns - _ppj_alpha(t, ns) + 1
             keep = pos < plen
             return pa.table({"sh": pa.array(shs[keep], pa.uint64()),
                              "doc": pa.array(ds_[keep], pa.uint64()),
@@ -590,7 +600,7 @@ def ppjoin_pairs(docs, *, broadcast_max_vocab: int = 4_000_000):
         a = np.minimum(ra, rb)
         b = np.maximum(ra, rb)
         na, nb = ns[left], ns[right]
-        keep = np.minimum(na, nb) >= _PPJ_T * np.maximum(na, nb)
+        keep = np.minimum(na, nb) + 1 >= t * np.maximum(na, nb)
         a, b = a[keep], b[keep]
         pair = np.stack([a, b], axis=1)
         pair = np.unique(pair, axis=0) if len(pair) else pair
@@ -613,7 +623,7 @@ def ppjoin_pairs(docs, *, broadcast_max_vocab: int = 4_000_000):
                          "b": pa.array(b, pa.uint64())})
 
     pairs = partition_apply(cand, "pk", pair_distinct, P)
-    res = exact_jaccard_pairs(pairs, docs, cfg, min_jaccard=_PPJ_T,
+    res = exact_jaccard_pairs(pairs, docs, cfg, min_jaccard=t,
                               sets_tbl=sets)
     return res.map_batches(
         lambda t: pa.table({"a": pc.cast(t["a"], pa.int64()),
@@ -626,6 +636,69 @@ def q_ppjoin_pairs(sf_dir: str):
     """Exact set-similarity self-join over the documents table (see
     ppjoin_pairs)."""
     return ppjoin_pairs(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_lsh_recall(sf_dir: str):
+    """Candidate-RECALL evaluation of the production LSH chain against
+    EXACT ground truth (op 29 recall_metric, made driver-checkable now
+    that [[q_ppjoin_pairs]] provides a provably complete pair set):
+    truth = the prefix-filtered exact join at verify_theta; found = the
+    q_lsh_verified_pairs chain (est >= verify_theta on the pinned
+    16-perm config). One row: n_true, n_found, n_hit (= |found ∩
+    truth|; found is not a subset — the 16-slot estimate can clear the
+    bar while the true Jaccard does not), recall = n_hit/n_true (NULL
+    when no true pairs). Scale shape: both pair sets are output-sized;
+    the intersection is one a-keyed padded-union exchange with
+    per-partition sorted matching, P count partials to the driver."""
+    from ray_data_mplsh.stages.shuffle import (default_partitions,
+                                               partition_apply)
+
+    theta = MPLSHConfig().verify_theta
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    truth = ppjoin_pairs(docs, t=theta)
+    found = q_lsh_verified_pairs(sf_dir)
+    P = default_partitions()
+    _SD = "__recall_side"
+
+    def pad(side: int):
+        def f(tb: pa.Table) -> pa.Table:
+            return pa.table({
+                "a": tb["a"], "b": tb["b"],
+                _SD: pa.array(np.full(tb.num_rows, side, np.int8),
+                              pa.int8())})
+        return f
+
+    both = truth.map_batches(pad(0), batch_format="pyarrow").union(
+        found.map_batches(pad(1), batch_format="pyarrow"))
+
+    def hit_partial(part: pa.Table) -> pa.Table:
+        a = part["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = part["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sd = part[_SD].to_numpy(zero_copy_only=False)
+        o = np.lexsort((sd, b, a))
+        A, B, S = a[o], b[o], sd[o]
+        # each side's pairs are distinct, so a truth/found match is one
+        # adjacent (a, b) run with sides 0 then 1
+        hit = int(((A[1:] == A[:-1]) & (B[1:] == B[:-1])
+                   & (S[1:] == 1) & (S[:-1] == 0)).sum()) if len(A) else 0
+        return pa.table({
+            "h": pa.array([hit], pa.int64()),
+            "t": pa.array([int((sd == 0).sum())], pa.int64()),
+            "f": pa.array([int((sd == 1).sum())], pa.int64())})
+
+    parts = gather_capped(partition_apply(both, "a", hit_partial, P),
+                          1_000_000, pa.schema([("h", pa.int64()),
+                                                ("t", pa.int64()),
+                                                ("f", pa.int64())]))
+    n_hit = int(pc.sum(parts["h"]).as_py() or 0)
+    n_true = int(pc.sum(parts["t"]).as_py() or 0)
+    n_found = int(pc.sum(parts["f"]).as_py() or 0)
+    return pa.table({
+        "n_true": pa.array([n_true], pa.int64()),
+        "n_found": pa.array([n_found], pa.int64()),
+        "n_hit": pa.array([n_hit], pa.int64()),
+        "recall": pa.array([n_hit / n_true if n_true else None],
+                           pa.float64())})
 
 
 def q_ppjoin_clusters(sf_dir: str):
@@ -7985,6 +8058,7 @@ QUERIES = {
     "q_allpair_jaccard": q_allpair_jaccard,
     "q_ppjoin_pairs": q_ppjoin_pairs,
     "q_ppjoin_clusters": q_ppjoin_clusters,
+    "q_lsh_recall": q_lsh_recall,
     "q_allpair_containment": q_allpair_containment,
     "q_knn_bruteforce": q_knn_bruteforce,
     "q_knn_lsh": q_knn_lsh,
@@ -9407,6 +9481,27 @@ ORACLE_SQL["q_embedding_dedup_clusters"] = (
     "SELECT ed.u, w.lbl FROM ed JOIN walk w ON w.u = ed.v) "
     "SELECT CAST(u AS BIGINT) AS vec_id, "
     "CAST(MIN(lbl) AS BIGINT) AS cluster_id FROM walk GROUP BY u")
+
+# LSH candidate recall vs exact ground truth: both chains spliced into
+# one statement — the full LSH replay (documents -> sigs -> bands ->
+# buckets -> verify) plus the ppjoin equijoin with its `d` CTE renamed
+# to dodge the LSH chain's own `d` (the only name collision)
+import re as _re
+
+_PPJ_RENAMED_CTES = _re.sub(r"\bd\b", "pjd", _PPJ_PAIRS_CTES)
+_RECALL_THETA = MPLSHConfig().verify_theta
+ORACLE_SQL["q_lsh_recall"] = (
+    _LSH_PAIRS_CTES + ", " + _PPJ_RENAMED_CTES[len("WITH "):] + ", "
+    "tp AS (SELECT a, b FROM i "
+    f"WHERE CAST(ix AS DOUBLE) / (na + nb - ix) >= {_RECALL_THETA}), "
+    f"fp AS (SELECT a, b FROM vs WHERE jaccard >= {_RECALL_THETA}), "
+    "hit AS (SELECT count(*) AS c FROM tp JOIN fp USING (a, b)) "
+    "SELECT (SELECT count(*) FROM tp) AS n_true, "
+    "(SELECT count(*) FROM fp) AS n_found, "
+    "(SELECT c FROM hit) AS n_hit, "
+    "CASE WHEN (SELECT count(*) FROM tp) > 0 THEN "
+    "CAST((SELECT c FROM hit) AS DOUBLE) / (SELECT count(*) FROM tp) "
+    "END AS recall")
 
 # exact-complete clusters: recursive label propagation (the
 # q_lsh_clusters walk) over the ppjoin pair set

@@ -171,3 +171,48 @@ def test_paragraph_dedup_multipara(ray_session, tmp_path, cap, seed):
     assert (a.n_removed > 0).any(), "corpus planted no removals"
     assert len(a) == 80, "every doc has >= 1 paragraph, so every doc " \
         "emits a row (empty text = one empty paragraph)"
+
+
+@pytest.mark.parametrize("seed", [7])
+def test_lsh_recall_borderline_misses(ray_session, tmp_path, seed):
+    """q_lsh_recall in its informative regime: families whose pairwise
+    Jaccard sits just above verify_theta (~0.66-0.75), where the pinned
+    16-slot MinHash estimate has high variance — some true pairs fall
+    below the est bar (n_hit < n_true) and some sub-theta pairs clear
+    it. Parity must hold bit-exactly anyway because the oracle replays
+    the same estimate, and recall is the same double ratio."""
+    from ray_data_mplsh.pipelines.queries import ORACLE_SQL, QUERIES
+
+    rng = np.random.default_rng(seed)
+    vocab = [f"t{i}" for i in range(3000)]
+    texts = []
+    # 12 families: pristine base + 3 members with 2 scattered word
+    # edits each -> base-member shingle Jaccard ~ (56-10)/(56+10) ~ 0.7
+    # (each edit kills <= 5 shingles of 56), member-member ~ 0.5
+    for f in range(12):
+        base = [vocab[int(j)] for j in rng.integers(0, 3000, 60)]
+        texts.append(" ".join(base))
+        for m in range(3):
+            doc = list(base)
+            for pos in rng.choice(60, size=2, replace=False):
+                doc[int(pos)] = vocab[int(rng.integers(0, 3000))]
+            texts.append(" ".join(doc))
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}), f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{d}/documents.parquet'")
+    got = QUERIES["q_lsh_recall"](d).to_pandas()
+    want = con.sql(ORACLE_SQL["q_lsh_recall"]).df()
+    con.close()
+    cols = sorted(want.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    assert list(a.dtypes) == list(b.dtypes)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    r = a.iloc[0]
+    assert r.n_true > 10, "corpus must plant borderline true pairs"
+    assert r.n_hit < r.n_true, "16-slot est should miss some"
+    assert 0 < r.recall < 1
