@@ -467,7 +467,8 @@ def ppjoin_pairs(docs, *, t: float = _PPJ_T,
     from ray_data_mplsh.pipelines.ngram import (_list_parts, _sets_stage,
                                                 exact_jaccard_pairs)
     from ray_data_mplsh.stages.shuffle import (default_partitions, mix64,
-                                               partition_apply)
+                                               partition_apply,
+                                               sized_partitions)
 
     cfg = MPLSHConfig()
     # materialized once, shared by the df/prefix phase AND the verify
@@ -505,7 +506,12 @@ def ppjoin_pairs(docs, *, t: float = _PPJ_T,
                         pa.schema([("sh", pa.int64()),
                                    ("c", pa.int64())]))
 
+    Pc = P  # candidate/distinct exchange width (data-sized below)
     if dft is not None:
+        # prefix rows ~ half the shingle instances: right-size the two
+        # downstream exchanges (a 64-wide Sort over 100k rows is almost
+        # pure overhead; the width stays a pure function of the data)
+        Pc = sized_partitions(int(pc.sum(dft["c"]).as_py() or 0) // 2, P)
         sh_s = dft["sh"].to_numpy(zero_copy_only=False).astype(np.int64) \
             .view(np.uint64)
         df_s = dft["c"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -611,7 +617,7 @@ def ppjoin_pairs(docs, *, t: float = _PPJ_T,
                          "b": pa.array(b, pa.uint64()),
                          "pk": pa.array(pk, pa.uint64())})
 
-    cand = partition_apply(pref, "sh", bucket_pairs, P)
+    cand = partition_apply(pref, "sh", bucket_pairs, Pc)
 
     def pair_distinct(part: pa.Table) -> pa.Table:
         a = part["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -622,7 +628,7 @@ def ppjoin_pairs(docs, *, t: float = _PPJ_T,
         return pa.table({"a": pa.array(a, pa.uint64()),
                          "b": pa.array(b, pa.uint64())})
 
-    pairs = partition_apply(cand, "pk", pair_distinct, P)
+    pairs = partition_apply(cand, "pk", pair_distinct, Pc)
     res = exact_jaccard_pairs(pairs, docs, cfg, min_jaccard=t,
                               sets_tbl=sets)
     return res.map_batches(
