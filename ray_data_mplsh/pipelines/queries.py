@@ -2763,8 +2763,10 @@ def paragraph_dedup(ds, broadcast_max_paras: int = 4_000_000):
         ci = np.flatnonzero(side == 1)
         if len(ci) and len(ids):
             cd = d[ci]
-            cs = part["idx"].to_numpy(zero_copy_only=False) \
-                .astype(np.int64)[ci]
+            # take the cover rows FIRST: the doc rows' idx is null and
+            # would cast NaN -> int64 garbage (unused but warning-noisy)
+            cs = part["idx"].take(pa.array(ci)) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
             o = np.argsort(ids)
             li = o[np.searchsorted(ids[o], cd)]
             offs = np.concatenate(([0], np.cumsum(counts)))
