@@ -2874,6 +2874,26 @@ def q_token_budget_mixture(sf_dir: str):
     return toks.map_batches(keep, batch_format="pyarrow")
 
 
+def q_curation_v2(sf_dir: str):
+    """The round-5 webtext curation chain as ONE pipeline (session-4
+    ops composed, the q_curation_e2e companion): (1)
+    [[q_token_budget_mixture]] picks the epoch's docs per source
+    budget; (2) the sampled subcorpus is cross-doc
+    paragraph-deduplicated ([[q_paragraph_dedup]] — winners decided
+    WITHIN the sample: the scrub-after-sampling order means the
+    paragraph exchange touches ~B x |sources| tokens at 100 TB, not
+    the corpus). The kept-doc semi-join runs the shared
+    broadcast-below/exchange-above plan (stages/relational); output is
+    the scrubbed text + per-doc kept/removed paragraph counts."""
+    from ray_data_mplsh.stages.relational import semi_anti_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    kept = q_token_budget_mixture(sf_dir)
+    sub = semi_anti_join(docs, kept, left_on="doc_id",
+                         right_on="doc_id")
+    return paragraph_dedup(sub)
+
+
 def q_prefix_dup_groups(sf_dir: str):
     """Exact-prefix dup blocking (op 23 variant): groups of docs sharing
     the same 40-char text prefix, with group size and representative
@@ -8112,6 +8132,7 @@ QUERIES = {
     "q_crossdoc_ngrams": q_crossdoc_ngrams,
     "q_mixture_sample": q_mixture_sample,
     "q_token_budget_mixture": q_token_budget_mixture,
+    "q_curation_v2": q_curation_v2,
     "q_prefix_dup_groups": q_prefix_dup_groups,
     "q_rollup_lang_source": q_rollup_lang_source,
     "q_distinct_users": q_distinct_users,
@@ -9433,6 +9454,30 @@ ORACLE_SQL["q_token_budget_mixture"] = (
     "WHERE ((tk.doc_id % 4294967296) * 2654435761::HUGEINT "
     "% 4294967296) * s.ts "
     f"< {_TBM_BUDGET} * 4294967296::HUGEINT")
+
+# curation v2: the budget keep-inequality feeding the paragraph window
+# chain over the kept subcorpus (see q_curation_v2)
+ORACLE_SQL["q_curation_v2"] = (
+    "WITH tk AS (SELECT doc_id, source, "
+    "len(string_split(text, ' ')) AS n_tok FROM documents), "
+    "sb AS (SELECT source, CAST(sum(n_tok) AS HUGEINT) AS ts "
+    "FROM tk GROUP BY source), "
+    "kept AS (SELECT tk.doc_id FROM tk JOIN sb "
+    "ON tk.source = sb.source "
+    "WHERE ((tk.doc_id % 4294967296) * 2654435761::HUGEINT "
+    f"% 4294967296) * sb.ts < {_TBM_BUDGET} * 4294967296::HUGEINT), "
+    "kd AS (SELECT d.doc_id, d.text FROM documents d "
+    "JOIN kept USING (doc_id)), "
+    "s2 AS (SELECT doc_id, string_split(text, chr(10)) AS ps FROM kd), "
+    "p2 AS (SELECT doc_id, unnest(ps) AS para, "
+    "generate_subscripts(ps, 1) AS idx FROM s2), "
+    "w2 AS (SELECT doc_id, para, idx, row_number() OVER "
+    "(PARTITION BY para ORDER BY doc_id, idx) AS rn FROM p2) "
+    "SELECT doc_id, coalesce(string_agg(CASE WHEN rn = 1 THEN para END, "
+    "chr(10) ORDER BY idx), '') AS text, "
+    "count(*) FILTER (WHERE rn = 1) AS n_kept, "
+    "count(*) FILTER (WHERE rn > 1) AS n_removed "
+    "FROM w2 GROUP BY doc_id")
 
 # DSIR importance stats: both unigram models retrained in SQL (word
 # instance counts over target docs / all docs), every doc scored by

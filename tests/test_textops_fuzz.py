@@ -24,7 +24,7 @@ from ray_data_mplsh.pipelines.queries import ORACLE_SQL, QUERIES
 FUZZED = ["q_pii_scrub", "q_chunk_tokens", "q_contam_overlap",
           "q_lm_score", "q_paragraph_dedup", "q_dsir_weights",
           "q_token_budget_mixture", "q_ppjoin_pairs",
-          "q_ppjoin_clusters"]
+          "q_ppjoin_clusters", "q_curation_v2"]
 
 _WORDS = ["the", "ab3", "x", "foo.bar", "semi;colon", "café",
           "10.0.0.7", "a@b.co", "+1-555-0001", "trail.", "(paren)",
