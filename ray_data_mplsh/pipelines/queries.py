@@ -2582,7 +2582,8 @@ def _split_paras(b: pa.Table):
     return ids, lst.flatten(), row, idx, counts
 
 
-def paragraph_dedup(ds, broadcast_max_paras: int = 4_000_000):
+def paragraph_dedup(ds, broadcast_max_paras: int = 4_000_000,
+                    num_partitions: int = 0):
     """MassiveText-style cross-doc PARAGRAPH dedup (Rae et al. 2021,
     §A.2.3 — exact duplicate paragraphs removed corpus-wide): docs are
     split on newline, a paragraph INSTANCE survives iff it is the
@@ -2619,7 +2620,7 @@ def paragraph_dedup(ds, broadcast_max_paras: int = 4_000_000):
                                                default_partitions,
                                                partition_apply)
 
-    P = default_partitions()
+    P = default_partitions(num_partitions)
 
     def para_rows(b: pa.Table, distinct: bool) -> pa.Table:
         ids, vals, row, idx, _ = _split_paras(b)
@@ -2889,9 +2890,14 @@ def q_curation_v2(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     kept = q_token_budget_mixture(sf_dir)
+    # the sample is <= B x |sources| tokens BY CONSTRUCTION, so
+    # materializing it (instead of re-reading + re-probing the corpus
+    # for each of paragraph_dedup's two passes) and running the
+    # paragraph exchange narrow are both scale-safe — the widths are a
+    # function of the job's budget constant, not the cluster
     sub = semi_anti_join(docs, kept, left_on="doc_id",
-                         right_on="doc_id")
-    return paragraph_dedup(sub)
+                         right_on="doc_id").materialize()
+    return paragraph_dedup(sub, num_partitions=8)
 
 
 def q_prefix_dup_groups(sf_dir: str):
