@@ -141,3 +141,24 @@ def test_ppjoin_planted_families_complete(ray_session, tmp_path,
     pd.testing.assert_frame_equal(a, b, check_exact=True)
     assert len(a) >= 6, "families must produce threshold pairs"
     assert (a["jaccard"] >= _PPJ_T).all()
+
+
+def test_ppjoin_bucket_guard_raises(ray_session, tmp_path, monkeypatch):
+    """The quadratic guard fires loudly instead of silently salting: with
+    the bucket cap forced to 1, any prefix token shared by two docs
+    overflows and the candidate stage raises."""
+    import pyarrow.parquet as pq
+    import ray
+
+    import ray_data_mplsh.pipelines.queries as Q
+
+    d = str(tmp_path)
+    base = " ".join(f"g{i}" for i in range(12))
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array([base, base], pa.string())}),
+        f"{d}/documents.parquet")
+    monkeypatch.setattr(Q, "_PPJ_MAX_BUCKET", 1)
+    with pytest.raises((RuntimeError, ray.exceptions.RayTaskError),
+                       match="_PPJ_MAX_BUCKET"):
+        Q.QUERIES["q_ppjoin_pairs"](d).materialize()
