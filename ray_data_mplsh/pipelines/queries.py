@@ -638,10 +638,22 @@ def ppjoin_pairs(docs, *, t: float = _PPJ_T,
         batch_format="pyarrow")
 
 
+_PPJ_PAIRS_CACHE: dict = {}
+
+
 def q_ppjoin_pairs(sf_dir: str):
     """Exact set-similarity self-join over the documents table (see
-    ppjoin_pairs)."""
-    return ppjoin_pairs(_read(sf_dir, "documents", ["doc_id", "text"]))
+    ppjoin_pairs). Materialized once per process and shared with
+    [[q_ppjoin_clusters]] (the q_incremental_fold memoization pattern):
+    the pair set is output-sized — far smaller than the corpus — so
+    holding it lets the cluster query reuse the join instead of
+    recomputing the whole prefix-filter chain. Parameterized callers
+    (other thresholds, forced plans) use ppjoin_pairs directly and
+    never touch the cache."""
+    if sf_dir not in _PPJ_PAIRS_CACHE:
+        _PPJ_PAIRS_CACHE[sf_dir] = ppjoin_pairs(
+            _read(sf_dir, "documents", ["doc_id", "text"])).materialize()
+    return _PPJ_PAIRS_CACHE[sf_dir]
 
 
 def q_lsh_recall(sf_dir: str):
@@ -2582,6 +2594,28 @@ def _split_paras(b: pa.Table):
     return ids, lst.flatten(), row, idx, counts
 
 
+def _rebuild_docs(ids, vals, row, idx, counts, bad_mask) -> pa.Table:
+    """Drop the bad paragraph/line instances of a [[_split_paras]] block
+    and re-join per doc: (doc_id, text, n_kept, n_removed). Shared by
+    [[paragraph_dedup]] (first-wins) and [[boilerplate_lines]]
+    (kill-all-copies) — the two cross-doc line-granularity scrubs differ
+    only in WHICH instances are bad, never in the reassembly."""
+    kept = ~bad_mask
+    n_kept = np.bincount(row[kept], minlength=len(ids)) \
+        .astype(np.int64)
+    offs = pa.array(np.concatenate(
+        ([0], np.cumsum(n_kept))).astype(np.int64), pa.int64())
+    nl = pa.LargeListArray.from_arrays(
+        offs, vals.filter(pa.array(kept)).cast(pa.large_string()))
+    txt = pc.binary_join(
+        nl, pa.scalar("\n", pa.large_string())).cast(pa.string())
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": txt,
+        "n_kept": pa.array(n_kept, pa.int64()),
+        "n_removed": pa.array(counts - n_kept, pa.int64())})
+
+
 def paragraph_dedup(ds, broadcast_max_paras: int = 4_000_000,
                     num_partitions: int = 0):
     """MassiveText-style cross-doc PARAGRAPH dedup (Rae et al. 2021,
@@ -2673,22 +2707,7 @@ def paragraph_dedup(ds, broadcast_max_paras: int = 4_000_000,
                             ("win_idx", pa.int64())])
     dup_tbl = gather_capped(dup, broadcast_max_paras, dup_schema)
 
-    def rebuild_block(ids, vals, row, idx, counts, bad_mask):
-        """Drop the bad paragraph instances and re-join per doc."""
-        kept = ~bad_mask
-        n_kept = np.bincount(row[kept], minlength=len(ids)) \
-            .astype(np.int64)
-        offs = pa.array(np.concatenate(
-            ([0], np.cumsum(n_kept))).astype(np.int64), pa.int64())
-        nl = pa.LargeListArray.from_arrays(
-            offs, vals.filter(pa.array(kept)).cast(pa.large_string()))
-        txt = pc.binary_join(
-            nl, pa.scalar("\n", pa.large_string())).cast(pa.string())
-        return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            "text": txt,
-            "n_kept": pa.array(n_kept, pa.int64()),
-            "n_removed": pa.array(counts - n_kept, pa.int64())})
+    rebuild_block = _rebuild_docs
 
     if dup_tbl is not None:
         ref = ray.put((
@@ -2784,6 +2803,168 @@ def q_paragraph_dedup(sf_dir: str):
     reassembly — the multi-paragraph semantics are pinned by the fuzz
     corpus in tests/test_textops_fuzz.py)."""
     return paragraph_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def boilerplate_lines(ds, min_docs: int = 2,
+                      broadcast_max_lines: int = 4_000_000,
+                      num_partitions: int = 0):
+    """Cross-doc BOILERPLATE line scrub (the RefinedWeb/CCNet frequency
+    heuristic: a line that recurs across documents is chrome — nav bars,
+    cookie banners, share buttons — not content): every line whose exact
+    text appears in >= ``min_docs`` DISTINCT documents is removed from
+    EVERY document, including its first occurrence. The complement of
+    [[paragraph_dedup]]'s first-wins rule: dedup keeps one copy of
+    repeated content, boilerplate removal keeps none. Output per doc:
+    (doc_id, text, n_kept, n_removed), every doc emits a row (empty text
+    is one empty line, see [[_split_paras]]).
+
+    Two physical plans (the paragraph_dedup pattern):
+
+    * broadcast (default): one line-hash exchange of per-doc-DISTINCT
+      ``(line, 1)`` rows (a per-batch doc-count combiner — docs never
+      span batches) resolves corpus-wide distinct-doc counts exactly;
+      the boilerplate set, bounded by |lines recurring across docs| and
+      tiny next to the corpus, is gathered once and the scrub is
+      map-side only (pd.Index probe + [[_rebuild_docs]]).
+    * exchange fallback (the set overflowed ``broadcast_max_lines``):
+      every line INSTANCE rides the hash exchange, partitions emit the
+      boilerplate (doc, idx) cover rows, and a doc-keyed padded union
+      meets them with their documents for the same rebuild. Path
+      equivalence is force-tested with the cap at 0.
+
+    100 TB note: only per-doc-distinct line strings cross the counting
+    exchange (bounded by corpus bytes); grouping inside a partition is
+    on the exact STRING — the hash only routes."""
+    import ray
+
+    from ray_data_mplsh.functions.hashing import hash_str_array
+    from ray_data_mplsh.stages.shuffle import (cached_get,
+                                               default_partitions,
+                                               partition_apply)
+
+    P = default_partitions(num_partitions)
+
+    def line_rows(b: pa.Table, distinct: bool) -> pa.Table:
+        ids, vals, row, idx, _ = _split_paras(b)
+        g = np.asarray(vals.to_pylist(), dtype=object)
+        df = pd.DataFrame({"doc_id": ids[row], "line": g, "idx": idx})
+        if distinct:  # one row per (doc, line): the doc-count combiner
+            df = df.drop_duplicates(["doc_id", "line"])[["line"]]
+        cols = {"line": pa.array(df["line"].to_numpy(dtype=object),
+                                 pa.string())}
+        for c in df.columns:
+            if c != "line":
+                cols[c] = pa.array(df[c].to_numpy(np.int64))
+        cols["line_h"] = pa.array(hash_str_array(cols["line"]),
+                                  pa.uint64())
+        return pa.table(cols)
+
+    def boiler_set(part: pa.Table) -> pa.Table:
+        """Lines with >= min_docs distinct docs in the hash partition
+        (rows are per-doc distinct, so the row count per exact line
+        string IS its corpus-wide distinct-doc count)."""
+        g = part["line"].to_pandas().to_numpy(dtype=object)
+        codes, uniq = pd.factorize(g, sort=False)
+        nd = np.bincount(codes, minlength=len(uniq))
+        sel = np.flatnonzero(nd >= min_docs)
+        return pa.table({"line": pa.array(uniq[sel], pa.string())})
+
+    boiler = partition_apply(
+        ds.map_batches(lambda b: line_rows(b, True),
+                       batch_format="pyarrow"),
+        "line_h", boiler_set, P)
+    boiler_tbl = gather_capped(boiler, broadcast_max_lines,
+                               pa.schema([("line", pa.string())]))
+
+    if boiler_tbl is not None:
+        ref = ray.put(pd.Index(
+            np.asarray(boiler_tbl["line"].to_pylist(), dtype=object)))
+
+        def scrub(b: pa.Table) -> pa.Table:
+            ids, vals, row, idx, counts = _split_paras(b)
+            lines = cached_get(ref)
+            if len(lines) and len(row):
+                bad = lines.get_indexer(
+                    np.asarray(vals.to_pylist(), dtype=object)) >= 0
+            else:
+                bad = np.zeros(len(row), bool)
+            return _rebuild_docs(ids, vals, row, idx, counts, bad)
+
+        return ds.map_batches(scrub, batch_format="pyarrow")
+
+    # --- exchange fallback: boilerplate set is not broadcastable -------
+    allpos = ds.map_batches(lambda b: line_rows(b, False),
+                            batch_format="pyarrow")
+
+    def cover_rows(part: pa.Table) -> pa.Table:
+        g = part["line"].to_pandas().to_numpy(dtype=object)
+        d = part["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = part["idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes, uniq = pd.factorize(g, sort=False)
+        nd = np.zeros(len(uniq), np.int64)
+        if len(codes):
+            # distinct-doc count per line: count (line, doc) firsts
+            o = np.lexsort((d, codes))
+            new_pair = np.concatenate(
+                ([True], (codes[o][1:] != codes[o][:-1])
+                 | (d[o][1:] != d[o][:-1])))
+            np.add.at(nd, codes[o[new_pair]], 1)
+        bad = nd[codes] >= min_docs
+        return pa.table({"doc_id": pa.array(d[bad], pa.int64()),
+                         "idx": pa.array(s[bad], pa.int64())})
+
+    cov = partition_apply(allpos, "line_h", cover_rows, P)
+
+    _SD = "__line_side"
+
+    def pad_doc(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"].cast(pa.int64()), "text": b["text"],
+            "idx": pa.nulls(b.num_rows, pa.int64()),
+            _SD: pa.array(np.zeros(b.num_rows, np.int8), pa.int8())})
+
+    def pad_cov(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "text": pa.nulls(b.num_rows, pa.string()),
+            "idx": b["idx"],
+            _SD: pa.array(np.ones(b.num_rows, np.int8), pa.int8())})
+
+    both = ds.map_batches(pad_doc, batch_format="pyarrow").union(
+        cov.map_batches(pad_cov, batch_format="pyarrow"))
+
+    def rebuild(part: pa.Table) -> pa.Table:
+        side = part[_SD].to_numpy(zero_copy_only=False)
+        d = part["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        di = np.flatnonzero(side == 0)
+        doc_tbl = pa.table({"doc_id": pa.array(d[di], pa.int64()),
+                            "text": part["text"].take(pa.array(di))})
+        ids, vals, row, idx, counts = _split_paras(doc_tbl)
+        bad = np.zeros(len(row), bool)
+        ci = np.flatnonzero(side == 1)
+        if len(ci) and len(ids):
+            cd = d[ci]
+            # cover rows FIRST (doc rows' idx is null; see
+            # paragraph_dedup's rebuild for the NaN-cast rationale)
+            cs = part["idx"].take(pa.array(ci)) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            o = np.argsort(ids)
+            li = o[np.searchsorted(ids[o], cd)]
+            offs = np.concatenate(([0], np.cumsum(counts)))
+            bad[offs[li] + cs] = True
+        return _rebuild_docs(ids, vals, row, idx, counts, bad)
+
+    return partition_apply(both, "doc_id", rebuild, P)
+
+
+def q_boilerplate_lines(sf_dir: str):
+    """Boilerplate-line scrub over the documents table (see
+    boilerplate_lines; on the newline-free driver corpus a whole doc is
+    one line, so any text shared by >= 2 docs empties ALL its copies —
+    the multi-line semantics are pinned by the fuzz corpora in
+    tests/test_textops_fuzz.py)."""
+    return boilerplate_lines(
+        _read(sf_dir, "documents", ["doc_id", "text"]))
 
 
 # --- data-mixture sampling and prefix blocking ------------------------------
@@ -8076,6 +8257,163 @@ def q_incremental_fold(sf_dir: str):
         "cluster_id", rekey, P)
 
 
+# --- round-5 session-5: soft dedup, split tagging, CDC chunking ------------
+
+def q_soft_dedup_weights(sf_dir: str):
+    """SoftDeDup-style per-doc DOWNWEIGHTING (the remove-nothing dedup
+    tier: instead of dropping duplicates, training reweights them so a
+    text's total sampling mass is one doc's worth): for each doc,
+    ``n_copies`` = corpus-wide count of its normalized text (the
+    q_normalized_dedup normalization — lower + strip non-alnum) and
+    ``weight`` = 1/n_copies. Complements [[q_dedup_tiers]]' hard
+    attribution with the soft alternative a data-recipe ablation needs.
+    One norm-hash-routed exchange (the q_normalized_dedup shape, but
+    emitting every ROW with its group size rather than one rep per
+    group); grouping inside the partition is on the exact normalized
+    STRING — the hash only routes. Both engines derive the double as
+    IEEE 1.0/n, so the weight column is bit-exact vs SQL."""
+    from ray_data_mplsh.functions.hashing import hash_str_array
+    from ray_data_mplsh.stages.shuffle import (default_partitions,
+                                               partition_apply)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(b: pa.Table) -> pa.Table:
+        nt = pc.utf8_lower(pc.replace_substring_regex(
+            b["text"], pattern="[^a-zA-Z0-9 ]", replacement=""))
+        return pa.table({
+            "doc_id": b["doc_id"], "norm": nt,
+            "_nh": pa.array(hash_str_array(nt), pa.uint64())})
+
+    def weigh(part: pa.Table) -> pa.Table:
+        ids = part["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        codes, _ = pd.factorize(part["norm"].to_pandas(), sort=False)
+        cnt = np.bincount(codes).astype(np.int64) if len(codes) \
+            else np.zeros(0, np.int64)
+        n = cnt[codes] if len(codes) else np.zeros(0, np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_copies": pa.array(n, pa.int64()),
+            "weight": pa.array(1.0 / n if len(n) else
+                               np.zeros(0, np.float64), pa.float64())})
+
+    return partition_apply(ds.map_batches(norm, batch_format="pyarrow"),
+                           "_nh", weigh, default_partitions())
+
+
+def q_train_split(sf_dir: str):
+    """Deterministic train/valid/test split tagging (98/1/1): the
+    held-out-set assignment a pretraining pipeline stamps on every doc
+    so eval contamination is structurally impossible — stable under
+    re-runs, re-sharding and corpus growth because the label is a pure
+    function of doc_id (the q_sample multiplicative hash, mod 100:
+    < 98 train, = 98 valid, else test). Stateless map, no shuffle,
+    bit-exact vs the HUGEINT CASE replay in SQL."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        h = knuth_hash32(
+            t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ) % np.uint64(100)
+        split = np.where(h < 98, "train",
+                         np.where(h == 98, "valid", "test"))
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "lang": t["lang"],
+                         "split": pa.array(split, pa.string())})
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+_CDC_MOD = 8   # expected chunk length 1/P(boundary) = 8 tokens
+
+
+def q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking + chunk-level dedup stats (the
+    storage-dedup/RETRO-retrieval primitive at token granularity): a
+    chunk boundary falls AFTER token j iff ``poly_hash(token_j) %
+    _CDC_MOD == 0`` — boundaries depend only on local content, so a
+    shared passage chunks identically in every doc regardless of
+    position (the property fixed-stride windows lack, and why CDC finds
+    shifted duplicates). Output one row per chunk: (doc_id, chunk_idx,
+    n_tokens, n_copies) where n_copies = corpus-wide instance count of
+    the chunk's exact text. Every doc emits >= 1 chunk (empty text is
+    one empty token, the q_chunk_tokens split contract).
+
+    Plan: stateless chunker map (vectorized rolling split: per-token
+    poly hashes, per-doc exclusive boundary cumsum, ListArray +
+    binary_join chunk reassembly) -> one chunk-hash exchange; counting
+    inside the partition is on the exact chunk STRING (hash only
+    routes). 100 TB note: chunk text crosses the exchange once; the
+    crossdoc_ngrams hash_only projection applies identically if a
+    2^-128 collision budget is acceptable.
+
+    SQL parity boundary (the q_simhash_pairs contract): the oracle
+    folds CODEPOINTS where poly_str_hashes folds UTF-8 bytes —
+    identical iff the corpus is ASCII, which the fixture contract and
+    the dedicated ASCII fuzz corpus (tests/test_textops_fuzz.py)
+    guarantee; boundary placement on non-ASCII corpora is still
+    deterministic, just not SQL-replayed."""
+    from ray_data_mplsh.functions.hashing import (hash_str_array,
+                                                  poly_str_hashes)
+    from ray_data_mplsh.stages.shuffle import (default_partitions,
+                                               partition_apply)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    P = default_partitions()
+    _EMPTY = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "chunk_idx": pa.array([], pa.int64()),
+        "n_tokens": pa.array([], pa.int64()),
+        "ctext": pa.array([], pa.string()),
+        "ch": pa.array([], pa.uint64())})
+
+    def chunk_rows(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        row, words = _split_words(b["text"])
+        if len(row) == 0:
+            return _EMPTY
+        wh = poly_str_hashes(words)
+        f = wh % np.uint64(_CDC_MOD) == 0
+        # exclusive cumsum of boundary flags, rebased per doc: token j's
+        # chunk index = #boundaries among its doc's EARLIER tokens
+        ce = np.concatenate(([0], np.cumsum(f)[:-1])).astype(np.int64)
+        first = np.concatenate(([True], row[1:] != row[:-1]))
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.concatenate([starts, [len(row)]]))
+        chunk = ce - np.repeat(ce[starts], counts)
+        newc = np.concatenate(
+            ([True], (row[1:] != row[:-1]) | (chunk[1:] != chunk[:-1])))
+        cstarts = np.flatnonzero(newc)
+        clens = np.diff(np.concatenate([cstarts, [len(row)]]))
+        offs = pa.array(np.concatenate(
+            ([0], np.cumsum(clens))).astype(np.int64), pa.int64())
+        lst = pa.LargeListArray.from_arrays(
+            offs, pa.array(words, pa.large_string()))
+        ctext = pc.binary_join(
+            lst, pa.scalar(" ", pa.large_string())).cast(pa.string())
+        return pa.table({
+            "doc_id": pa.array(ids[row[cstarts]], pa.int64()),
+            "chunk_idx": pa.array(chunk[cstarts], pa.int64()),
+            "n_tokens": pa.array(clens.astype(np.int64)),
+            "ctext": ctext,
+            "ch": pa.array(hash_str_array(ctext), pa.uint64())})
+
+    def copies(part: pa.Table) -> pa.Table:
+        codes, _ = pd.factorize(part["ctext"].to_pandas(), sort=False)
+        cnt = np.bincount(codes).astype(np.int64) if len(codes) \
+            else np.zeros(0, np.int64)
+        n = cnt[codes] if len(codes) else np.zeros(0, np.int64)
+        return pa.table({
+            "doc_id": part["doc_id"], "chunk_idx": part["chunk_idx"],
+            "n_tokens": part["n_tokens"],
+            "n_copies": pa.array(n, pa.int64())})
+
+    return partition_apply(
+        ds.map_batches(chunk_rows, batch_format="pyarrow"),
+        "ch", copies, P)
+
+
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_lang_counts": q_lang_counts,
@@ -8216,6 +8554,10 @@ QUERIES = {
     "q_contam_overlap": q_contam_overlap,
     "q_incremental_fold": q_incremental_fold,
     "q_fold_provenance": q_fold_provenance,
+    "q_soft_dedup_weights": q_soft_dedup_weights,
+    "q_train_split": q_train_split,
+    "q_boilerplate_lines": q_boilerplate_lines,
+    "q_cdc_chunks": q_cdc_chunks,
 }
 
 # --- SQL replay fragments for hash-bearing oracles -------------------------
@@ -9653,6 +9995,64 @@ ORACLE_SQL["q_contam_overlap"] = (
     "CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) "
     "/ COUNT(*) AS contam_frac "
     "FROM dg LEFT JOIN b USING (gram) GROUP BY doc_id")
+
+# soft dedup: group size + 1/n over the q_normalized_dedup normalization
+ORACLE_SQL["q_soft_dedup_weights"] = (
+    "WITH n AS (SELECT doc_id, "
+    "lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS nt "
+    "FROM documents) "
+    "SELECT doc_id, "
+    "CAST(COUNT(*) OVER (PARTITION BY nt) AS BIGINT) AS n_copies, "
+    "1.0 / COUNT(*) OVER (PARTITION BY nt) AS weight FROM n")
+
+# split tagging: the q_sample HUGEINT multiplicative-hash replay, mod 100
+ORACLE_SQL["q_train_split"] = (
+    "SELECT doc_id, lang, CASE WHEN h < 98 THEN 'train' "
+    "WHEN h = 98 THEN 'valid' ELSE 'test' END AS split FROM ("
+    "SELECT doc_id, lang, ((doc_id % 4294967296) * 2654435761::HUGEINT) "
+    "// 4294967296 % 100 AS h FROM documents)")
+
+# boilerplate lines: kill EVERY instance of a line present in >= 2
+# distinct docs (vs q_paragraph_dedup's first-wins row_number)
+ORACLE_SQL["q_boilerplate_lines"] = (
+    "WITH s AS (SELECT doc_id, string_split(text, chr(10)) AS ps "
+    "FROM documents), "
+    "p AS (SELECT doc_id, unnest(ps) AS para, "
+    "generate_subscripts(ps, 1) AS idx FROM s), "
+    "c AS (SELECT para FROM p GROUP BY para "
+    "HAVING COUNT(DISTINCT doc_id) >= 2) "
+    "SELECT doc_id, coalesce(string_agg("
+    "CASE WHEN c.para IS NULL THEN p.para END, chr(10) ORDER BY idx), "
+    "'') AS text, "
+    "count(*) FILTER (WHERE c.para IS NULL) AS n_kept, "
+    "count(*) FILTER (WHERE c.para IS NOT NULL) AS n_removed "
+    "FROM p LEFT JOIN c USING (para) GROUP BY doc_id")
+
+# CDC chunking: per-token poly-hash -> boundary flags -> exclusive
+# per-doc cumsum -> chunk reassembly -> instance counts per exact chunk
+# text (codepoint-fold parity boundary, same as the SimHash replay)
+ORACLE_SQL["q_cdc_chunks"] = (
+    "WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws "
+    "FROM documents), "
+    "w AS (SELECT doc_id, unnest(range(1, len(ws)+1)) AS wpos, "
+    "unnest(ws) AS w FROM d), "
+    "h0t AS (SELECT doc_id, wpos, w, "
+    "list_reduce(list_prepend(CAST(0 AS HUGEINT), "
+    "list_transform(range(1, length(w)+1), "
+    "i -> CAST(unicode(w[i]) AS HUGEINT))), "
+    f"(acc, c) -> {_HORNER_STEP}) AS h0 FROM w), "
+    + _mix64_sql("h0t", "h0", "wh", "doc_id, wpos, w") + ", "
+    "ck AS (SELECT doc_id, wpos, w, COALESCE(SUM(CASE WHEN "
+    f"wh % {_CDC_MOD} = 0 THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id "
+    "ORDER BY wpos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
+    "0) AS cidx FROM m5_wh), "
+    "ch AS (SELECT doc_id, cidx, "
+    "string_agg(w, ' ' ORDER BY wpos) AS ctext, "
+    "CAST(COUNT(*) AS BIGINT) AS n_tokens FROM ck "
+    "GROUP BY doc_id, cidx) "
+    "SELECT doc_id, CAST(cidx AS BIGINT) AS chunk_idx, n_tokens, "
+    "CAST(COUNT(*) OVER (PARTITION BY ctext) AS BIGINT) AS n_copies "
+    "FROM ch")
 
 # The driver signs correctness rows for only a prefix of this registry
 # (50 entries per round), so oracle-bearing queries are ordered FIRST:

@@ -24,7 +24,9 @@ from ray_data_mplsh.pipelines.queries import ORACLE_SQL, QUERIES
 FUZZED = ["q_pii_scrub", "q_chunk_tokens", "q_contam_overlap",
           "q_lm_score", "q_paragraph_dedup", "q_dsir_weights",
           "q_token_budget_mixture", "q_ppjoin_pairs",
-          "q_ppjoin_clusters", "q_curation_v2"]
+          "q_ppjoin_clusters", "q_curation_v2",
+          "q_soft_dedup_weights", "q_train_split",
+          "q_boilerplate_lines"]
 
 _WORDS = ["the", "ab3", "x", "foo.bar", "semi;colon", "café",
           "10.0.0.7", "a@b.co", "+1-555-0001", "trail.", "(paren)",
@@ -216,3 +218,94 @@ def test_lsh_recall_borderline_misses(ray_session, tmp_path, seed):
     assert r.n_true > 10, "corpus must plant borderline true pairs"
     assert r.n_hit < r.n_true, "16-slot est should miss some"
     assert 0 < r.recall < 1
+
+
+@pytest.mark.parametrize("cap", [4_000_000, 0])
+@pytest.mark.parametrize("seed", [5, 19])
+def test_boilerplate_lines_multipara(ray_session, tmp_path, cap, seed):
+    """Boilerplate-line scrub parity on both physical plans over the
+    same newline-edge corpus as the paragraph-dedup fuzz: cap=0 forces
+    the exchange fallback (cover rows + doc-keyed padded union), the
+    default cap takes the broadcast probe. Semantics differ from
+    paragraph dedup in BOTH directions — a cross-doc line loses every
+    instance (no winner survives), a within-doc-only repeat keeps all
+    its instances (distinct-doc count is 1)."""
+    from ray_data_mplsh.pipelines.queries import (ORACLE_SQL,
+                                                  boilerplate_lines,
+                                                  _read)
+
+    d = str(tmp_path)
+    _write_para_corpus(d, seed)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{d}/documents.parquet'")
+    got = boilerplate_lines(_read(d, "documents", ["doc_id", "text"]),
+                            broadcast_max_lines=cap).to_pandas()
+    want = con.sql(ORACLE_SQL["q_boilerplate_lines"]).df()
+    con.close()
+    cols = sorted(want.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    assert list(a.dtypes) == list(b.dtypes)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    assert (a.n_removed > 0).any(), "corpus planted no boilerplate"
+    assert len(a) == 80, "every doc emits a row"
+
+
+_CDC_WORDS = ["the", "ab3", "x", "foo.bar", "semi;colon",
+              "10.0.0.7", "a@b.co", "trail.", "(paren)", "123",
+              "loooooooooooongword", "zq"]
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_cdc_chunks_ascii_fuzz(ray_session, tmp_path, seed):
+    """q_cdc_chunks on an adversarial ASCII corpus (the oracle folds
+    codepoints, so the byte/codepoint parity boundary restricts the
+    replay to ASCII — same contract as the SimHash oracle): empty
+    texts, leading/double/trailing spaces (empty tokens), punctuation
+    tokens, and a planted shared passage at DIFFERENT word offsets in
+    several docs — the shifted-duplicate case content-defined chunking
+    exists to catch (fixed-stride windows would miss it)."""
+    from ray_data_mplsh.pipelines.queries import ORACLE_SQL, QUERIES
+
+    rng = np.random.default_rng(seed)
+    texts: list[str] = []
+    shared = " ".join(
+        _CDC_WORDS[int(j)] for j in rng.integers(0, len(_CDC_WORDS), 40))
+    for i in range(100):
+        k = int(rng.integers(0, 60))
+        t = " ".join(
+            _CDC_WORDS[int(j)] for j in rng.integers(0, len(_CDC_WORDS), k))
+        style = int(rng.integers(0, 6))
+        if style == 0:
+            t = ""
+        elif style == 1:
+            t = "  " + t
+        elif style == 2:
+            t = t.replace(" ", "  ", 3)
+        elif style == 3:
+            t = t + " "
+        elif style == 4 and t:
+            # shared passage at a random offset: same chunks must
+            # resolve to n_copies >= 2 wherever the split lands
+            words = t.split(" ")
+            pos = int(rng.integers(0, len(words)))
+            t = " ".join(words[:pos] + [shared] + words[pos:])
+        texts.append(t)
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}), f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{d}/documents.parquet'")
+    got = QUERIES["q_cdc_chunks"](d).to_pandas()
+    want = con.sql(ORACLE_SQL["q_cdc_chunks"]).df()
+    con.close()
+    cols = sorted(want.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    assert list(a.dtypes) == list(b.dtypes)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    assert (a.n_copies >= 2).any(), "shared passage planted no dup chunks"
+    assert a.groupby("doc_id").chunk_idx.min().eq(0).all()
