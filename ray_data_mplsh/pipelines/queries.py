@@ -1312,6 +1312,9 @@ def q_band_keys(sf_dir: str):
     return keys.map_batches(fmt, batch_format="pyarrow")
 
 
+_LSHV_CACHE: dict = {}
+
+
 def q_lsh_verified_pairs(sf_dir: str):
     """The production S3-S6 LSH chain end-to-end (ops 12-18), driver-
     hash-checked: ``minhash_stage`` -> ``band_stage`` (exact + multi-
@@ -1324,7 +1327,16 @@ def q_lsh_verified_pairs(sf_dir: str):
     surviving (a, b, est) row is bit-exact — est is an exact dyadic
     n/16 on both sides. Together with q_minhash_sigs / q_band_keys /
     q_fingerprints this puts driver signatures on the full flagship
-    candidate-generation + verification path."""
+    candidate-generation + verification path.
+
+    Materialized once per process and shared with its downstream
+    consumers ([[q_lsh_clusters]], [[q_lsh_recall]] — the
+    q_ppjoin_pairs memoization pattern): the verified pair set is
+    output-sized, so holding it lets the cluster and recall queries
+    reuse the chain instead of recomputing sigs -> bands -> pairs ->
+    verify."""
+    if sf_dir in _LSHV_CACHE:
+        return _LSHV_CACHE[sf_dir]
     from ray_data_mplsh.stages.bands import band_stage
     from ray_data_mplsh.stages.minhash import minhash_stage
     from ray_data_mplsh.stages.pairs import pairs_stage
@@ -1347,7 +1359,9 @@ def q_lsh_verified_pairs(sf_dir: str):
             "jaccard": t["jaccard"],
         })
 
-    return ver.map_batches(fmt, batch_format="pyarrow")
+    _LSHV_CACHE[sf_dir] = ver.map_batches(
+        fmt, batch_format="pyarrow").materialize()
+    return _LSHV_CACHE[sf_dir]
 
 
 def q_substring_candidates(sf_dir: str):
@@ -1388,23 +1402,18 @@ def q_lsh_clusters(sf_dir: str):
     (_LSH_CLUSTERS_SQL) replays the whole chain from raw text and runs
     recursive label propagation over the symmetric edges — with this,
     every kernel of the flagship dedup path S3-S7 carries a driver
-    signature (sigs, band/probe keys, bucket pairing, verify, CC)."""
-    from ray_data_mplsh.stages.bands import band_stage
+    signature (sigs, band/probe keys, bucket pairing, verify, CC).
+    Consumes the [[q_lsh_verified_pairs]] memoized pair set (doc ids
+    are non-negative, so the int64 view clusters identically), so the
+    sigs -> bands -> pairs -> verify chain runs once per process across
+    the three LSH-chain queries."""
     from ray_data_mplsh.stages.cc import connected_components
-    from ray_data_mplsh.stages.minhash import minhash_stage
-    from ray_data_mplsh.stages.pairs import pairs_stage
     from ray_data_mplsh.stages.shuffle import default_partitions
-    from ray_data_mplsh.stages.verify import verify_stage
 
     cfg = MPLSHConfig(num_perm=_MINHASH_SIGS_K, bands=4, rows_per_band=4,
                       probes=4, word_hash="poly")
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
     P = default_partitions(cfg.num_partitions)
-    sigs = minhash_stage(docs, cfg).materialize()
-    n_docs = sigs.count()
-    ver = verify_stage(pairs_stage(band_stage(sigs, cfg), cfg, P), sigs,
-                       cfg, P, n_docs)
-    labels = connected_components(ver, cfg, P)
+    labels = connected_components(q_lsh_verified_pairs(sf_dir), cfg, P)
 
     def fmt(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -8414,6 +8423,123 @@ def q_cdc_chunks(sf_dir: str):
         "ch", copies, P)
 
 
+_OOV_K = 16   # the 31-word fixture vocab makes a 16-word cutoff bite
+
+
+def q_oov_rate(sf_dir: str):
+    """Tokenizer-prep OOV audit: the corpus's top-``_OOV_K`` vocabulary
+    by total term frequency (ties: count DESC, word ASC — deterministic
+    at the cutoff) and, per doc, the fraction of tokens OUTSIDE it —
+    the signal that sizes a vocabulary or flags domain drift before a
+    tokenizer retrain. Output (doc_id, n_tok, n_oov, oov_frac); every
+    doc has >= 1 token (the split contract), so the ratio is total.
+
+    Plan: per-batch word-count partials (the q_doc_freq combiner shape)
+    -> |vocab|-bounded groupby -> DISTRIBUTED sort/limit top-K (the
+    vocabulary never rides to the driver — only the K winners do) ->
+    K-word broadcast -> zero-shuffle searchsorted scoring scan. Both
+    engines sort words as raw UTF-8/codepoints (identical orders) and
+    derive oov_frac as one IEEE int64/int64 divide."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ray_data_mplsh.stages.shuffle import cached_get
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def cpart(b: pa.Table) -> pa.Table:
+        row, words = _split_words(b["text"])
+        codes, uniq = pd.factorize(words, sort=False)
+        c = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table({"word": pa.array(uniq, pa.string()),
+                         "c": pa.array(c, pa.int64())})
+
+    top = ds.map_batches(cpart, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("c", alias_name="c")) \
+        .sort(["c", "word"], descending=[True, False]) \
+        .limit(_OOV_K).to_pandas()
+    # empty corpus: the groupby drops its schema, so probe the column
+    vocab = np.sort(top["word"].to_numpy(dtype=object).astype(str)) \
+        if "word" in top.columns and len(top) else np.empty(0, str)
+    ref = ray.put(vocab)
+
+    def scan(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        row, words = _split_words(b["text"])
+        v = cached_get(ref)
+        n_tok = np.bincount(row, minlength=len(ids)).astype(np.int64)
+        if len(row) and len(v):
+            w = words.astype(str)
+            pos = np.searchsorted(v, w)
+            hit = np.zeros(len(w), bool)
+            inb = pos < len(v)
+            hit[inb] = v[pos[inb]] == w[inb]
+            n_oov = np.bincount(row[~hit], minlength=len(ids)) \
+                .astype(np.int64)
+        else:
+            n_oov = n_tok.copy()
+        frac = np.divide(n_oov, n_tok, out=np.zeros(len(ids), np.float64),
+                         where=n_tok > 0)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_tok": pa.array(n_tok, pa.int64()),
+                         "n_oov": pa.array(n_oov, pa.int64()),
+                         "oov_frac": pa.array(frac, pa.float64())})
+
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def q_curation_v3(sf_dir: str):
+    """Webtext curation chain v3, composing this session's tier-dedup
+    additions end-to-end the way a crawl-to-corpus recipe runs them:
+    [[boilerplate_lines]] scrub (cross-doc frequent lines removed
+    everywhere) -> exact FIRST-WINS dedup on the SCRUBBED text (scrub
+    first: two docs differing only in chrome collapse after it) ->
+    [[q_train_split]]'s deterministic hash tag -> the train shard only.
+    Output (doc_id, text): the curated training corpus.
+
+    Scale shape: the scrub is the boilerplate broadcast plan; the dedup
+    is ONE text-hash exchange (text rides it once — it must reach the
+    output anyway; grouping inside the partition is on the exact
+    STRING); the split tag is stateless. At 100 TB the dedup exchange
+    ships (hash, doc_id) pairs with a winner-attach broadcast instead —
+    the q_exact_dedup slim-column note applies verbatim."""
+    from ray_data_mplsh.functions.hashing import hash_str_array
+    from ray_data_mplsh.stages.shuffle import (default_partitions,
+                                               partition_apply)
+
+    P = default_partitions()
+    scrubbed = boilerplate_lines(
+        _read(sf_dir, "documents", ["doc_id", "text"]))
+
+    def hx(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"], "text": b["text"],
+            "_h": pa.array(hash_str_array(b["text"]), pa.uint64())})
+
+    def rep(part: pa.Table) -> pa.Table:
+        ids = part["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        codes, _ = pd.factorize(part["text"].to_pandas(), sort=False)
+        o = np.lexsort((ids, codes))
+        c = codes[o]
+        first = np.concatenate(([True], c[1:] != c[:-1])) \
+            if len(o) else np.empty(0, bool)
+        sel = o[first]
+        return pa.table({"doc_id": pa.array(ids[sel], pa.int64()),
+                         "text": part["text"].take(pa.array(sel))})
+
+    reps = partition_apply(
+        scrubbed.map_batches(hx, batch_format="pyarrow"), "_h", rep, P)
+
+    def train_only(t: pa.Table) -> pa.Table:
+        h = knuth_hash32(
+            t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ) % np.uint64(100)
+        return t.filter(pa.array(h < 98))
+
+    return reps.map_batches(train_only, batch_format="pyarrow")
+
+
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_lang_counts": q_lang_counts,
@@ -8558,6 +8684,8 @@ QUERIES = {
     "q_train_split": q_train_split,
     "q_boilerplate_lines": q_boilerplate_lines,
     "q_cdc_chunks": q_cdc_chunks,
+    "q_oov_rate": q_oov_rate,
+    "q_curation_v3": q_curation_v3,
 }
 
 # --- SQL replay fragments for hash-bearing oracles -------------------------
@@ -10053,6 +10181,28 @@ ORACLE_SQL["q_cdc_chunks"] = (
     "SELECT doc_id, CAST(cidx AS BIGINT) AS chunk_idx, n_tokens, "
     "CAST(COUNT(*) OVER (PARTITION BY ctext) AS BIGINT) AS n_copies "
     "FROM ch")
+
+# OOV rate: top-K vocab by (count DESC, word ASC), per-doc LEFT-JOIN miss
+# fraction as one CAST-to-DOUBLE divide
+ORACLE_SQL["q_oov_rate"] = (
+    "WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws "
+    "FROM documents), "
+    "w AS (SELECT doc_id, unnest(ws) AS w FROM d), "
+    "cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY w), "
+    f"v AS (SELECT w FROM cnt ORDER BY c DESC, w LIMIT {_OOV_K}) "
+    "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok, "
+    "CAST(COUNT(*) FILTER (WHERE v.w IS NULL) AS BIGINT) AS n_oov, "
+    "CAST(COUNT(*) FILTER (WHERE v.w IS NULL) AS DOUBLE) / COUNT(*) "
+    "AS oov_frac FROM w LEFT JOIN v USING (w) GROUP BY doc_id")
+
+# curation v3: the boilerplate CTE spliced whole (nested WITH), then
+# first-wins dedup on the scrubbed text and the q_train_split hash gate
+ORACLE_SQL["q_curation_v3"] = (
+    "WITH bl AS (" + ORACLE_SQL["q_boilerplate_lines"] + "), "
+    "r AS (SELECT MIN(doc_id) AS doc_id, text FROM bl GROUP BY text) "
+    "SELECT doc_id, text FROM r "
+    "WHERE ((doc_id % 4294967296) * 2654435761::HUGEINT) "
+    "// 4294967296 % 100 < 98")
 
 # The driver signs correctness rows for only a prefix of this registry
 # (50 entries per round), so oracle-bearing queries are ordered FIRST:

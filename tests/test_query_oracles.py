@@ -58,7 +58,8 @@ CHECK = ["q_word_stats", "q_doc_freq", "q_allpair_jaccard",
          "q_ppjoin_pairs", "q_dsir_weights", "q_token_budget_mixture",
          "q_ppjoin_clusters", "q_embedding_dedup_clusters",
          "q_lsh_recall", "q_curation_v2", "q_soft_dedup_weights",
-         "q_train_split", "q_boilerplate_lines", "q_cdc_chunks"]
+         "q_train_split", "q_boilerplate_lines", "q_cdc_chunks",
+         "q_oov_rate", "q_curation_v3"]
 
 
 @pytest.fixture(scope="module")

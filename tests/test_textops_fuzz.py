@@ -26,7 +26,7 @@ FUZZED = ["q_pii_scrub", "q_chunk_tokens", "q_contam_overlap",
           "q_token_budget_mixture", "q_ppjoin_pairs",
           "q_ppjoin_clusters", "q_curation_v2",
           "q_soft_dedup_weights", "q_train_split",
-          "q_boilerplate_lines"]
+          "q_boilerplate_lines", "q_oov_rate", "q_curation_v3"]
 
 _WORDS = ["the", "ab3", "x", "foo.bar", "semi;colon", "café",
           "10.0.0.7", "a@b.co", "+1-555-0001", "trail.", "(paren)",
