@@ -10,7 +10,11 @@ Query inventory (* = oracle, rest rows-only with pytest gates — see
 SURVEY.md Appendix B).
 The registry lists every oracle-bearing query FIRST (the driver signs a
 prefix of it), rows-only entries last:
-  dedup family: q_exact_dedup*, q_dedup_documents, q_minhash_pairs,
+  dedup family: q_exact_dedup*, q_bloom_dedup* (counting-Bloom
+    prefiltered exact dedup: mergeable two-bitplane Bloom from
+    per-block partials lets corpus-unique docs skip the exchange;
+    output exact at any FP rate -> plain GROUP BY oracle),
+    q_dedup_documents, q_minhash_pairs,
     q_incremental_fold* (driver-signed incremental dedup: base run +
     checkpointed fold of a new shard, joint clusters re-keyed to
     min-original-id labels, oracled by the reps-collapsed LSH chain

@@ -8540,6 +8540,20 @@ def q_curation_v3(sf_dir: str):
     return reps.map_batches(train_only, batch_format="pyarrow")
 
 
+def q_bloom_dedup(sf_dir: str):
+    """Counting-Bloom prefiltered exact dedup (pipelines/bloom.py): a
+    mergeable two-bitplane Bloom built from per-block partials lets every
+    corpus-unique doc skip the dedup exchange entirely (on web crawls
+    that is 60-90 % of rows); only potential dups (true dups + bounded
+    false positives) ride the text-hash exchange, where grouping is on
+    the exact STRING — so the output is exact at ANY false-positive
+    rate and a plain GROUP BY oracle signs it. Output one row per
+    distinct text: (doc_id = group-min, n_copies, text)."""
+    from ray_data_mplsh.pipelines.bloom import bloom_dedup
+
+    return bloom_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_lang_counts": q_lang_counts,
@@ -8686,6 +8700,7 @@ QUERIES = {
     "q_cdc_chunks": q_cdc_chunks,
     "q_oov_rate": q_oov_rate,
     "q_curation_v3": q_curation_v3,
+    "q_bloom_dedup": q_bloom_dedup,
 }
 
 # --- SQL replay fragments for hash-bearing oracles -------------------------
@@ -10203,6 +10218,12 @@ ORACLE_SQL["q_curation_v3"] = (
     "SELECT doc_id, text FROM r "
     "WHERE ((doc_id % 4294967296) * 2654435761::HUGEINT) "
     "// 4294967296 % 100 < 98")
+
+# bloom-prefiltered exact dedup: output is exact regardless of the
+# Bloom plan, so the oracle is the plain first-wins GROUP BY
+ORACLE_SQL["q_bloom_dedup"] = (
+    "SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies, "
+    "text FROM documents GROUP BY text")
 
 # The driver signs correctness rows for only a prefix of this registry
 # (50 entries per round), so oracle-bearing queries are ordered FIRST:
