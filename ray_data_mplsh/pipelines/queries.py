@@ -8554,6 +8554,129 @@ def q_bloom_dedup(sf_dir: str):
     return bloom_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_shard_assign(sf_dir: str):
+    """Deterministic output-shard manifest — the resumable-output story
+    as a driver-signed query. Every doc routes to shard
+    ``knuth_hash32(doc_id) % 16`` (the HIGH product word, so the modulus
+    is a real hash, not id-stride sampling); a partitioned
+    ``write_parquet`` run uses the same label for its directory layout,
+    so a resumed run skips finished shards by diffing this manifest.
+    Output one row per shard: (shard_id, n_docs, n_chars_sum,
+    min_doc_id, max_doc_id).
+
+    Scale shape: per-batch bincount/min/max partials (<= 16 rows per
+    batch, whatever the batch size) ride the only exchange; doc rows
+    never move, and the read prunes to two int64 columns."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    S = 16
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sh = (knuth_hash32(ids.astype(np.uint64))
+              % np.uint64(S)).astype(np.int64)
+        n = np.bincount(sh, minlength=S)
+        csum = np.bincount(sh, weights=nch, minlength=S).astype(np.int64)
+        mn = np.full(S, np.iinfo(np.int64).max, np.int64)
+        mx = np.full(S, np.iinfo(np.int64).min, np.int64)
+        np.minimum.at(mn, sh, ids)
+        np.maximum.at(mx, sh, ids)
+        hit = n > 0
+        return pa.table({
+            "shard_id": pa.array(np.flatnonzero(hit).astype(np.int64)),
+            "d": pa.array(n[hit].astype(np.int64)),
+            "c": pa.array(csum[hit]),
+            "mn": pa.array(mn[hit]), "mx": pa.array(mx[hit])})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("shard_id").aggregate(
+            Sum("d", alias_name="n_docs"),
+            Sum("c", alias_name="n_chars_sum"),
+            Min("mn", alias_name="min_doc_id"),
+            Max("mx", alias_name="max_doc_id"))
+
+
+def q_dup_inflation(sf_dir: str):
+    """Per-source duplicated-token inflation — the tier-dedup THEME
+    turned into a cost report: for each source, how many tokens the
+    crawl pays for exact-duplicate copies, and the inflation factor
+    total_tokens / kept_tokens a dedup pass recovers (NULL when a
+    source keeps zero tokens, matching the SQL CASE). Duplicate =
+    doc_id differs from the corpus-wide first (min) doc_id of its
+    exact text, detected on the 64-bit text hash exactly as
+    q_exact_dedup does (same collision contract).
+
+    Scale shape: ONE slim exchange of (hash, doc_id, source-dict,
+    ntok) — text never moves; per-partition first-wins + per-source
+    partials collapse to |sources| rows before the tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    P = default_partitions()
+
+    def slim(b: pa.Table) -> pa.Table:
+        toks = pc.list_value_length(pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(b["text"]), pattern=r"\s+"))
+        return pa.table({
+            "_h": pa.array(hash_str_array(b["text"]), pa.uint64()),
+            "doc_id": b["doc_id"], "source": b["source"],
+            "ntok": pc.cast(toks, pa.int64())})
+
+    def per_part(part: pa.Table) -> pa.Table:
+        h = part["_h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = part["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ntok = part["ntok"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if len(ids) == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "d": pa.array([], pa.int64()),
+                             "t": pa.array([], pa.int64()),
+                             "dd": pa.array([], pa.int64()),
+                             "dt": pa.array([], pa.int64())})
+        codes, _ = pd.factorize(h, sort=False)
+        gmin = np.full(codes.max() + 1, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(gmin, codes, ids)
+        is_dup = ids != gmin[codes]
+        scodes, svals = pd.factorize(part["source"].to_pandas(),
+                                     sort=False)
+        ns = len(svals)
+        d = np.bincount(scodes, minlength=ns).astype(np.int64)
+        t = np.bincount(scodes, weights=ntok, minlength=ns) \
+            .astype(np.int64)
+        dd = np.bincount(scodes[is_dup], minlength=ns).astype(np.int64)
+        dt = np.bincount(scodes[is_dup], weights=ntok[is_dup],
+                         minlength=ns).astype(np.int64)
+        return pa.table({"source": pa.array(svals.astype(str)),
+                         "d": pa.array(d), "t": pa.array(t),
+                         "dd": pa.array(dd), "dt": pa.array(dt)})
+
+    parts = partition_apply(
+        ds.map_batches(slim, batch_format="pyarrow"), "_h", per_part, P)
+    agg = parts.groupby("source").aggregate(
+        Sum("d", alias_name="n_docs"), Sum("t", alias_name="n_tokens"),
+        Sum("dd", alias_name="n_dup_docs"),
+        Sum("dt", alias_name="dup_tokens"))
+
+    def ratio(b: pa.Table) -> pa.Table:
+        tot = b["n_tokens"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        dup = b["dup_tokens"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        kept = tot - dup
+        infl = tot / np.where(kept > 0, kept, 1)
+        # |sources| rows: a list build is fine, and None (not NaN)
+        # matches the SQL CASE's NULL for zero kept tokens
+        return b.append_column(
+            "inflation", pa.array([float(v) if k > 0 else None
+                                   for v, k in zip(infl, kept)],
+                                  pa.float64()))
+
+    return agg.map_batches(ratio, batch_format="pyarrow")
+
+
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_lang_counts": q_lang_counts,
@@ -8701,6 +8824,8 @@ QUERIES = {
     "q_oov_rate": q_oov_rate,
     "q_curation_v3": q_curation_v3,
     "q_bloom_dedup": q_bloom_dedup,
+    "q_shard_assign": q_shard_assign,
+    "q_dup_inflation": q_dup_inflation,
 }
 
 # --- SQL replay fragments for hash-bearing oracles -------------------------
@@ -10224,6 +10349,33 @@ ORACLE_SQL["q_curation_v3"] = (
 ORACLE_SQL["q_bloom_dedup"] = (
     "SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies, "
     "text FROM documents GROUP BY text")
+
+# shard manifest: the knuth_hash32 HIGH-word replay (q_train_split's
+# expression) mod 16, then plain grouped aggregates
+ORACLE_SQL["q_shard_assign"] = (
+    "SELECT CAST(((doc_id % 4294967296) * 2654435761::HUGEINT) "
+    "// 4294967296 % 16 AS BIGINT) AS shard_id, "
+    "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum, "
+    "MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id "
+    "FROM documents GROUP BY 1")
+
+# dup-token inflation: corpus-wide first copy via a window MIN over the
+# exact text, token counts via the q_token_counts split expression
+ORACLE_SQL["q_dup_inflation"] = (
+    "WITH t AS (SELECT doc_id, source, "
+    "array_length(string_split_regex(trim(text), '\\s+')) AS ntok, "
+    "MIN(doc_id) OVER (PARTITION BY text) AS first_id FROM documents) "
+    "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(ntok) AS BIGINT) AS n_tokens, "
+    "CAST(SUM(CASE WHEN doc_id <> first_id THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_dup_docs, "
+    "CAST(SUM(CASE WHEN doc_id <> first_id THEN ntok ELSE 0 END) "
+    "AS BIGINT) AS dup_tokens, "
+    "CASE WHEN SUM(ntok) > SUM(CASE WHEN doc_id <> first_id THEN ntok "
+    "ELSE 0 END) THEN CAST(SUM(ntok) AS DOUBLE) / (SUM(ntok) - "
+    "SUM(CASE WHEN doc_id <> first_id THEN ntok ELSE 0 END)) END "
+    "AS inflation FROM t GROUP BY source")
 
 # The driver signs correctness rows for only a prefix of this registry
 # (50 entries per round), so oracle-bearing queries are ordered FIRST:

@@ -26,7 +26,8 @@ FUZZED = ["q_pii_scrub", "q_chunk_tokens", "q_contam_overlap",
           "q_token_budget_mixture", "q_ppjoin_pairs",
           "q_ppjoin_clusters", "q_curation_v2",
           "q_soft_dedup_weights", "q_train_split",
-          "q_boilerplate_lines", "q_oov_rate", "q_curation_v3"]
+          "q_boilerplate_lines", "q_oov_rate", "q_curation_v3",
+          "q_bloom_dedup", "q_shard_assign", "q_dup_inflation"]
 
 _WORDS = ["the", "ab3", "x", "foo.bar", "semi;colon", "café",
           "10.0.0.7", "a@b.co", "+1-555-0001", "trail.", "(paren)",
@@ -309,3 +310,33 @@ def test_cdc_chunks_ascii_fuzz(ray_session, tmp_path, seed):
     pd.testing.assert_frame_equal(a, b, check_exact=True)
     assert (a.n_copies >= 2).any(), "shared passage planted no dup chunks"
     assert a.groupby("doc_id").chunk_idx.min().eq(0).all()
+
+
+def test_dup_inflation_all_dup_source_is_null(ray_session, tmp_path):
+    """A source whose EVERY doc is a non-first copy keeps zero tokens:
+    its inflation must be NULL (the SQL CASE), not inf/NaN-by-accident,
+    and the other sources' ratios must still be bit-exact doubles."""
+    d = str(tmp_path)
+    texts = ["alpha beta gamma", "delta epsilon"] * 3
+    src = ["owner", "owner", "leech", "leech", "leech", "leech"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(6), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 6),
+        "source": pa.array(src, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
+        f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{d}/documents.parquet'")
+    got = QUERIES["q_dup_inflation"](d).to_pandas()
+    want = con.sql(ORACLE_SQL["q_dup_inflation"]).df()
+    con.close()
+    cols = sorted(want.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    leech = a[a.source == "leech"].iloc[0]
+    assert pd.isna(leech.inflation) and leech.dup_tokens == leech.n_tokens
+    owner = a[a.source == "owner"].iloc[0]
+    assert owner.inflation == 1.0 and owner.n_dup_docs == 0
