@@ -14,7 +14,16 @@ prefix of it), rows-only entries last:
     prefiltered exact dedup: mergeable two-bitplane Bloom from
     per-block partials lets corpus-unique docs skip the exchange;
     output exact at any FP rate -> plain GROUP BY oracle),
-    q_dedup_documents, q_minhash_pairs,
+    q_shard_assign* (deterministic output-shard manifest: knuth-hash
+    shard labels with per-shard counts/id-ranges from <=16-row batch
+    partials — the resumable-output story as a signed query),
+    q_dup_inflation* (per-source duplicated-token cost report over one
+    slim hash exchange; NULL ratio for zero-kept sources),
+    q_dup_flow_matrix* (cross-source NEAR-dup flow counts over the
+    memoized LSH verified pair set; oracle splices the full chain
+    replay + two documents joins), q_tier_token_report* (tokens per
+    dedup tier: memoized tier labels fact-fact inner-joined to token
+    counts), q_dedup_documents, q_minhash_pairs,
     q_incremental_fold* (driver-signed incremental dedup: base run +
     checkpointed fold of a new shard, joint clusters re-keyed to
     min-original-id labels, oracled by the reps-collapsed LSH chain

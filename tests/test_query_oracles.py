@@ -60,7 +60,8 @@ CHECK = ["q_word_stats", "q_doc_freq", "q_allpair_jaccard",
          "q_lsh_recall", "q_curation_v2", "q_soft_dedup_weights",
          "q_train_split", "q_boilerplate_lines", "q_cdc_chunks",
          "q_oov_rate", "q_curation_v3", "q_bloom_dedup",
-         "q_shard_assign", "q_dup_inflation"]
+         "q_shard_assign", "q_dup_inflation", "q_dup_flow_matrix",
+         "q_tier_token_report"]
 
 
 @pytest.fixture(scope="module")
