@@ -8768,6 +8768,10 @@ def q_tier_token_report(sf_dir: str):
     from ray_data_mplsh.stages.relational import inner_join
 
     tiers = q_dedup_tier_report(sf_dir)
+    if tiers.count() == 0:      # memoized+materialized: count is free
+        return pa.table({"tier": pa.array([], pa.string()),
+                         "n_docs": pa.array([], pa.int64()),
+                         "n_tokens": pa.array([], pa.int64())})
     tok = q_token_counts(sf_dir).map_batches(
         lambda t: pa.table({"tid": t["doc_id"],
                             "n_tokens": t["n_tokens"]}),
