@@ -8782,6 +8782,82 @@ def q_tier_token_report(sf_dir: str):
         Sum("n_tokens", alias_name="n_tokens"))
 
 
+def q_best_of_dup_group(sf_dir: str):
+    """Quality-priority canonical pick — "keep the BEST copy, not the
+    first crawled": within each normalized-PREFIX dup group (the
+    [[q_normalized_dedup]] normalization — lower + strip non-alnum —
+    sliced to the q_prefix_dup_groups 40-char blocking key, where
+    truncated mirrors and the full article land together) the survivor
+    is the doc with the most alpha chars in its ORIGINAL text (the
+    q_quality_scores signal — a truncated or boilerplate-stripped
+    mirror carries less alpha than the clean original), ties broken by
+    min doc_id. NOTE the full-norm-group variant would be vacuous: two
+    docs with the SAME whole normalized text have identical [a-zA-Z]
+    counts (case folding and punct stripping never change alpha), so
+    the quality argmax only bites on a blocking key coarser than the
+    full norm — the prefix tier is exactly that. Same one-exchange
+    shape as q_normalized_dedup (the prefix hash co-locates, the exact
+    prefix decides, the per-row quality signal rides the exchange as
+    one extra int64), so retention-priority costs nothing over
+    first-wins at scale. ASCII corpus => codeunit slice == SQL substr
+    (the q_prefix_dup_groups contract)."""
+    from ray_data_mplsh.functions.hashing import hash_str_array
+    from ray_data_mplsh.stages.shuffle import (default_partitions,
+                                               partition_apply)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(b: pa.Table) -> pa.Table:
+        nt = pc.utf8_slice_codeunits(pc.utf8_lower(
+            pc.replace_substring_regex(
+                b["text"], pattern="[^a-zA-Z0-9 ]", replacement="")),
+            0, 40)
+        alpha = pc.cast(pc.utf8_length(pc.replace_substring_regex(
+            b["text"], pattern="[^a-zA-Z]", replacement="")), pa.int64())
+        return pa.table({
+            "doc_id": b["doc_id"], "norm": nt, "alpha": alpha,
+            "_nh": pa.array(hash_str_array(nt), pa.uint64())})
+
+    def keep(part: pa.Table) -> pa.Table:
+        ids = part["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        alpha = part["alpha"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        codes, _ = pd.factorize(part["norm"].to_pandas(), sort=False)
+        o = np.lexsort((ids, -alpha, codes))
+        c = codes[o]
+        first = np.concatenate(([True], c[1:] != c[:-1])) \
+            if len(o) else np.empty(0, bool)
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.concatenate([starts, [len(o)]]))
+        return pa.table({
+            "keep": pa.array(ids[o][starts], pa.int64()),
+            "alpha_chars": pa.array(alpha[o][starts], pa.int64()),
+            "n_docs": pa.array(cnt.astype(np.int64))})
+
+    return partition_apply(ds.map_batches(norm, batch_format="pyarrow"),
+                           "_nh", keep, default_partitions())
+
+
+def q_jaccard_histogram(sf_dir: str):
+    """Verified-pair similarity distribution — the threshold-tuning
+    report an LSH operator reads before moving verify_theta: pairs per
+    exact signature-agreement level from the memoized
+    [[q_lsh_verified_pairs]] set. Grouping on the float is exact
+    because every value is a dyadic n/16 (both engine and oracle
+    compute it as slot-agreement/16); the fold is a combiner-friendly
+    groupby over an output-sized input, and the S3-S6 chain itself is
+    amortized across all four of its registry consumers."""
+    from ray.data.aggregate import Count
+
+    pairs = q_lsh_verified_pairs(sf_dir)
+    if pairs.count() == 0:      # memoized+materialized: count is free
+        return pa.table({"jaccard": pa.array([], pa.float64()),
+                         "n_pairs": pa.array([], pa.int64())})
+    return pairs.groupby("jaccard").aggregate(
+        Count(alias_name="n_pairs"))
+
+
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_lang_counts": q_lang_counts,
@@ -8933,6 +9009,8 @@ QUERIES = {
     "q_dup_inflation": q_dup_inflation,
     "q_dup_flow_matrix": q_dup_flow_matrix,
     "q_tier_token_report": q_tier_token_report,
+    "q_best_of_dup_group": q_best_of_dup_group,
+    "q_jaccard_histogram": q_jaccard_histogram,
 }
 
 # --- SQL replay fragments for hash-bearing oracles -------------------------
@@ -10502,6 +10580,30 @@ ORACLE_SQL["q_tier_token_report"] = (
     "CAST(SUM(array_length(string_split_regex(trim(d.text), '\\s+'))) "
     "AS BIGINT) AS n_tokens "
     "FROM tr JOIN documents d ON tr.doc_id = d.doc_id GROUP BY tr.tier")
+
+# quality-priority canonical pick: the q_normalized_dedup normalization
+# sliced to the q_prefix_dup_groups 40-char blocking key, with an
+# argmax(alpha, -doc_id) survivor instead of min(doc_id)
+ORACLE_SQL["q_best_of_dup_group"] = (
+    "WITH n AS (SELECT doc_id, "
+    "substr(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')), "
+    "1, 40) AS norm, "
+    "CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) "
+    "AS alpha FROM documents), "
+    "r AS (SELECT doc_id, alpha, "
+    "ROW_NUMBER() OVER (PARTITION BY norm "
+    "ORDER BY alpha DESC, doc_id) AS rn, "
+    "CAST(COUNT(*) OVER (PARTITION BY norm) AS BIGINT) AS n_docs "
+    "FROM n) "
+    "SELECT doc_id AS keep, alpha AS alpha_chars, n_docs "
+    "FROM r WHERE rn = 1")
+
+# verified-pair similarity histogram: the full LSH chain replay spliced
+# whole, grouped on the exact dyadic n/16 agreement level
+ORACLE_SQL["q_jaccard_histogram"] = (
+    "WITH v AS (" + _LSH_PAIRS_SQL + ") "
+    "SELECT jaccard, CAST(COUNT(*) AS BIGINT) AS n_pairs "
+    "FROM v GROUP BY jaccard")
 
 # The driver signs correctness rows for only a prefix of this registry
 # (50 entries per round), so oracle-bearing queries are ordered FIRST:

@@ -61,7 +61,8 @@ CHECK = ["q_word_stats", "q_doc_freq", "q_allpair_jaccard",
          "q_train_split", "q_boilerplate_lines", "q_cdc_chunks",
          "q_oov_rate", "q_curation_v3", "q_bloom_dedup",
          "q_shard_assign", "q_dup_inflation", "q_dup_flow_matrix",
-         "q_tier_token_report"]
+         "q_tier_token_report", "q_best_of_dup_group",
+         "q_jaccard_histogram"]
 
 
 @pytest.fixture(scope="module")

@@ -340,3 +340,69 @@ def test_dup_inflation_all_dup_source_is_null(ray_session, tmp_path):
     assert pd.isna(leech.inflation) and leech.dup_tokens == leech.n_tokens
     owner = a[a.source == "owner"].iloc[0]
     assert owner.inflation == 1.0 and owner.n_dup_docs == 0
+
+
+def test_best_of_dup_group_quality_beats_first_wins(ray_session,
+                                                    tmp_path):
+    """The retention rule must actually BITE: a prefix group where the
+    highest-alpha doc is NOT the min doc_id (so the result differs from
+    q_normalized_dedup's first-wins rep), an exact alpha TIE resolved
+    by min doc_id, punct/case variants sharing one prefix group, and a
+    singleton — all bit-exact vs the window-function oracle."""
+    d = str(tmp_path)
+    head = "the quick brown fox jumps over the lazy dog "  # 44 norm chars
+    texts = [
+        head + "short tail.",                 # doc 0: min id, LESS alpha
+        head + "a much longer and wordier continuation body",  # doc 1 WINS
+        head.upper() + "short tail!!!",       # doc 2: same alpha as doc 0
+        "zz unique singleton document",       # doc 3: its own group
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(4), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 4),
+        "source": pa.array(["s0"] * 4, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
+        f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{d}/documents.parquet'")
+    got = QUERIES["q_best_of_dup_group"](d).to_pandas()
+    want = con.sql(ORACLE_SQL["q_best_of_dup_group"]).df()
+    con.close()
+    cols = sorted(want.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    assert list(a.dtypes) == list(b.dtypes)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    assert set(a.keep) == {1, 3}, a   # doc 1 beats doc 0/2 on quality
+    assert a[a.keep == 1].n_docs.iloc[0] == 3
+
+
+def test_best_of_dup_group_alpha_tie_takes_min_id(ray_session,
+                                                  tmp_path):
+    """All-tied group (identical norm AND alpha): the argmax must fall
+    back to min doc_id — i.e. collapse to first-wins, the invariant the
+    docstring claims for whole-norm groups."""
+    d = str(tmp_path)
+    texts = ["Hello, World! One two three four five six seven eight.",
+             "hello world one two three four five six seven eight",
+             "HELLO WORLD one TWO three FOUR five SIX seven EIGHT?"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(3), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["s0"] * 3, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
+        f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{d}/documents.parquet'")
+    got = QUERIES["q_best_of_dup_group"](d).to_pandas()
+    want = con.sql(ORACLE_SQL["q_best_of_dup_group"]).df()
+    con.close()
+    cols = sorted(want.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    assert list(a.keep) == [0] and list(a.n_docs) == [3]
