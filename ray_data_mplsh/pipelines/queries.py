@@ -8858,6 +8858,136 @@ def q_jaccard_histogram(sf_dir: str):
         Count(alias_name="n_pairs"))
 
 
+def q_bow_dedup(sf_dir: str):
+    """Bag-of-words dedup tier — word-order-insensitive exact dedup:
+    two docs whose word MULTISETS match are one doc (catches
+    shuffled-sentence mirrors and listicle reorders that the exact and
+    [[q_normalized_dedup]] tiers miss, while "a a b" vs "a b b" stay
+    distinct because counts are preserved). Key = the words of the doc
+    sorted lexicographically and rejoined; one key-hash-routed exchange
+    (the q_normalized_dedup shape — the hash co-locates, the exact
+    rebuilt key decides), min-doc_id rep + group size out. numpy
+    codepoint sort == DuckDB list_sort binary collation on the ASCII
+    fixture corpus (the house SimHash/q_prefix_dup_groups contract)."""
+    from ray_data_mplsh.functions.hashing import hash_str_array
+    from ray_data_mplsh.stages.shuffle import (default_partitions,
+                                               partition_apply)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bow_key(b: pa.Table) -> pa.Table:
+        row, words = _split_words(b["text"])
+        codes, _ = pd.factorize(words, sort=True)
+        o = np.lexsort((codes, row))
+        joined = pd.Series(words[o]).groupby(row[o]).agg(" ".join)
+        full = np.full(len(b), "", dtype=object)
+        if len(joined):
+            full[joined.index.to_numpy()] = joined.to_numpy()
+        bow = pa.array(full, pa.string())
+        return pa.table({
+            "doc_id": b["doc_id"], "bow": bow,
+            "_bh": pa.array(hash_str_array(bow), pa.uint64())})
+
+    def keep(part: pa.Table) -> pa.Table:
+        ids = part["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        codes, _ = pd.factorize(part["bow"].to_pandas(), sort=False)
+        o = np.lexsort((ids, codes))
+        c = codes[o]
+        first = np.concatenate(([True], c[1:] != c[:-1])) \
+            if len(o) else np.empty(0, bool)
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.concatenate([starts, [len(o)]]))
+        return pa.table({
+            "rep": pa.array(ids[o][starts], pa.int64()),
+            "n_docs": pa.array(cnt.astype(np.int64))})
+
+    return partition_apply(
+        ds.map_batches(bow_key, batch_format="pyarrow"),
+        "_bh", keep, default_partitions())
+
+
+def q_prefix_dup_flow(sf_dir: str):
+    """Directional copy matrix under quality-priority retention — which
+    source's docs get DROPPED in favor of which source's best copy: for
+    every non-surviving member of a 40-char norm-prefix dup group (the
+    [[q_best_of_dup_group]] blocking key AND survivor rule:
+    argmax(alpha), ties to min doc_id), one (owner, copier) count where
+    owner is the survivor's source and copier the dropped doc's source.
+    The DIRECTED complement of the unordered near-tier
+    [[q_dup_flow_matrix]] — direction exists here because retention
+    distinguishes a canonical, while a verified near-pair has none.
+    One prefix-hash exchange (group members co-locate, so the survivor
+    resolves partition-locally), per-partition (owner, copier) partial
+    counts, then a |sources|^2-row groupby folded on the driver (the
+    q_rollup_lang_source rule) — the corpus never leaves its
+    partitions."""
+    from ray.data.aggregate import Sum
+    from ray_data_mplsh.functions.hashing import hash_str_array
+    from ray_data_mplsh.stages.shuffle import (default_partitions,
+                                               partition_apply)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def h(b: pa.Table) -> pa.Table:
+        pfx = pc.utf8_slice_codeunits(pc.utf8_lower(
+            pc.replace_substring_regex(
+                b["text"], pattern="[^a-zA-Z0-9 ]", replacement="")),
+            0, 40)
+        alpha = pc.cast(pc.utf8_length(pc.replace_substring_regex(
+            b["text"], pattern="[^a-zA-Z]", replacement="")), pa.int64())
+        return pa.table({
+            "doc_id": b["doc_id"], "source": b["source"],
+            "pfx": pfx, "alpha": alpha,
+            "_ph": pa.array(hash_str_array(pfx), pa.uint64())})
+
+    def flow(part: pa.Table) -> pa.Table:
+        empty = pa.table({"owner": pa.array([], pa.string()),
+                          "copier": pa.array([], pa.string()),
+                          "n_copies": pa.array([], pa.int64())})
+        if part.num_rows == 0:
+            return empty
+        ids = part["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        alpha = part["alpha"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        src = part["source"].to_numpy(zero_copy_only=False)
+        codes, _ = pd.factorize(part["pfx"].to_pandas(), sort=False)
+        o = np.lexsort((ids, -alpha, codes))
+        c, s = codes[o], src[o]
+        first = np.concatenate(([True], c[1:] != c[:-1]))
+        gidx = np.cumsum(first) - 1
+        win_src = s[np.flatnonzero(first)][gidx]
+        dropped = ~first
+        if not dropped.any():
+            return empty
+        owner = win_src[dropped].astype(str)
+        copier = s[dropped].astype(str)
+        key = np.char.add(np.char.add(owner, "\x00"), copier)
+        _, idx, cnt = np.unique(key, return_index=True,
+                                return_counts=True)
+        return pa.table({
+            "owner": pa.array(owner[idx], pa.string()),
+            "copier": pa.array(copier[idx], pa.string()),
+            "n_copies": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    parts = partition_apply(ds.map_batches(h, batch_format="pyarrow"),
+                            "_ph", flow, default_partitions())
+    agg = parts.groupby(["owner", "copier"]).aggregate(
+        Sum("n_copies", alias_name="n_copies")).to_pandas()
+    # |sources|^2-bounded driver fold (the q_rollup_lang_source rule:
+    # the lattice is over group keys, not data rows); an empty groupby
+    # drops its schema, so rebuild the typed frame explicitly
+    return pa.table({
+        "owner": pa.array(agg.get("owner", pd.Series(dtype=object))
+                          .to_numpy(dtype=object), pa.string()),
+        "copier": pa.array(agg.get("copier", pd.Series(dtype=object))
+                           .to_numpy(dtype=object), pa.string()),
+        "n_copies": pa.array(agg.get("n_copies",
+                                     pd.Series(dtype="int64"))
+                             .to_numpy(dtype="int64"), pa.int64())})
+
+
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_lang_counts": q_lang_counts,
@@ -9011,6 +9141,8 @@ QUERIES = {
     "q_tier_token_report": q_tier_token_report,
     "q_best_of_dup_group": q_best_of_dup_group,
     "q_jaccard_histogram": q_jaccard_histogram,
+    "q_bow_dedup": q_bow_dedup,
+    "q_prefix_dup_flow": q_prefix_dup_flow,
 }
 
 # --- SQL replay fragments for hash-bearing oracles -------------------------
@@ -10604,6 +10736,30 @@ ORACLE_SQL["q_jaccard_histogram"] = (
     "WITH v AS (" + _LSH_PAIRS_SQL + ") "
     "SELECT jaccard, CAST(COUNT(*) AS BIGINT) AS n_pairs "
     "FROM v GROUP BY jaccard")
+
+# bag-of-words dedup: group on the lex-sorted word multiset (binary
+# collation == numpy codepoint sort on the ASCII corpus)
+ORACLE_SQL["q_bow_dedup"] = (
+    "SELECT MIN(doc_id) AS rep, CAST(COUNT(*) AS BIGINT) AS n_docs "
+    "FROM documents GROUP BY "
+    "array_to_string(list_sort(string_split(text, ' ')), ' ')")
+
+# directional copy matrix under quality-priority retention: the
+# q_best_of_dup_group survivor's source -> each dropped doc's source
+ORACLE_SQL["q_prefix_dup_flow"] = (
+    "WITH n AS (SELECT doc_id, source, "
+    "substr(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')), "
+    "1, 40) AS pfx, "
+    "length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha "
+    "FROM documents), "
+    "r AS (SELECT doc_id, source, pfx, "
+    "ROW_NUMBER() OVER (PARTITION BY pfx "
+    "ORDER BY alpha DESC, doc_id) AS rn FROM n), "
+    "w AS (SELECT pfx, source AS owner FROM r WHERE rn = 1) "
+    "SELECT w.owner, r.source AS copier, "
+    "CAST(COUNT(*) AS BIGINT) AS n_copies "
+    "FROM r JOIN w ON r.pfx = w.pfx WHERE r.rn > 1 "
+    "GROUP BY w.owner, r.source")
 
 # The driver signs correctness rows for only a prefix of this registry
 # (50 entries per round), so oracle-bearing queries are ordered FIRST:

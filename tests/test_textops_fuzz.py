@@ -27,7 +27,8 @@ FUZZED = ["q_pii_scrub", "q_chunk_tokens", "q_contam_overlap",
           "q_ppjoin_clusters", "q_curation_v2",
           "q_soft_dedup_weights", "q_train_split",
           "q_boilerplate_lines", "q_oov_rate", "q_curation_v3",
-          "q_bloom_dedup", "q_shard_assign", "q_dup_inflation"]
+          "q_bloom_dedup", "q_shard_assign", "q_dup_inflation",
+          "q_bow_dedup", "q_prefix_dup_flow"]
 
 _WORDS = ["the", "ab3", "x", "foo.bar", "semi;colon", "café",
           "10.0.0.7", "a@b.co", "+1-555-0001", "trail.", "(paren)",
@@ -406,3 +407,73 @@ def test_best_of_dup_group_alpha_tie_takes_min_id(ray_session,
     b = want[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_exact=True)
     assert list(a.keep) == [0] and list(a.n_docs) == [3]
+
+
+def test_bow_dedup_shuffled_mirror_and_multiset(ray_session, tmp_path):
+    """The bag-of-words tier must catch a word-REORDERED mirror (docs 0
+    and 1 collapse) while keeping multiset semantics: 'a a b' and
+    'a b b' have equal word SETS but different counts and must stay
+    separate groups; two empty texts share the '' key."""
+    d = str(tmp_path)
+    texts = ["one two three four", "four three two one",   # mirror pair
+             "a a b", "a b b",                             # count-distinct
+             "", ""]                                       # empty group
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(6), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 6),
+        "source": pa.array(["s0"] * 6, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
+        f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{d}/documents.parquet'")
+    got = QUERIES["q_bow_dedup"](d).to_pandas()
+    want = con.sql(ORACLE_SQL["q_bow_dedup"]).df()
+    con.close()
+    cols = sorted(want.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    assert list(a.dtypes) == list(b.dtypes)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    groups = dict(zip(a.rep, a.n_docs))
+    assert groups == {0: 2, 2: 1, 3: 1, 4: 2}
+
+
+def test_prefix_dup_flow_direction(ray_session, tmp_path):
+    """Ownership must point at the QUALITY winner's source: 'rich'
+    holds the high-alpha copy (not the min doc_id), so both dropped
+    docs flow rich <- {poor, mid}; a reverse group where 'poor' wins by
+    the min-id tie-break pins the tie arm of the survivor rule."""
+    d = str(tmp_path)
+    head = "the quick brown fox jumps over the lazy dog "
+    texts = [
+        head + "tail",                                  # 0 poor, alpha lo
+        head + "tail here",                             # 1 mid
+        head + "a very long rich continuation of text", # 2 rich WINS
+        "zz other prefix body",                         # 3 poor (tie, min id)
+        "zz other prefix body",                         # 4 mid (tie, dropped)
+    ]
+    src = ["poor", "mid", "rich", "poor", "mid"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(5), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 5),
+        "source": pa.array(src, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
+        f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{d}/documents.parquet'")
+    got = QUERIES["q_prefix_dup_flow"](d)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    want = con.sql(ORACLE_SQL["q_prefix_dup_flow"]).df()
+    con.close()
+    cols = sorted(want.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    assert list(a.dtypes) == list(b.dtypes)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    flows = {(r.owner, r.copier): r.n_copies for r in a.itertuples()}
+    assert flows == {("rich", "poor"): 1, ("rich", "mid"): 1,
+                     ("poor", "mid"): 1}
