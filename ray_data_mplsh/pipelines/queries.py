@@ -8988,6 +8988,99 @@ def q_prefix_dup_flow(sf_dir: str):
                              .to_numpy(dtype="int64"), pa.int64())})
 
 
+def q_split_leakage(sf_dir: str):
+    """Held-out-set contamination audit — the check a pretraining
+    pipeline runs before trusting its eval numbers: for every valid /
+    test doc (the [[q_train_split]] deterministic 98/1/1 tagging), how
+    many TRAIN docs share its normalized text (the q_normalized_dedup
+    key). n_train_copies > 0 means the eval doc leaks into training
+    verbatim-up-to-case/punct; zero-count rows are emitted too, so the
+    report always covers the whole held-out set. One norm-hash exchange
+    carrying (doc_id, split, norm) — copies co-locate, so the train
+    count per group resolves partition-locally; output is
+    held-out-sized (~2% of the corpus), never the corpus."""
+    from ray_data_mplsh.functions.hashing import (hash_str_array,
+                                                  knuth_hash32)
+    from ray_data_mplsh.stages.shuffle import (default_partitions,
+                                               partition_apply)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(b: pa.Table) -> pa.Table:
+        h = knuth_hash32(
+            b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ) % np.uint64(100)
+        split = np.where(h < 98, "train",
+                         np.where(h == 98, "valid", "test"))
+        nt = pc.utf8_lower(pc.replace_substring_regex(
+            b["text"], pattern="[^a-zA-Z0-9 ]", replacement=""))
+        return pa.table({
+            "doc_id": b["doc_id"].cast(pa.int64()),
+            "split": pa.array(split, pa.string()), "norm": nt,
+            "_nh": pa.array(hash_str_array(nt), pa.uint64())})
+
+    def leak(part: pa.Table) -> pa.Table:
+        ids = part["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        split = part["split"].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(part["norm"].to_pandas(), sort=False)
+        is_train = split == "train"
+        n_train = np.bincount(codes[is_train], minlength=len(uniq)) \
+            .astype(np.int64)
+        held = ~is_train
+        return pa.table({
+            "doc_id": pa.array(ids[held], pa.int64()),
+            "split": pa.array(split[held].astype(object), pa.string()),
+            "n_train_copies": pa.array(n_train[codes[held]], pa.int64())})
+
+    return partition_apply(ds.map_batches(norm, batch_format="pyarrow"),
+                           "_nh", leak, default_partitions())
+
+
+def q_lang_confusion(sf_dir: str):
+    """Language-ID confusion matrix — the eval a pipeline reads before
+    trusting [[q_lang_id]] as a filter: stored lang x predicted lang
+    doc counts. Per-batch argmax prediction + (lang, pred) partial
+    counts (batch-local combiner), a |langs|^2-bounded groupby, typed
+    driver fold guarding the empty-groupby schema loss."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+    langs = sorted(_LANG_MARKERS)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "pred_lang": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64())})
+        scores = np.stack([
+            pc.count_substring_regex(t["text"], _LANG_MARKERS[lg])
+              .to_numpy(zero_copy_only=False).astype(np.int64)
+            for lg in langs], axis=1)
+        pred = np.array(langs, dtype=object)[
+            np.argmax(scores, axis=1)].astype(str)
+        lang = t["lang"].to_numpy(zero_copy_only=False).astype(str)
+        key = np.char.add(np.char.add(lang, "\x00"), pred)
+        _, idx, cnt = np.unique(key, return_index=True,
+                                return_counts=True)
+        return pa.table({
+            "lang": pa.array(lang[idx].astype(object), pa.string()),
+            "pred_lang": pa.array(pred[idx].astype(object), pa.string()),
+            "n_docs": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["lang", "pred_lang"]).aggregate(
+            Sum("n_docs", alias_name="n_docs")).to_pandas()
+    return pa.table({
+        "lang": pa.array(agg.get("lang", pd.Series(dtype=object))
+                         .to_numpy(dtype=object), pa.string()),
+        "pred_lang": pa.array(
+            agg.get("pred_lang", pd.Series(dtype=object))
+            .to_numpy(dtype=object), pa.string()),
+        "n_docs": pa.array(agg.get("n_docs", pd.Series(dtype="int64"))
+                           .to_numpy(dtype="int64"), pa.int64())})
+
+
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_lang_counts": q_lang_counts,
@@ -9143,6 +9236,8 @@ QUERIES = {
     "q_jaccard_histogram": q_jaccard_histogram,
     "q_bow_dedup": q_bow_dedup,
     "q_prefix_dup_flow": q_prefix_dup_flow,
+    "q_split_leakage": q_split_leakage,
+    "q_lang_confusion": q_lang_confusion,
 }
 
 # --- SQL replay fragments for hash-bearing oracles -------------------------
@@ -9482,6 +9577,18 @@ _SUBSTR_PAIRS_SQL = (
     "FROM fpv JOIN fb USING (fp) "
     f"WHERE fb.c > {MPLSHConfig().substr_bucket_cap} "
     "AND fpv.doc_id > fb.mn")
+
+# argmax-marker language-ID CASE expression (first max = lexicographic
+# tie-break), shared by the q_lang_id and q_lang_confusion replays
+_LANG_ID_CASE = (
+    "CASE GREATEST("
+    + ", ".join(f"len(regexp_extract_all(text, '{p}'))"
+                for p in (_LANG_MARKERS[lg]
+                          for lg in sorted(_LANG_MARKERS))) + ") "
+    + " ".join(
+        f"WHEN len(regexp_extract_all(text, '{_LANG_MARKERS[lg]}')) "
+        f"THEN '{lg}'" for lg in sorted(_LANG_MARKERS))
+    + " END")
 
 ORACLE_SQL = {
     "q_simhash_pairs": _SIMHASH_SQL,
@@ -10343,14 +10450,8 @@ ORACLE_SQL = {
         "array_length(string_split_regex(trim(text), '\\s+')) AS n_tokens "
         "FROM m",
     "q_lang_id":
-        "SELECT doc_id, CASE GREATEST("
-        + ", ".join(f"len(regexp_extract_all(text, '{p}'))"
-                    for p in (_LANG_MARKERS[lg]
-                              for lg in sorted(_LANG_MARKERS))) + ") "
-        + " ".join(
-            f"WHEN len(regexp_extract_all(text, '{_LANG_MARKERS[lg]}')) "
-            f"THEN '{lg}'" for lg in sorted(_LANG_MARKERS))
-        + " END AS pred_lang FROM documents",
+        "SELECT doc_id, " + _LANG_ID_CASE + " AS pred_lang "
+        "FROM documents",
 }
 
 # CCNet-style trigram-LM scoring: the oracle retrains the model and
@@ -10760,6 +10861,28 @@ ORACLE_SQL["q_prefix_dup_flow"] = (
     "CAST(COUNT(*) AS BIGINT) AS n_copies "
     "FROM r JOIN w ON r.pfx = w.pfx WHERE r.rn > 1 "
     "GROUP BY w.owner, r.source")
+
+# held-out leakage audit: the q_train_split hash CASE + the
+# q_normalized_dedup key, train counts LEFT-joined onto valid/test rows
+ORACLE_SQL["q_split_leakage"] = (
+    "WITH s AS (SELECT doc_id, "
+    "((doc_id % 4294967296) * 2654435761::HUGEINT) // 4294967296 % 100 "
+    "AS h, lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) "
+    "AS norm FROM documents), "
+    "l AS (SELECT doc_id, CASE WHEN h < 98 THEN 'train' "
+    "WHEN h = 98 THEN 'valid' ELSE 'test' END AS split, norm FROM s), "
+    "t AS (SELECT norm, CAST(COUNT(*) AS BIGINT) AS n FROM l "
+    "WHERE split = 'train' GROUP BY norm) "
+    "SELECT l.doc_id, l.split, COALESCE(t.n, 0) AS n_train_copies "
+    "FROM l LEFT JOIN t USING (norm) WHERE l.split != 'train'")
+
+# language-ID confusion matrix: the shared argmax CASE grouped against
+# the stored lang column
+ORACLE_SQL["q_lang_confusion"] = (
+    "WITH p AS (SELECT lang, " + _LANG_ID_CASE + " AS pred_lang "
+    "FROM documents) "
+    "SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs "
+    "FROM p GROUP BY lang, pred_lang")
 
 # The driver signs correctness rows for only a prefix of this registry
 # (50 entries per round), so oracle-bearing queries are ordered FIRST:

@@ -28,7 +28,7 @@ FUZZED = ["q_pii_scrub", "q_chunk_tokens", "q_contam_overlap",
           "q_soft_dedup_weights", "q_train_split",
           "q_boilerplate_lines", "q_oov_rate", "q_curation_v3",
           "q_bloom_dedup", "q_shard_assign", "q_dup_inflation",
-          "q_bow_dedup", "q_prefix_dup_flow"]
+          "q_bow_dedup", "q_prefix_dup_flow", "q_lang_confusion"]
 
 _WORDS = ["the", "ab3", "x", "foo.bar", "semi;colon", "café",
           "10.0.0.7", "a@b.co", "+1-555-0001", "trail.", "(paren)",
@@ -477,3 +477,85 @@ def test_prefix_dup_flow_direction(ray_session, tmp_path):
     flows = {(r.owner, r.copier): r.n_copies for r in a.itertuples()}
     assert flows == {("rich", "poor"): 1, ("rich", "mid"): 1,
                      ("poor", "mid"): 1}
+
+
+def test_split_leakage_planted(ray_session, tmp_path):
+    """A genuinely leaked eval doc: pick a doc_id the 98/1/1 hash puts
+    in test (and one in valid), give them the SAME normalized text as
+    two train docs (one differing only in case/punct — the norm key
+    must catch it), and one clean held-out doc with n_train_copies = 0.
+    The report must cover every held-out doc, zeros included."""
+    from ray_data_mplsh.functions.hashing import knuth_hash32
+
+    h = knuth_hash32(np.arange(4000, dtype=np.uint64)) % np.uint64(100)
+    test_ids = np.flatnonzero(h == 99)
+    valid_ids = np.flatnonzero(h == 98)
+    train_ids = np.flatnonzero(h < 98)
+    assert len(test_ids) >= 2 and len(valid_ids) >= 1
+    leak_t, clean_t = int(test_ids[0]), int(test_ids[1])
+    leak_v = int(valid_ids[0])
+    ids = [int(train_ids[0]), int(train_ids[1]), int(train_ids[2]),
+           leak_t, leak_v, clean_t]
+    texts = ["the shared secret passage",   # train copy 1
+             "The shared, secret PASSAGE!", # train copy 2 (norm-equal)
+             "an unrelated train doc",
+             "the shared secret passage",   # leaked test doc (2 copies)
+             "an unrelated train doc",      # leaked valid doc (1 copy)
+             "a clean held out doc"]        # clean test doc (0 copies)
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 6),
+        "source": pa.array(["s0"] * 6, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
+        f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{d}/documents.parquet'")
+    got = QUERIES["q_split_leakage"](d).to_pandas()
+    want = con.sql(ORACLE_SQL["q_split_leakage"]).df()
+    con.close()
+    cols = sorted(want.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    assert list(a.dtypes) == list(b.dtypes)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    rep = dict(zip(a.doc_id, a.n_train_copies))
+    assert rep == {leak_t: 2, leak_v: 1, clean_t: 0}
+
+
+def test_lang_confusion_planted(ray_session, tmp_path):
+    """Force every matrix cell deterministically: marker words pin the
+    argmax (incl. the all-zero tie, which goes to 'de' — the
+    lexicographically smallest marker lang) against deliberately wrong
+    stored langs."""
+    d = str(tmp_path)
+    texts = ["the join scan the",        # pred en
+             "merge window stream",      # pred de
+             "hash spill cache hash",    # pred es
+             "nothing here",             # all-zero tie -> de
+             "sort shuffle batch sort"]  # pred fr
+    stored = ["en", "en", "de", "fr", "fr"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(5), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(stored, pa.string()),
+        "source": pa.array(["s0"] * 5, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
+        f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{d}/documents.parquet'")
+    got = QUERIES["q_lang_confusion"](d)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    want = con.sql(ORACLE_SQL["q_lang_confusion"]).df()
+    con.close()
+    cols = sorted(want.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    assert list(a.dtypes) == list(b.dtypes)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    cells = {(r.lang, r.pred_lang): r.n_docs for r in a.itertuples()}
+    assert cells == {("en", "en"): 1, ("en", "de"): 1, ("de", "es"): 1,
+                     ("fr", "de"): 1, ("fr", "fr"): 1}
