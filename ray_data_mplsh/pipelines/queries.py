@@ -992,10 +992,15 @@ def q_lm_score(sf_dir: str):
     flips to a range-partitioned rank exchange (asserted loudly, not
     silently truncated). Docs with fewer than 3 normalized chars have no
     trigram instances and are excluded (the SQL inner join drops them)."""
+    return lm_score_ds(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def lm_score_ds(ds):
+    """q_lm_score over an arbitrary (doc_id, text) Dataset — factored
+    out so compositions (q_ccnet_pipeline) can train + score + tercile
+    a FILTERED subcorpus with the identical kernel."""
     import ray
     from ray.data.aggregate import Sum
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def norm_col(t: pa.Table):
         return pc.utf8_lower(pc.replace_substring_regex(
@@ -9081,6 +9086,82 @@ def q_lang_confusion(sf_dir: str):
                            .to_numpy(dtype="int64"), pa.int64())})
 
 
+def q_ccnet_pipeline(sf_dir: str):
+    """The composed CCNet curation chain (Wenzek et al. 2020): language
+    gate -> corpus-trained trigram-LM perplexity terciles -> keep head
+    + middle, drop tail. The gate keeps docs whose [[q_lang_id]]
+    argmax-marker prediction AGREES with the stored lang (the
+    confusion-matrix diagonal); the LM model is then trained on and the
+    terciles computed over the KEPT subcorpus only (the CCNet order —
+    a tail-heavy rejected language must not skew the cuts), via the
+    factored [[q_lm_score]] kernel (lm_score_ds). Output: surviving
+    (doc_id, bucket in {1, 2}). One stateless gate map + the lm_score
+    shape (37^3-bounded model groupby, broadcast probe, capped CDF)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    langs = sorted(_LANG_MARKERS)
+
+    def gate(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "text": pa.array([], pa.string())})
+        scores = np.stack([
+            pc.count_substring_regex(t["text"], _LANG_MARKERS[lg])
+              .to_numpy(zero_copy_only=False).astype(np.int64)
+            for lg in langs], axis=1)
+        pred = np.array(langs, dtype=object)[np.argmax(scores, axis=1)]
+        lang = t["lang"].to_numpy(zero_copy_only=False).astype(object)
+        return t.select(["doc_id", "text"]).filter(pa.array(pred == lang))
+
+    scored = lm_score_ds(ds.map_batches(gate, batch_format="pyarrow"))
+    if isinstance(scored, pa.Table):    # empty-corpus typed table
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "bucket": pa.array([], pa.int64())})
+    return scored.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "bucket": t["bucket"]}).filter(
+            pc.less_equal(t["bucket"], 2)),
+        batch_format="pyarrow")
+
+
+def q_within_doc_line_dedup(sf_dir: str):
+    """Within-doc repeated-line scrub — the intra-page cleanup for nav
+    menus / footers repeated inside ONE page (the complement of
+    [[q_boilerplate_lines]]' cross-doc rule): every line keeps only its
+    FIRST occurrence within its own doc; line order is otherwise
+    preserved. Purely per-doc, so a stateless vectorized map — zero
+    shuffle at any corpus size: flat (row, line) split, first-instance
+    mask via one lexsort, per-row rejoin."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def scrub(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        s = pd.Series(b["text"].to_pandas(), dtype="object").fillna("")
+        lines = s.str.split("\n")
+        nl = lines.str.len().to_numpy(dtype=np.int64)
+        row = np.repeat(np.arange(n, dtype=np.int64), nl)
+        flat = lines.explode().to_numpy()
+        if len(flat) != len(row):   # explode() yields NaN for []
+            flat = flat[~pd.isna(flat)]
+        starts = np.concatenate(([0], np.cumsum(nl)))[:-1]
+        idx = np.arange(len(row), dtype=np.int64) - starts[row]
+        codes, _ = pd.factorize(flat, sort=False)
+        o = np.lexsort((idx, codes, row))
+        r, c = row[o], codes[o]
+        first = np.concatenate(
+            ([True], (r[1:] != r[:-1]) | (c[1:] != c[:-1]))) \
+            if len(o) else np.empty(0, bool)
+        kept = np.zeros(len(row), bool)
+        kept[o[first]] = True
+        joined = pd.Series(flat[kept]).groupby(row[kept]).agg("\n".join)
+        full = np.full(n, "", dtype=object)
+        if len(joined):
+            full[joined.index.to_numpy()] = joined.to_numpy()
+        return pa.table({"doc_id": b["doc_id"],
+                         "text": pa.array(full, pa.string())})
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_lang_counts": q_lang_counts,
@@ -9238,6 +9319,8 @@ QUERIES = {
     "q_prefix_dup_flow": q_prefix_dup_flow,
     "q_split_leakage": q_split_leakage,
     "q_lang_confusion": q_lang_confusion,
+    "q_ccnet_pipeline": q_ccnet_pipeline,
+    "q_within_doc_line_dedup": q_within_doc_line_dedup,
 }
 
 # --- SQL replay fragments for hash-bearing oracles -------------------------
@@ -10883,6 +10966,30 @@ ORACLE_SQL["q_lang_confusion"] = (
     "FROM documents) "
     "SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs "
     "FROM p GROUP BY lang, pred_lang")
+
+# composed CCNet chain: the lang-agreement gate as a `kept` view, the
+# whole q_lm_score replay spliced via nested WITH over it (it reads its
+# source exactly once — asserted), keep terciles 1-2
+assert ORACLE_SQL["q_lm_score"].count("FROM documents") == 1
+ORACLE_SQL["q_ccnet_pipeline"] = (
+    "WITH kept AS (SELECT doc_id, text FROM (SELECT doc_id, text, "
+    "lang, " + _LANG_ID_CASE + " AS pred FROM documents) "
+    "WHERE pred = lang) "
+    "SELECT doc_id, bucket FROM ("
+    + ORACLE_SQL["q_lm_score"].replace("FROM documents", "FROM kept", 1)
+    + ") WHERE bucket <= 2")
+
+# within-doc line dedup: first instance per (doc, line) via ROW_NUMBER,
+# rejoined in original order
+ORACLE_SQL["q_within_doc_line_dedup"] = (
+    "WITH s AS (SELECT doc_id, string_split(text, chr(10)) AS ps "
+    "FROM documents), "
+    "p AS (SELECT doc_id, unnest(ps) AS line, "
+    "generate_subscripts(ps, 1) AS idx FROM s), "
+    "f AS (SELECT doc_id, line, idx, ROW_NUMBER() OVER "
+    "(PARTITION BY doc_id, line ORDER BY idx) AS rn FROM p) "
+    "SELECT doc_id, COALESCE(string_agg(line, chr(10) ORDER BY idx) "
+    "FILTER (WHERE rn = 1), '') AS text FROM f GROUP BY doc_id")
 
 # The driver signs correctness rows for only a prefix of this registry
 # (50 entries per round), so oracle-bearing queries are ordered FIRST:

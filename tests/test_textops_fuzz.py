@@ -559,3 +559,63 @@ def test_lang_confusion_planted(ray_session, tmp_path):
     cells = {(r.lang, r.pred_lang): r.n_docs for r in a.itertuples()}
     assert cells == {("en", "en"): 1, ("en", "de"): 1, ("de", "es"): 1,
                      ("fr", "de"): 1, ("fr", "fr"): 1}
+
+
+@pytest.mark.parametrize("seed", [5, 19])
+def test_within_doc_line_dedup_newline_edges(ray_session, tmp_path,
+                                             seed):
+    """The paragraph fuzz corpus has every newline edge — within-doc
+    repeats, empty lines (consecutive/trailing newlines), newline-only
+    docs, empty docs — and the per-doc first-instance scrub must replay
+    the ROW_NUMBER/string_agg oracle bit-exactly on all of them."""
+    d = str(tmp_path)
+    _write_para_corpus(d, seed)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{d}/documents.parquet'")
+    got = QUERIES["q_within_doc_line_dedup"](d).to_pandas()
+    want = con.sql(ORACLE_SQL["q_within_doc_line_dedup"]).df()
+    con.close()
+    cols = sorted(want.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    assert list(a.dtypes) == list(b.dtypes)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    # the scrub must have actually removed something (style-3 docs)
+    src = pq.read_table(f"{d}/documents.parquet").to_pandas()
+    merged = src.merge(a, on="doc_id", suffixes=("_in", "_out"))
+    assert (merged.text_out.str.len() < merged.text_in.str.len()).any()
+
+
+def test_ccnet_pipeline_gate_and_terciles(ray_session, tmp_path):
+    """The composed chain: a doc whose stored lang disagrees with the
+    marker prediction must be dropped BEFORE the terciles are cut (so
+    the cuts move), and the tail tercile of the kept subcorpus must be
+    absent from the output."""
+    d = str(tmp_path)
+    # 9 kept docs (lang agrees): 3 blocks of graded trigram repetition
+    texts = (["the the the join join scan"] * 3      # most probable
+             + ["the join scan window here"] * 3     # middle
+             + [f"the zq{i}x unique rare trigram mix" for i in range(3)]
+             + ["merge window stream"])              # stored en != pred de
+    langs = ["en"] * 9 + ["en"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(10), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(["s0"] * 10, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
+        f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{d}/documents.parquet'")
+    got = QUERIES["q_ccnet_pipeline"](d).to_pandas()
+    want = con.sql(ORACLE_SQL["q_ccnet_pipeline"]).df()
+    con.close()
+    cols = sorted(want.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    assert list(a.dtypes) == list(b.dtypes)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    assert 9 not in set(a.doc_id)         # gate-dropped, not tail-dropped
+    assert set(a.bucket) == {1, 2} and len(a) == 6
