@@ -9162,6 +9162,71 @@ def q_within_doc_line_dedup(sf_dir: str):
     return ds.map_batches(scrub, batch_format="pyarrow")
 
 
+def q_best_of_near_cluster(sf_dir: str):
+    """Quality-priority retention applied to the NEAR tier — the third
+    leg of the retention story (exact tier keeps min doc_id, prefix
+    tier [[q_best_of_dup_group]], near tier this): per LSH cluster
+    ([[q_lsh_clusters]], which consumes the memoized verified pair
+    set), the surviving doc is the member with the most alpha chars,
+    ties to min doc_id. Cluster labels are output-sized, so the fold is
+    the q_dup_flow_matrix shape: capped label gather + map-side
+    semi-join computing alpha ONLY for cluster-incident docs (the
+    corpus never gathers), then a driver argmax over |clustered docs|
+    rows."""
+    import ray
+
+    labels = q_lsh_clusters(sf_dir)
+    lt = gather_capped(labels, 4_000_000, pa.schema(
+        [("doc_id", pa.int64()), ("cluster_id", pa.int64())]))
+    assert lt is not None, "cluster label set overflowed the cap"
+    empty = pa.table({"cluster_id": pa.array([], pa.int64()),
+                      "keep": pa.array([], pa.int64()),
+                      "alpha_chars": pa.array([], pa.int64()),
+                      "n_docs": pa.array([], pa.int64())})
+    if lt.num_rows == 0:
+        return empty
+    ids = lt["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cl = lt["cluster_id"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    incident = np.unique(ids)
+    iref = ray.put(incident)
+
+    def alpha_of(t: pa.Table) -> pa.Table:
+        inc = cached_get(iref)
+        did = t["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pos = np.searchsorted(inc, did).clip(0, len(inc) - 1)
+        t = t.filter(pa.array(inc[pos] == did))
+        a = pc.cast(pc.utf8_length(pc.replace_substring_regex(
+            t["text"], pattern="[^a-zA-Z]", replacement="")), pa.int64())
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "alpha": a})
+
+    at = gather_capped(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(alpha_of, batch_format="pyarrow"),
+        4_000_000, pa.schema([("doc_id", pa.int64()),
+                              ("alpha", pa.int64())]))
+    assert at is not None, "incident alpha rows overflowed the cap"
+    ak = at["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    av = at["alpha"].to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.argsort(ak)
+    ak, av = ak[o], av[o]
+    j = np.searchsorted(ak, ids)
+    assert len(ak) and (ak[j] == ids).all()   # labels ⊆ documents
+    alpha = av[j]
+    o = np.lexsort((ids, -alpha, cl))
+    c = cl[o]
+    first = np.concatenate(([True], c[1:] != c[:-1]))
+    starts = np.flatnonzero(first)
+    cnt = np.diff(np.concatenate([starts, [len(o)]]))
+    return pa.table({
+        "cluster_id": pa.array(c[starts], pa.int64()),
+        "keep": pa.array(ids[o][starts], pa.int64()),
+        "alpha_chars": pa.array(alpha[o][starts], pa.int64()),
+        "n_docs": pa.array(cnt.astype(np.int64), pa.int64())})
+
+
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_lang_counts": q_lang_counts,
@@ -9321,6 +9386,7 @@ QUERIES = {
     "q_lang_confusion": q_lang_confusion,
     "q_ccnet_pipeline": q_ccnet_pipeline,
     "q_within_doc_line_dedup": q_within_doc_line_dedup,
+    "q_best_of_near_cluster": q_best_of_near_cluster,
 }
 
 # --- SQL replay fragments for hash-bearing oracles -------------------------
@@ -10990,6 +11056,21 @@ ORACLE_SQL["q_within_doc_line_dedup"] = (
     "(PARTITION BY doc_id, line ORDER BY idx) AS rn FROM p) "
     "SELECT doc_id, COALESCE(string_agg(line, chr(10) ORDER BY idx) "
     "FILTER (WHERE rn = 1), '') AS text FROM f GROUP BY doc_id")
+
+# quality-priority retention on the near tier: the recursive cluster
+# replay as a derived table, alpha joined on, argmax per cluster
+ORACLE_SQL["q_best_of_near_cluster"] = (
+    "WITH a AS (SELECT doc_id, "
+    "CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) "
+    "AS alpha FROM documents), "
+    "r AS (SELECT c.cluster_id, c.doc_id, a.alpha, "
+    "ROW_NUMBER() OVER (PARTITION BY c.cluster_id "
+    "ORDER BY a.alpha DESC, c.doc_id) AS rn, "
+    "CAST(COUNT(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) "
+    "AS n_docs FROM (" + _LSH_CLUSTERS_SQL + ") c "
+    "JOIN a ON c.doc_id = a.doc_id) "
+    "SELECT cluster_id, doc_id AS keep, alpha AS alpha_chars, n_docs "
+    "FROM r WHERE rn = 1")
 
 # The driver signs correctness rows for only a prefix of this registry
 # (50 entries per round), so oracle-bearing queries are ordered FIRST:

@@ -619,3 +619,43 @@ def test_ccnet_pipeline_gate_and_terciles(ray_session, tmp_path):
     pd.testing.assert_frame_equal(a, b, check_exact=True)
     assert 9 not in set(a.doc_id)         # gate-dropped, not tail-dropped
     assert set(a.bucket) == {1, 2} and len(a) == 6
+
+
+def test_best_of_near_cluster_quality_beats_min_id(ray_session,
+                                                   tmp_path):
+    """Retention on the near tier must bite: a 3-doc near-dup family
+    where the RICHEST variant (two extra words, so more alpha) is the
+    highest doc_id — the cluster's keep must be that doc, not the
+    min-id member. Doc 2 is an exact copy of doc 0 (signature Jaccard
+    1.0) so the cluster forms regardless of how the estimate treats
+    the extended variant."""
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu "
+            "one two three four five six seven eight nine ten")
+    texts = [base, base + " extra rich tail", base]
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(3), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["s0"] * 3, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
+        f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{d}/documents.parquet'")
+    got = QUERIES["q_best_of_near_cluster"](d)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    want = con.sql(ORACLE_SQL["q_best_of_near_cluster"]).df()
+    con.close()
+    cols = sorted(want.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    assert list(a.dtypes) == list(b.dtypes)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    assert len(a) == 1 and a.cluster_id.iloc[0] == 0
+    if a.n_docs.iloc[0] == 3:     # extended variant verified into the
+        assert a.keep.iloc[0] == 1  # cluster: quality pick must win
+    else:                         # estimate rejected it: tie -> min id
+        assert a.n_docs.iloc[0] == 2 and a.keep.iloc[0] == 0
