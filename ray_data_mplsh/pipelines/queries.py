@@ -9227,6 +9227,77 @@ def q_best_of_near_cluster(sf_dir: str):
         "n_docs": pa.array(cnt.astype(np.int64), pa.int64())})
 
 
+def _skyline_2d(ids: np.ndarray, x: np.ndarray,
+                y: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask of the (minimize x, maximize y) skyline —
+    p is dominated iff some q has q.x <= p.x, q.y >= p.y and beats p
+    strictly in one dim. Ties (equal x AND y) are mutually
+    non-dominating and all kept. Vectorized: per-distinct-x group max
+    of y, exclusive prefix max over ascending x, two comparisons.
+    ``ids`` is unused for the mask but keeps the signature honest."""
+    assert len(ids) == len(x) == len(y)
+    if len(x) == 0:
+        return np.zeros(0, bool)
+    o = np.argsort(x, kind="stable")
+    xs, ys = x[o], y[o]
+    new_x = np.concatenate(([True], xs[1:] != xs[:-1]))
+    gidx = np.cumsum(new_x) - 1                  # 0-based x-group index
+    ng = int(gidx[-1]) + 1
+    gmax = np.full(ng, np.iinfo(np.int64).min, np.int64)
+    np.maximum.at(gmax, gidx, ys)
+    prev = np.concatenate(                       # max y over SMALLER x
+        ([np.iinfo(np.int64).min], np.maximum.accumulate(gmax)[:-1]))
+    dominated = (prev[gidx] >= ys) | (gmax[gidx] > ys)
+    keep = np.zeros(len(x), bool)
+    keep[o] = ~dominated
+    return keep
+
+
+def q_skyline_docs(sf_dir: str):
+    """Skyline (Pareto-frontier) operator — the multi-criteria pick
+    relational engines ship that Ray Data lacks: the docs not dominated
+    on (MINIMIZE n_tokens, MAXIMIZE n_distinct words) — "most
+    vocabulary at fewest tokens", the densest-information frontier a
+    curation pass samples from. The dims anti-correlate, so the
+    frontier is non-trivial. Distribution relies on the skyline
+    algebra: a point dominated within its batch is dominated globally,
+    so skyline(corpus) = skyline(union of per-batch partial skylines)
+    — a combiner that prunes each batch to ~O(log n) frontier points
+    before the capped gather; the final driver pass runs the same
+    vectorized kernel over the pruned union."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        row, words = _split_words(b["text"])
+        n_tok = np.bincount(row, minlength=len(ids)).astype(np.int64)
+        codes, _ = pd.factorize(words, sort=False)
+        packed = np.unique((row << 32) | codes.astype(np.int64))
+        n_dist = np.bincount(packed >> 32,
+                             minlength=len(ids)).astype(np.int64)
+        keep = _skyline_2d(ids, n_tok, n_dist)
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "n_tokens": pa.array(n_tok[keep], pa.int64()),
+            "n_distinct": pa.array(n_dist[keep], pa.int64())})
+
+    st = gather_capped(
+        ds.map_batches(partial, batch_format="pyarrow"), 4_000_000,
+        pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+                   ("n_distinct", pa.int64())]))
+    assert st is not None, "partial-skyline union overflowed the cap"
+    ids = st["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    x = st["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+    y = st["n_distinct"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    keep = _skyline_2d(ids, x, y)
+    return pa.table({
+        "doc_id": pa.array(ids[keep], pa.int64()),
+        "n_tokens": pa.array(x[keep], pa.int64()),
+        "n_distinct": pa.array(y[keep], pa.int64())})
+
+
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_lang_counts": q_lang_counts,
@@ -9387,6 +9458,7 @@ QUERIES = {
     "q_ccnet_pipeline": q_ccnet_pipeline,
     "q_within_doc_line_dedup": q_within_doc_line_dedup,
     "q_best_of_near_cluster": q_best_of_near_cluster,
+    "q_skyline_docs": q_skyline_docs,
 }
 
 # --- SQL replay fragments for hash-bearing oracles -------------------------
@@ -11071,6 +11143,18 @@ ORACLE_SQL["q_best_of_near_cluster"] = (
     "JOIN a ON c.doc_id = a.doc_id) "
     "SELECT cluster_id, doc_id AS keep, alpha AS alpha_chars, n_docs "
     "FROM r WHERE rn = 1")
+
+# skyline: textbook NOT-EXISTS dominance on (min n_tokens,
+# max n_distinct); equal points are mutually non-dominating
+ORACLE_SQL["q_skyline_docs"] = (
+    "WITH s AS (SELECT doc_id, "
+    "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+    "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) "
+    "AS n_distinct FROM documents) "
+    "SELECT p.doc_id, p.n_tokens, p.n_distinct FROM s p "
+    "WHERE NOT EXISTS (SELECT 1 FROM s q "
+    "WHERE q.n_tokens <= p.n_tokens AND q.n_distinct >= p.n_distinct "
+    "AND (q.n_tokens < p.n_tokens OR q.n_distinct > p.n_distinct))")
 
 # The driver signs correctness rows for only a prefix of this registry
 # (50 entries per round), so oracle-bearing queries are ordered FIRST:

@@ -64,7 +64,8 @@ CHECK = ["q_word_stats", "q_doc_freq", "q_allpair_jaccard",
          "q_tier_token_report", "q_best_of_dup_group",
          "q_jaccard_histogram", "q_bow_dedup", "q_prefix_dup_flow",
          "q_split_leakage", "q_lang_confusion", "q_ccnet_pipeline",
-         "q_within_doc_line_dedup", "q_best_of_near_cluster"]
+         "q_within_doc_line_dedup", "q_best_of_near_cluster",
+         "q_skyline_docs"]
 
 
 @pytest.fixture(scope="module")

@@ -659,3 +659,65 @@ def test_best_of_near_cluster_quality_beats_min_id(ray_session,
         assert a.keep.iloc[0] == 1  # cluster: quality pick must win
     else:                         # estimate rejected it: tie -> min id
         assert a.n_docs.iloc[0] == 2 and a.keep.iloc[0] == 0
+
+
+def test_skyline_kernel_vs_bruteforce_and_split_invariance():
+    """_skyline_2d == the O(n^2) dominance definition on random point
+    sets with heavy ties, and the combiner algebra holds: skyline of
+    the union of per-chunk partial skylines == skyline of all points
+    (what makes the distributed plan exact)."""
+    from ray_data_mplsh.pipelines.queries import _skyline_2d
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        n = int(rng.integers(1, 60))
+        x = rng.integers(0, 8, n).astype(np.int64)   # few values: ties
+        y = rng.integers(0, 8, n).astype(np.int64)
+        ids = np.arange(n, dtype=np.int64)
+        got = _skyline_2d(ids, x, y)
+        brute = np.array([not any(
+            (x[q] <= x[p]) and (y[q] >= y[p])
+            and (x[q] < x[p] or y[q] > y[p]) for q in range(n))
+            for p in range(n)])
+        assert (got == brute).all(), (trial, x.tolist(), y.tolist())
+        # combiner algebra: prune per chunk, then skyline the union
+        cut = n // 2
+        m1 = _skyline_2d(ids[:cut], x[:cut], y[:cut])
+        m2 = _skyline_2d(ids[cut:], x[cut:], y[cut:])
+        ux = np.concatenate([x[:cut][m1], x[cut:][m2]])
+        uy = np.concatenate([y[:cut][m1], y[cut:][m2]])
+        uid = np.concatenate([ids[:cut][m1], ids[cut:][m2]])
+        mu = _skyline_2d(uid, ux, uy)
+        assert set(uid[mu].tolist()) == set(ids[brute].tolist())
+
+
+def test_skyline_docs_planted_frontier(ray_session, tmp_path):
+    """Deterministic frontier: a dense short doc and a rich long doc
+    are both on the frontier, equal points are BOTH kept (mutual
+    non-domination), and a strictly dominated doc is dropped."""
+    d = str(tmp_path)
+    texts = ["a b c",           # 3 tokens, 3 distinct — frontier
+             "a b c d e f x y", # 8 tokens, 8 distinct — frontier
+             "a a a",           # 3 tokens, 1 distinct — dominated by 0
+             "a b c",           # tie of doc 0 — kept
+             "a b c d e"]       # 5/5 — frontier (between 0 and 1)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(5), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 5),
+        "source": pa.array(["s0"] * 5, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
+        f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{d}/documents.parquet'")
+    got = QUERIES["q_skyline_docs"](d)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    want = con.sql(ORACLE_SQL["q_skyline_docs"]).df()
+    con.close()
+    cols = sorted(want.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    assert list(a.dtypes) == list(b.dtypes)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    assert set(a.doc_id) == {0, 1, 3, 4}
