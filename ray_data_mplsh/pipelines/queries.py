@@ -9298,6 +9298,52 @@ def q_skyline_docs(sf_dir: str):
         "n_distinct": pa.array(y[keep], pa.int64())})
 
 
+_RESERVOIR_K = 100
+
+
+def q_reservoir_sample(sf_dir: str):
+    """Exact-k deterministic sample — the fixed-size complement of the
+    fraction-based [[q_sample]]: the _RESERVOIR_K docs with the
+    smallest (Weyl-hash, doc_id) key, i.e. a distributed bottom-k that
+    behaves like a seeded reservoir but is a pure function of doc_id
+    (stable under re-runs, re-sharding, and streaming order — the
+    property Vitter's algorithm lacks). Per-batch bottom-k combiner
+    (argpartition, k rows out per block) -> k x blocks capped gather ->
+    k-bounded driver merge. Output carries the key so downstream joins
+    can extend the sample deterministically."""
+    from ray_data_mplsh.stages.shuffle import gather_capped as _gc
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def bottom_k(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        u = ((ids & np.uint64(0xFFFFFFFF)) * np.uint64(2654435761)) \
+            & np.uint64(0xFFFFFFFF)
+        if len(ids) > _RESERVOIR_K:
+            # partition for the k-th smallest h, then keep EVERY row at
+            # or below it — h-ties must all survive the combiner so the
+            # final doc_id tie-break stays exact
+            ui = u.astype(np.int64)
+            kth = int(np.partition(ui, _RESERVOIR_K - 1)
+                      [_RESERVOIR_K - 1])
+            sel = np.flatnonzero(ui <= kth)
+            ids, u = ids[sel], u[sel]
+        return pa.table({
+            "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+            "h": pa.array(u.astype(np.int64), pa.int64())})
+
+    st = _gc(ds.map_batches(bottom_k, batch_format="pyarrow"),
+             4_000_000, pa.schema([("doc_id", pa.int64()),
+                                   ("h", pa.int64())]))
+    assert st is not None, "bottom-k partials overflowed the cap"
+    ids = st["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    h = st["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.lexsort((ids, h))[:_RESERVOIR_K]
+    return pa.table({"doc_id": pa.array(ids[o], pa.int64()),
+                     "h": pa.array(h[o], pa.int64())})
+
+
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_lang_counts": q_lang_counts,
@@ -9459,6 +9505,7 @@ QUERIES = {
     "q_within_doc_line_dedup": q_within_doc_line_dedup,
     "q_best_of_near_cluster": q_best_of_near_cluster,
     "q_skyline_docs": q_skyline_docs,
+    "q_reservoir_sample": q_reservoir_sample,
 }
 
 # --- SQL replay fragments for hash-bearing oracles -------------------------
@@ -11155,6 +11202,13 @@ ORACLE_SQL["q_skyline_docs"] = (
     "WHERE NOT EXISTS (SELECT 1 FROM s q "
     "WHERE q.n_tokens <= p.n_tokens AND q.n_distinct >= p.n_distinct "
     "AND (q.n_tokens < p.n_tokens OR q.n_distinct > p.n_distinct))")
+
+# exact-k deterministic sample: bottom-k on the q_sample Weyl low word
+# with the doc_id tie-break
+ORACLE_SQL["q_reservoir_sample"] = (
+    "SELECT doc_id, CAST((doc_id % 4294967296) * 2654435761::HUGEINT "
+    "% 4294967296 AS BIGINT) AS h FROM documents "
+    f"ORDER BY h, doc_id LIMIT {_RESERVOIR_K}")
 
 # The driver signs correctness rows for only a prefix of this registry
 # (50 entries per round), so oracle-bearing queries are ordered FIRST:

@@ -721,3 +721,40 @@ def test_skyline_docs_planted_frontier(ray_session, tmp_path):
     assert list(a.dtypes) == list(b.dtypes)
     pd.testing.assert_frame_equal(a, b, check_exact=True)
     assert set(a.doc_id) == {0, 1, 3, 4}
+
+
+@pytest.mark.parametrize("n_pairs,expect", [(60, 100), (10, 20)])
+def test_reservoir_sample_tie_heavy_and_small(ray_session, tmp_path,
+                                              n_pairs, expect):
+    """Adversarial h-ties: ids i and i + 2^32 share the same Weyl low
+    word, so EVERY key is duplicated and the k-cut lands inside a tie
+    pair — the doc_id tie-break and the tie-safe combiner (keep all
+    rows at the k-th h) both have to be exact. The small corpus pins
+    n < k (all rows returned)."""
+    d = str(tmp_path)
+    base = np.arange(n_pairs, dtype=np.int64) * 37 + 3
+    ids = np.concatenate([base, base + (1 << 32)])
+    texts = [f"doc {i}" for i in range(len(ids))]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(ids)),
+        "source": pa.array(["s0"] * len(ids), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
+        f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{d}/documents.parquet'")
+    got = QUERIES["q_reservoir_sample"](d)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    want = con.sql(ORACLE_SQL["q_reservoir_sample"]).df()
+    con.close()
+    cols = sorted(want.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    assert list(a.dtypes) == list(b.dtypes)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    assert len(a) == expect
+    if expect == 100:   # the cut must have split at least one tie pair
+        h_counts = a.groupby("h").doc_id.count()
+        assert (h_counts == 1).any() or len(a.h.unique()) == 50
