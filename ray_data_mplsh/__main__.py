@@ -78,6 +78,18 @@ def _build_parser() -> argparse.ArgumentParser:
     f.add_argument("--save-as", default=None,
                    help="persist the fold's joint state under this "
                         "run_id so a later shard can fold onto it")
+
+    rp = sub.add_parser(
+        "report",
+        help="executive dedup reports over a documents table: tokens "
+             "per dedup tier, per-source dup inflation, verified-pair "
+             "similarity histogram")
+    rp.add_argument("--input", required=True,
+                    help="directory containing documents.parquet, or "
+                         "a documents parquet file")
+    rp.add_argument("--output", default=None,
+                    help="optional path for the JSON report (also "
+                         "printed)")
     return p
 
 
@@ -110,6 +122,53 @@ def _sniff_format(path: str) -> str:
         "pass --input-format")
 
 
+def _report_sf_dir(path: str) -> str:
+    """The query registry reads ``<sf_dir>/documents.parquet``; accept
+    either that directory or a direct parquet file (linked into a
+    scratch dir when not already named documents.parquet)."""
+    if os.path.isdir(path):
+        if not os.path.exists(os.path.join(path, "documents.parquet")):
+            raise SystemExit(f"{path} has no documents.parquet")
+        return path
+    if os.path.basename(path) == "documents.parquet":
+        return os.path.dirname(path) or "."
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="mplsh_report_")
+    os.symlink(os.path.abspath(path),
+               os.path.join(d, "documents.parquet"))
+    return d
+
+
+def _run_report(args) -> dict:
+    import pandas as pd
+
+    from ray_data_mplsh.pipelines.queries import (
+        q_dup_inflation, q_jaccard_histogram, q_tier_token_report)
+
+    sf = _report_sf_dir(args.input)
+
+    def rows(res) -> list[dict]:
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        if not isinstance(df, pd.DataFrame):
+            df = df.to_pandas()
+        return df.sort_values(sorted(df.columns)) \
+            .to_dict(orient="records")
+
+    report = {
+        "input": args.input,
+        "tier_tokens": rows(q_tier_token_report(sf)),
+        "dup_inflation": rows(q_dup_inflation(sf)),
+        "jaccard_histogram": rows(q_jaccard_histogram(sf)),
+    }
+    out = json.dumps(report, sort_keys=True, default=str)
+    if args.output:
+        with open(args.output, "w") as fh:
+            fh.write(out)
+    print(out)
+    return report
+
+
 def main(argv: list[str] | None = None) -> dict:
     args = _build_parser().parse_args(argv)
     t0 = time.monotonic()
@@ -119,6 +178,9 @@ def main(argv: list[str] | None = None) -> dict:
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False,
                  logging_level="ERROR")
+
+    if args.cmd == "report":
+        return _run_report(args)
 
     from ray_data_mplsh.config import MPLSHConfig
     from ray_data_mplsh.sources import write_corpus

@@ -78,3 +78,21 @@ def test_cli_rejects_unknown_schema(tmp_path):
     pq.write_table(pa.table({"a": [1]}), p)
     with pytest.raises(SystemExit):
         _sniff_format(p)
+
+
+def test_cli_report_over_documents(ray_session, tmp_path):
+    """`report` accepts both an sf dir and a bare parquet file (the
+    symlink arm) and emits the three executive reports with rows."""
+    out = str(tmp_path / "rep.json")
+    s = main(["report", "--input", "/root/testdata/sf0.001",
+              "--output", out])
+    assert {r["tier"] for r in s["tier_tokens"]} >= {"unique"}
+    assert len(s["dup_inflation"]) > 0
+    with open(out) as fh:
+        assert json.load(fh)["tier_tokens"] == s["tier_tokens"]
+    # bare-file arm: copy documents.parquet under another name
+    import shutil
+    p = str(tmp_path / "corpus.parquet")
+    shutil.copyfile("/root/testdata/sf0.001/documents.parquet", p)
+    s2 = main(["report", "--input", p])
+    assert s2["tier_tokens"] == s["tier_tokens"]
