@@ -9344,6 +9344,55 @@ def q_reservoir_sample(sf_dir: str):
                      "h": pa.array(h[o], pa.int64())})
 
 
+def q_hapax_rate(sf_dir: str):
+    """Corpus vocabulary health — the hapax-legomenon rate (fraction
+    of the vocabulary occurring exactly once): a high rate flags
+    OCR/mojibake noise or heavy boilerplate stripping gone wrong; the
+    signal corpus linguists read before trusting token statistics.
+    Per-batch word INSTANCE-count partials (the q_doc_freq combiner
+    with tf instead of df) -> |vocab| groupby -> per-block (n_vocab,
+    n_hapax) partials -> blocks-bounded gather -> one row with the
+    IEEE-exact rate. SQL NULL semantics on the empty corpus (SUM over
+    zero rows is NULL, so n_hapax and the rate are NULL with
+    n_vocab = 0)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def tf_partial(b: pa.Table) -> pa.Table:
+        _, words = _split_words(b["text"])
+        codes, uniq = pd.factorize(words, sort=False)
+        tf = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table({"word": pa.array(uniq, pa.string()),
+                         "tf": pa.array(tf, pa.int64())})
+
+    agg = ds.map_batches(tf_partial, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("tf", alias_name="tf"))
+
+    def vocab_partial(t: pa.Table) -> pa.Table:
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "nv": pa.array([np.int64(len(tf))], pa.int64()),
+            "nh": pa.array([np.int64((tf == 1).sum())], pa.int64())})
+
+    pt = gather_capped(
+        agg.map_batches(vocab_partial, batch_format="pyarrow"),
+        1_000_000, pa.schema([("nv", pa.int64()), ("nh", pa.int64())]))
+    assert pt is not None, "hapax partials overflowed the cap"
+    nv = int(pt["nv"].to_numpy(zero_copy_only=False).sum()) \
+        if pt.num_rows else 0
+    nh = int(pt["nh"].to_numpy(zero_copy_only=False).sum()) \
+        if pt.num_rows else 0
+    if nv == 0:     # SQL: SUM over zero rows is NULL, as is the rate
+        return pa.table({"n_vocab": pa.array([0], pa.int64()),
+                         "n_hapax": pa.array([None], pa.int64()),
+                         "hapax_rate": pa.array([None], pa.float64())})
+    return pa.table({
+        "n_vocab": pa.array([nv], pa.int64()),
+        "n_hapax": pa.array([nh], pa.int64()),
+        "hapax_rate": pa.array([nh / nv], pa.float64())})
+
+
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_lang_counts": q_lang_counts,
@@ -9506,6 +9555,7 @@ QUERIES = {
     "q_best_of_near_cluster": q_best_of_near_cluster,
     "q_skyline_docs": q_skyline_docs,
     "q_reservoir_sample": q_reservoir_sample,
+    "q_hapax_rate": q_hapax_rate,
 }
 
 # --- SQL replay fragments for hash-bearing oracles -------------------------
@@ -11209,6 +11259,18 @@ ORACLE_SQL["q_reservoir_sample"] = (
     "SELECT doc_id, CAST((doc_id % 4294967296) * 2654435761::HUGEINT "
     "% 4294967296 AS BIGINT) AS h FROM documents "
     f"ORDER BY h, doc_id LIMIT {_RESERVOIR_K}")
+
+# hapax rate: corpus word instance counts, one aggregate row (NULL
+# n_hapax/rate on an empty vocabulary per SUM-over-zero-rows)
+ORACLE_SQL["q_hapax_rate"] = (
+    "WITH tf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS tf FROM "
+    "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) "
+    "GROUP BY w) "
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab, "
+    "CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_hapax, "
+    "CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
+    "/ COUNT(*) AS hapax_rate FROM tf")
 
 # The driver signs correctness rows for only a prefix of this registry
 # (50 entries per round), so oracle-bearing queries are ordered FIRST:

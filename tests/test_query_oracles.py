@@ -65,7 +65,7 @@ CHECK = ["q_word_stats", "q_doc_freq", "q_allpair_jaccard",
          "q_jaccard_histogram", "q_bow_dedup", "q_prefix_dup_flow",
          "q_split_leakage", "q_lang_confusion", "q_ccnet_pipeline",
          "q_within_doc_line_dedup", "q_best_of_near_cluster",
-         "q_skyline_docs", "q_reservoir_sample"]
+         "q_skyline_docs", "q_reservoir_sample", "q_hapax_rate"]
 
 
 @pytest.fixture(scope="module")

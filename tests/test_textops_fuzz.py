@@ -758,3 +758,34 @@ def test_reservoir_sample_tie_heavy_and_small(ray_session, tmp_path,
     if expect == 100:   # the cut must have split at least one tie pair
         h_counts = a.groupby("h").doc_id.count()
         assert (h_counts == 1).any() or len(a.h.unique()) == 50
+
+
+def test_hapax_rate_planted_and_all_hapax(ray_session, tmp_path):
+    """Known vocabulary: 'a' occurs 3x, 'b' 2x, c/d/e once each ->
+    rate 3/5; and an all-hapax corpus pins rate 1.0."""
+    for texts, nv, nh in [
+            (["a a b c", "a b d", "e"], 5, 3),
+            (["q w", "r t y"], 5, 5)]:
+        d = str(tmp_path / f"c{nv}{nh}")
+        import os
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(pa.table({
+            "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s0"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
+            f"{d}/documents.parquet")
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{d}/documents.parquet'")
+        got = QUERIES["q_hapax_rate"](d)
+        got = got.to_pandas() if hasattr(got, "to_pandas") else got
+        want = con.sql(ORACLE_SQL["q_hapax_rate"]).df()
+        con.close()
+        cols = sorted(want.columns)
+        a = got[cols].sort_values(cols).reset_index(drop=True)
+        b = want[cols].sort_values(cols).reset_index(drop=True)
+        assert list(a.dtypes) == list(b.dtypes)
+        pd.testing.assert_frame_equal(a, b, check_exact=True)
+        assert (a.n_vocab.iloc[0], a.n_hapax.iloc[0]) == (nv, nh)
